@@ -1,0 +1,19 @@
+"""open_source_search_engine_spark — a PySpark-native full-text indexing
+and BM25 query engine with the capabilities of the Gigablast reference
+(``cmilan/open-source-search-engine``), rebuilt Spark-first.
+
+Reference semantics are documented in ``SURVEY.md`` (operator inventory §2);
+this package re-expresses them as DataFrame programs:
+
+- ``sources``   — corpus synthesizer, driver-testdata loaders, and an
+                  Iceberg-style snapshot/manifest table layer (Rdb analog).
+- ``functions`` — vectorized Arrow/pandas UDFs + column expressions:
+                  code tokenizer, varint/delta postings codec, hashing,
+                  text-quality analytics.
+- ``operators`` — index build, segment merge/compaction, stats aggregates,
+                  block-max-WAND top-k, dedup family, similarity search.
+- ``plans``     — query string → QueryPlan → DataFrame program (BM25).
+- ``streaming`` — incremental index maintenance via Structured Streaming.
+"""
+
+__version__ = "0.1.0"

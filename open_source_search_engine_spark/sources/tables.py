@@ -1,0 +1,116 @@
+"""Iceberg-style snapshot/manifest table layer (SURVEY.md §1.3).
+
+The reference's Rdb is an LSM tree: immutable sorted runs on disk plus a
+manifest of live files, atomically swapped by background merge
+(RdbBase.cpp attemptMerge / RdbDump.cpp).  No Iceberg runtime jar ships in
+this sandbox, so the same contract — atomic commit, snapshot isolation,
+time travel, segment-list resolution — is provided by a tiny JSON snapshot
+log over plain parquet segment directories.  The API is Iceberg-shaped
+(append / rewrite / snapshot ids) so a real catalog can be swapped in with
+one config change.
+
+Layout:
+    <root>/<table>/seg-<uuid>/...parquet        immutable segment data
+    <root>/<table>/_snapshots/v<k>.json         snapshot k: list of live segments
+    <root>/<table>/_snapshots/HEAD              text file: current version k
+
+Commit protocol: write v<k>.json (fails if exists — optimistic concurrency),
+then atomically replace HEAD via os.replace.  Readers resolve HEAD once and
+only ever see a complete snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    segments: list[str]
+    operation: str
+    meta: dict = field(default_factory=dict)
+
+
+class SnapshotTable:
+    def __init__(self, root: str, name: str):
+        self.dir = os.path.join(root, name)
+        self.snap_dir = os.path.join(self.dir, "_snapshots")
+        os.makedirs(self.snap_dir, exist_ok=True)
+
+    # -- write side ---------------------------------------------------------
+    def new_segment_path(self, label: str = "seg") -> str:
+        return os.path.join(self.dir, f"{label}-{uuid.uuid4().hex[:12]}")
+
+    def write_segment(self, df: DataFrame, label: str = "seg") -> str:
+        path = self.new_segment_path(label)
+        df.write.mode("errorifexists").parquet(path)
+        return path
+
+    def commit(
+        self,
+        add: list[str] | None = None,
+        remove: list[str] | None = None,
+        operation: str = "append",
+        meta: dict | None = None,
+    ) -> Snapshot:
+        """Atomic snapshot commit (the RdbDump 'file set swap' analog)."""
+        cur = self.latest()
+        segs = list(cur.segments) if cur else []
+        for r in remove or []:
+            segs.remove(r)
+        segs.extend(add or [])
+        version = (cur.version + 1) if cur else 0
+        snap = Snapshot(version, segs, operation, meta or {})
+        path = os.path.join(self.snap_dir, f"v{version}.json")
+        # optimistic concurrency: 'x' mode fails if another writer won
+        with open(path, "x") as f:
+            json.dump(
+                {
+                    "version": version,
+                    "segments": segs,
+                    "operation": operation,
+                    "meta": snap.meta,
+                    "ts": time.time(),
+                },
+                f,
+            )
+        tmp = os.path.join(self.snap_dir, f".HEAD.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.snap_dir, "HEAD"))
+        return snap
+
+    # -- read side ----------------------------------------------------------
+    def latest(self) -> Snapshot | None:
+        head = os.path.join(self.snap_dir, "HEAD")
+        if not os.path.exists(head):
+            return None
+        with open(head) as f:
+            version = int(f.read().strip())
+        return self.at(version)
+
+    def at(self, version: int) -> Snapshot:
+        """Time travel to snapshot ``version``."""
+        with open(os.path.join(self.snap_dir, f"v{version}.json")) as f:
+            d = json.load(f)
+        return Snapshot(d["version"], d["segments"], d["operation"], d.get("meta", {}))
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        snap = self.latest() if version is None else self.at(version)
+        if snap is None or not snap.segments:
+            return None
+        return spark.read.parquet(*snap.segments)
+
+    def history(self) -> list[int]:
+        out = []
+        for fn in os.listdir(self.snap_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
