@@ -1,0 +1,884 @@
+"""Driver-contract query battery: one entry per implemented operator of
+SURVEY.md §2, each with a DuckDB-oracle SQL twin (value-hash compared at
+sf=0.01 by the driver).
+
+Parity rules applied throughout (see SURVEY.md §7.5):
+- every computed column aliased identically on both sides;
+- doubles rounded (4 dp; money 2 dp) AFTER aggregation on both sides —
+  summation order differs between engines, rounding absorbs the ulps;
+- LIMIT queries carry a total deterministic ORDER BY;
+- identical literal structure in float math (e.g. ``2.2`` both sides, not
+  ``k1+1`` on one side);
+- timestamps projected as formatted strings (Spark session TZ = UTC,
+  DuckDB naive — strings compare exactly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .operators import dedup, similarity, textstats
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _toks(col: str = "text") -> F.Column:
+    return F.regexp_extract_all(F.lower(F.col(col)), F.lit(TOKEN_RE), F.lit(0))
+
+
+# ---------------------------------------------------------------------------
+# BM25 ad-hoc plan over the driver `documents` table (doc_id, text, ...):
+# fully declarative — tokenize/tf/df/stats/score all Catalyst-planned —
+# used by the oracle-checked search queries.  The engine-index path
+# (plans.exec.search) covers the same math over stored postings.
+# ---------------------------------------------------------------------------
+def bm25_adhoc(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: list[str],
+    k: int = 10,
+    mode: str = "and",  # "and" | "or"
+    neg_terms: list[str] | None = None,
+    lang: str | None = None,
+) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    if lang is not None:
+        docs = docs.filter(F.col("lang") == lang)
+    d = docs.select(
+        "doc_id", _toks().alias("toks")
+    ).withColumn("doclen", F.size("toks").cast("double"))
+    stats = d.agg(
+        F.count("*").cast("double").alias("n"), F.avg("doclen").alias("avgdl")
+    )
+    occ = d.select("doc_id", "doclen", F.explode("toks").alias("term"))
+    tf = (
+        occ.filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term", "doclen")
+        .agg(F.count("*").cast("double").alias("tf"))
+    )
+    dfx = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    contrib = F.log(
+        F.lit(1.0) + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ) * F.col("tf") * F.lit(2.2) / (
+        F.col("tf")
+        + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("doclen") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(dfx), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("contrib", contrib)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nt"), F.sum("contrib").alias("s"))
+    )
+    scored = scored.filter(
+        F.col("nt") == len(terms) if mode == "and" else F.col("nt") >= 1
+    )
+    if neg_terms:
+        neg_docs = occ.filter(F.col("term").isin(neg_terms)).select("doc_id").distinct()
+        scored = scored.join(neg_docs, "doc_id", "left_anti")
+    return (
+        scored.select("doc_id", F.round(F.col("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def bm25_oracle_sql(
+    terms: list[str],
+    k: int = 10,
+    mode: str = "and",
+    neg_terms: list[str] | None = None,
+    lang: str | None = None,
+) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    where = f"WHERE lang = '{lang}'" if lang else ""
+    nt_pred = f"nt = {len(terms)}" if mode == "and" else "nt >= 1"
+    neg = ""
+    if neg_terms:
+        nl = ", ".join(f"'{t}'" for t in neg_terms)
+        neg = (
+            f" AND doc_id NOT IN (SELECT DISTINCT doc_id FROM occ "
+            f"WHERE term IN ({nl}))"
+        )
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents {where}
+),
+dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
+occ AS (SELECT doc_id, doclen, unnest(toks) AS term FROM dd),
+tf AS (
+  SELECT doc_id, term, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ WHERE term IN ({tl})
+  GROUP BY doc_id, term, doclen
+),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored WHERE {nt_pred}{neg}
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operators over the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+def q_agg_pricing(spark, sf_dir):
+    """A1/A5: partial->final hash agg (TPC-H Q1 shape)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_AGG_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_orders(spark, sf_dir):
+    """T1: bounded top-k (TakeOrderedAndProject = TopTree analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TOPK_ORDERS = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY price DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_join_enrich(spark, sf_dir):
+    """J5/J9: broadcast-join enrich chain customer->nation->region."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name")
+    )
+
+
+SQL_JOIN_ENRICH = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q_semi_join(spark, sf_dir):
+    """J2: existence semi-join — customers with >=1 urgent order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderpriority = '1-URGENT')
+ORDER BY c_custkey
+"""
+
+
+def q_anti_join(spark, sf_dir):
+    """J3/F3: negation anti-join — customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    )
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q_window_top2(spark, sf_dir):
+    """W1: site-clustering analog — top-2 orders per customer."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select(
+            "o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("price"), "rn"
+        )
+        .orderBy("o_custkey", "rn", "o_orderkey")
+    )
+
+
+SQL_WINDOW_TOP2 = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders)
+WHERE rn <= 2 ORDER BY o_custkey, rn, o_orderkey
+"""
+
+
+def q_latest_wins(spark, sf_dir):
+    """U4: multi-run union w/ latest-wins (tombstone resolve) — the
+    newest event per user, Iceberg MoR semantics on the events table."""
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LATEST_WINS = """
+SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_s
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def q_facets(spark, sf_dir):
+    """A4: facet counts (gbfacetstr analog) over two fields at once."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("facet_count"))
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_FACETS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS facet_count
+FROM orders GROUP BY o_orderstatus, o_orderpriority
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_numeric_range(spark, sf_dir):
+    """F1/F7: key-range + numeric predicates pushed to the scan."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_quantity").between(10, 20))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_extendedprice") > 20000)
+        )
+        .select("l_orderkey", "l_linenumber", F.round("l_extendedprice", 2).alias("price"))
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+SQL_NUMERIC_RANGE = """
+SELECT l_orderkey, l_linenumber, round(l_extendedprice, 2) AS price
+FROM lineitem
+WHERE l_quantity BETWEEN 10 AND 20 AND l_discount >= 0.05
+  AND l_extendedprice > 20000
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+def q_boolean_or(spark, sf_dir):
+    """U1: boolean OR of predicates + facet count."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") | (F.col("l_linestatus") == "F"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+SQL_BOOLEAN_OR = """
+SELECT l_returnflag, l_linestatus, count(*) AS cnt
+FROM lineitem WHERE l_returnflag = 'R' OR l_linestatus = 'F'
+GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_paging(spark, sf_dir):
+    """T3: offset paging (s=/n= CGI params analog)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", F.round("o_totalprice", 2).alias("price"))
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .offset(20)
+        .limit(10)
+    )
+
+
+SQL_PAGING = """
+SELECT o_orderkey, round(o_totalprice, 2) AS price
+FROM orders ORDER BY price DESC, o_orderkey LIMIT 10 OFFSET 20
+"""
+
+
+def q_metrics_rollup(spark, sf_dir):
+    """A9/R7: statsdb time-bucket rollup — per-minute event aggregates."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("minute", "event_type")
+    )
+
+
+SQL_METRICS_ROLLUP = """
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute,
+       event_type, count(*) AS n, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY minute, event_type
+"""
+
+
+def q_total_hits(spark, sf_dir):
+    """A6: total-hits estimate -> exact count."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .agg(F.count("*").alias("total_hits"))
+    )
+
+
+SQL_TOTAL_HITS = "SELECT count(*) AS total_hits FROM lineitem WHERE l_returnflag = 'R'"
+
+
+def q_set_ops(spark, sf_dir):
+    """U2: intersect/except — customers in both urgent & high priority."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.intersect(high).orderBy("o_custkey")
+
+
+SQL_SET_OPS = """
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+ORDER BY o_custkey
+"""
+
+
+def q_sortby_field(spark, sf_dir):
+    """T4: gbsortby numeric-field ordering."""
+    return (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey", "p_size", F.round("p_retailprice", 2).alias("price"))
+        .orderBy(F.asc("p_size"), F.desc("price"), F.asc("p_partkey"))
+        .limit(25)
+    )
+
+
+SQL_SORTBY_FIELD = """
+SELECT p_partkey, p_size, round(p_retailprice, 2) AS price
+FROM part ORDER BY p_size ASC, price DESC, p_partkey LIMIT 25
+"""
+
+
+# ---------------------------------------------------------------------------
+# Search operators over the driver `documents` table
+# ---------------------------------------------------------------------------
+def q_tf(spark, sf_dir):
+    """A1: tf per (term, doc) for one term."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    return (
+        occ.filter(F.col("term") == "table")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+        .orderBy("doc_id")
+    )
+
+
+SQL_TF = f"""
+SELECT doc_id, count(*) AS tf
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+      FROM documents)
+WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_termstats(spark, sf_dir):
+    """A2: df/cf per term (exact getTermFreq)."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    return (
+        occ.filter(F.col("term").isin(["spark", "join", "table", "vector", "stream"]))
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+        .orderBy("term")
+    )
+
+
+SQL_TERMSTATS = f"""
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+      FROM documents)
+WHERE term IN ('spark', 'join', 'table', 'vector', 'stream')
+GROUP BY term ORDER BY term
+"""
+
+
+def q_collstats(spark, sf_dir):
+    """A3: N + avgdl."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(F.size(_toks()).cast("double").alias("doclen")).agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("doclen"), 4).alias("avgdl")
+    )
+
+
+SQL_COLLSTATS = f"""
+SELECT count(*) AS n_docs,
+       round(avg(CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS DOUBLE)), 4) AS avgdl
+FROM documents
+"""
+
+
+def q_bm25_single(spark, sf_dir):
+    return bm25_adhoc(spark, sf_dir, ["spark"], k=10)
+
+
+def q_bm25_and2(spark, sf_dir):
+    return bm25_adhoc(spark, sf_dir, ["spark", "join"], k=10)
+
+
+def q_bm25_and3(spark, sf_dir):
+    return bm25_adhoc(spark, sf_dir, ["hash", "merge", "sort"], k=10)
+
+
+def q_bm25_neg(spark, sf_dir):
+    return bm25_adhoc(spark, sf_dir, ["table"], k=10, neg_terms=["join"])
+
+
+def q_bm25_or(spark, sf_dir):
+    return bm25_adhoc(spark, sf_dir, ["vector", "stream"], k=10, mode="or")
+
+
+def q_bm25_lang(spark, sf_dir):
+    """F4/F6: fielded restriction — BM25 within lang='en' docs."""
+    return bm25_adhoc(spark, sf_dir, ["query"], k=10, lang="en")
+
+
+def q_phrase(spark, sf_dir):
+    """J4: positional phrase — docs containing the exact token sequence."""
+    docs = _t(spark, sf_dir, "documents")
+    padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    return (
+        docs.filter(F.contains(padded, F.lit(" fast table ")))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+SQL_PHRASE = """
+SELECT doc_id FROM documents
+WHERE contains(' ' || lower(text) || ' ', ' fast table ')
+ORDER BY doc_id
+"""
+
+
+def q_gigabits(spark, sf_dir):
+    """A7: gigabits/related-terms — top terms in docs matching 'spark'."""
+    docs = _t(spark, sf_dir, "documents")
+    matched = docs.filter(
+        F.arrays_overlap(_toks(), F.array(F.lit("spark")))
+    )
+    return (
+        matched.select(F.explode(_toks()).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+SQL_GIGABITS = f"""
+WITH matched AS (
+  SELECT text FROM documents
+  WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_RE}'), 'spark')
+)
+SELECT term, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term FROM matched)
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators
+# ---------------------------------------------------------------------------
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.exact_dedup_groups(docs, "doc_id", "text")
+        .orderBy("text_md5")
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_md5, count(*) AS n_dups, min(doc_id) AS canonical_id
+FROM documents GROUP BY md5(text) ORDER BY text_md5
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs: top-20 most similar doc pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3)
+    return (
+        pairs.select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy(F.desc("jaccard"), F.asc("a"), F.asc("b"))
+        .limit(20)
+    )
+
+
+SQL_NGRAM_JACCARD = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+           ELSE [] END) AS grams
+  FROM d
+),
+sizes AS (SELECT doc_id, len(grams) AS nsh FROM sh),
+inv AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+inter AS (
+  SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+  FROM inv l JOIN inv r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY l.doc_id, r.doc_id
+)
+SELECT a, b,
+       round(CAST(inter AS DOUBLE) / (sa.nsh + sb.nsh - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+ORDER BY jaccard DESC, a, b LIMIT 20
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """token counting per doc (BPE-ish proxy): total + distinct."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        textstats.token_count(toks).alias("n_tokens"),
+        textstats.distinct_token_count(toks).alias("n_distinct"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS n_distinct
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality(spark, sf_dir):
+    """quality scoring: stopword ratio + repetition + avg token length."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        F.round(textstats.stopword_ratio(toks), 4).alias("stopword_ratio"),
+        F.round(textstats.repetition_ratio(toks), 4).alias("repetition_ratio"),
+    ).orderBy("doc_id")
+
+
+_SW_LIST = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+SQL_QUALITY = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+)
+SELECT doc_id,
+       round(CASE WHEN len(toks) > 0 THEN
+         CAST(len(list_filter(toks, t -> t IN ({_SW_LIST}))) AS DOUBLE) / len(toks)
+         ELSE 0.0 END, 4) AS stopword_ratio,
+       round(CASE WHEN len(toks) > 0 THEN
+         1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+         ELSE 0.0 END, 4) AS repetition_ratio
+FROM d ORDER BY doc_id
+"""
+
+
+def q_langid(spark, sf_dir):
+    """language-ID heuristic vs the stored lang column: confusion counts."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    return (
+        docs.select("lang", textstats.langid_en(toks).alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+SQL_LANGID = f"""
+WITH d AS (
+  SELECT lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+p AS (
+  SELECT lang,
+         CASE WHEN len(toks) > 0 AND
+           CAST(len(list_filter(toks, t -> t IN ({_SW_LIST}))) AS DOUBLE) / len(toks) > 0.08
+           THEN 'en' ELSE 'other' END AS predicted
+  FROM d
+)
+SELECT lang, predicted, count(*) AS n FROM p GROUP BY lang, predicted
+ORDER BY lang, predicted
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """document fingerprint: polynomial rolling hash over tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", textstats.fingerprint(_toks()).alias("fp")
+    ).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(regexp_extract_all(lower(text), '{TOKEN_RE}'),
+                          t -> CAST(length(t) * 7 + ascii(t) AS BIGINT))),
+         (h, x) -> (h * 31 + x) % 1000000007) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_ann_cosine(spark, sf_dir):
+    """brute-force cosine top-k vs the vec_id=0 embedding."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.brute_force_topk(
+        emb.filter(F.col("vec_id") != 0), [float(x) for x in qv], k=10
+    )
+
+
+SQL_ANN_COSINE = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id,
+       round(
+         list_reduce(list_prepend(0.0,
+           list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+             .list_transform(p -> p[1] * p[2])), (a, x) -> a + x)
+         / (sqrt(list_reduce(list_prepend(0.0,
+              list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, x) -> a + x))
+            * sqrt(list_reduce(list_prepend(0.0,
+                list_transform(qv, x -> x * x)), (a, x) -> a + x))), 4) AS cosine
+FROM embeddings CROSS JOIN q
+WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def q_embed_facets(spark, sf_dir):
+    """facet counts over embedding labels + mean norm per label."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding").cast("array<double>"), lambda x: x * x),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("norm"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+SQL_EMBED_FACETS = """
+SELECT label, count(*) AS n,
+       round(avg(sqrt(list_reduce(list_prepend(0.0,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (a, x) -> a + x))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# Spark-only (no SQL-expressible oracle; driver records rows-only check)
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (rows-only check: not SQL-expressible)."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    return (
+        dedup.minhash_lsh_pairs(sigs, bands=16)
+        .orderBy(F.desc("n_bands_agree"), F.asc("a"), F.asc("b"))
+        .limit(50)
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash fingerprints (rows-only: bit-vote fold not SQL-practical)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dedup.simhash_signatures(docs, "doc_id", "text")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def build_registry() -> tuple[
+    dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
+]:
+    queries = {
+        # relational
+        "agg_pricing": q_agg_pricing,
+        "topk_orders": q_topk_orders,
+        "join_enrich": q_join_enrich,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "window_top2": q_window_top2,
+        "latest_wins": q_latest_wins,
+        "facets": q_facets,
+        "numeric_range": q_numeric_range,
+        "boolean_or": q_boolean_or,
+        "paging": q_paging,
+        "metrics_rollup": q_metrics_rollup,
+        "total_hits": q_total_hits,
+        "set_ops": q_set_ops,
+        "sortby_field": q_sortby_field,
+        # search
+        "tf": q_tf,
+        "termstats": q_termstats,
+        "collstats": q_collstats,
+        "bm25_single": q_bm25_single,
+        "bm25_and2": q_bm25_and2,
+        "bm25_and3": q_bm25_and3,
+        "bm25_neg": q_bm25_neg,
+        "bm25_or": q_bm25_or,
+        "bm25_lang": q_bm25_lang,
+        "phrase": q_phrase,
+        "gigabits": q_gigabits,
+        # training-data ops
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "langid": q_langid,
+        "fingerprint": q_fingerprint,
+        "ann_cosine": q_ann_cosine,
+        "embed_facets": q_embed_facets,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+    }
+    oracles = {
+        "agg_pricing": SQL_AGG_PRICING,
+        "topk_orders": SQL_TOPK_ORDERS,
+        "join_enrich": SQL_JOIN_ENRICH,
+        "semi_join": SQL_SEMI_JOIN,
+        "anti_join": SQL_ANTI_JOIN,
+        "window_top2": SQL_WINDOW_TOP2,
+        "latest_wins": SQL_LATEST_WINS,
+        "facets": SQL_FACETS,
+        "numeric_range": SQL_NUMERIC_RANGE,
+        "boolean_or": SQL_BOOLEAN_OR,
+        "paging": SQL_PAGING,
+        "metrics_rollup": SQL_METRICS_ROLLUP,
+        "total_hits": SQL_TOTAL_HITS,
+        "set_ops": SQL_SET_OPS,
+        "sortby_field": SQL_SORTBY_FIELD,
+        "tf": SQL_TF,
+        "termstats": SQL_TERMSTATS,
+        "collstats": SQL_COLLSTATS,
+        "bm25_single": bm25_oracle_sql(["spark"], k=10),
+        "bm25_and2": bm25_oracle_sql(["spark", "join"], k=10),
+        "bm25_and3": bm25_oracle_sql(["hash", "merge", "sort"], k=10),
+        "bm25_neg": bm25_oracle_sql(["table"], k=10, neg_terms=["join"]),
+        "bm25_or": bm25_oracle_sql(["vector", "stream"], k=10, mode="or"),
+        "bm25_lang": bm25_oracle_sql(["query"], k=10, lang="en"),
+        "phrase": SQL_PHRASE,
+        "gigabits": SQL_GIGABITS,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality": SQL_QUALITY,
+        "langid": SQL_LANGID,
+        "fingerprint": SQL_FINGERPRINT,
+        "ann_cosine": SQL_ANN_COSINE,
+        "embed_facets": SQL_EMBED_FACETS,
+        # minhash_lsh, simhash: intentionally no oracle (rows-only check)
+    }
+    return queries, oracles
