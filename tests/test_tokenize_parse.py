@@ -1,0 +1,43 @@
+"""X2 tokenizer and Query.cpp-analog parser units (no Spark needed)."""
+
+from open_source_search_engine_spark.functions.tokenize import _tokenize_one
+from open_source_search_engine_spark.plans.query import parse_query
+
+
+def test_simple_tokens():
+    assert _tokenize_one("Binary Search, tree!", False) == ["binary", "search", "tree"]
+
+
+def test_code_aware_splits():
+    toks = _tokenize_one("getUserName", True)
+    assert toks[0] == "getusername"
+    assert toks[1:] == ["get", "user", "name"]
+
+
+def test_snake_and_camel():
+    assert _tokenize_one("snake_case", True) == ["snake_case", "snake", "case"]
+    assert _tokenize_one("HTTPServer", True) == ["httpserver", "http", "server"]
+    # no redundant sub-token when nothing splits
+    assert _tokenize_one("plain", True) == ["plain"]
+
+
+def test_parser_and_groups():
+    p = parse_query("binary search")
+    assert len(p.groups) == 2 and not p.negatives
+    assert p.groups[0].members[0].text == "binary"
+
+
+def test_parser_negation_field_or():
+    p = parse_query("tree -heap lang:python cat OR dog")
+    assert [t.text for t in p.negatives] == ["heap"]
+    texts = [[m.text for m in g.members] for g in p.groups]
+    assert ["tree"] in texts
+    assert ["lang:python"] in texts
+    assert ["cat", "dog"] in texts
+
+
+def test_parser_phrase():
+    p = parse_query('"binary search" tree')
+    phrase_groups = [g for g in p.groups if g.members[0].phrase]
+    assert len(phrase_groups) == 1
+    assert phrase_groups[0].members[0].phrase == ("binary", "search")
