@@ -1,0 +1,136 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Default mode: runs the headline query set at ``$SPARK_GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "build_docs_per_sec": ..., "query_p50_ms": ...}
+
+``--scaling`` additionally runs the identical index-build + query job at
+local[8] and local[32] on the same input and reports throughput at both
+plus efficiency = (T8/T32)/1 vs core ratio — the in-sandbox evidence for
+the north rule's N->4N criterion (see BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "bm25_single",
+    "bm25_and2",
+    "bm25_and3",
+    "bm25_or",
+    "bm25_neg",
+    "agg_pricing",
+    "join_enrich",
+    "window_top2",
+    "latest_wins",
+    "metrics_rollup",
+    "ann_cosine",
+    "dedup_exact",
+    "token_stats",
+    "simhash",
+]
+
+N_BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
+
+
+def run_headline(spark, sf_dir: str) -> dict[str, float]:
+    from open_source_search_engine_spark.entry_queries import build_registry
+
+    qs, _ = build_registry()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.collect()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
+def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
+    """North-rule metric: index-build docs/sec on the synthetic
+    (repo,path,commit,lang,content) corpus + warm query latency."""
+    from open_source_search_engine_spark.operators.build import build_index
+    from open_source_search_engine_spark.plans.exec import search
+    from open_source_search_engine_spark.sources.corpus import synth_documents
+
+    shutil.rmtree(root, ignore_errors=True)
+    # materialize the corpus once as parquet — the realistic input shape
+    # (an Iceberg source table per input_hint); synthesis cost is data-gen,
+    # not engine throughput
+    src = f"{root}_src"
+    if not os.path.exists(src):
+        synth_documents(spark, n_docs).write.mode("overwrite").parquet(src)
+    docs = spark.read.parquet(src)
+    t0 = time.time()
+    idx = build_index(spark, docs, root, n_shards=n_shards)
+    build_secs = time.time() - t0
+    lat = []
+    queries = ["def return", "binarysearchtree", "import class self", "fn OR func"]
+    for q in queries:  # warm
+        search(spark, idx, q, k=10).collect()
+    for _ in range(3):
+        for q in queries:
+            t0 = time.time()
+            search(spark, idx, q, k=10).collect()
+            lat.append((time.time() - t0) * 1000)
+    return {
+        "build_secs": round(build_secs, 2),
+        "docs_per_sec": round(n_docs / build_secs, 2),
+        "query_p50_ms": round(statistics.median(lat), 1),
+        "query_p95_ms": round(sorted(lat)[int(len(lat) * 0.95) - 1], 1),
+    }
+
+
+def main():
+    from open_source_search_engine_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+
+    if "--scaling" in sys.argv:
+        results = {}
+        for c in (8, 32):
+            spark = get_spark(app_name=f"bench{c}", cores=c)
+            r = run_index_build(spark, N_BENCH_DOCS, f"/tmp/bench_idx_{c}", n_shards=2)
+            results[c] = r
+            spark.stop()
+            time.sleep(2)
+        eff = (results[32]["docs_per_sec"] / results[8]["docs_per_sec"]) / (32 / 8)
+        print(json.dumps({"scaling": results, "efficiency": round(eff, 3)}))
+        return
+
+    spark = get_spark(app_name="bench", cores=cores)
+    times = run_headline(spark, sf_dir)
+    build = run_index_build(
+        spark, N_BENCH_DOCS, "/tmp/bench_idx", n_shards=2
+    )
+    out = {
+        "metric": "headline_query_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "build_docs_per_sec": build["docs_per_sec"],
+        "index_build_secs": build["build_secs"],
+        "bench_docs": N_BENCH_DOCS,
+        "query_p50_ms": build["query_p50_ms"],
+        "query_p95_ms": build["query_p95_ms"],
+        "cores": cores,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -25,28 +25,25 @@ import numpy as np
 _MASK = 0x7F
 
 
-def encode_varint(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int64 array, fully vectorized.
+def encode_varint_with_lengths(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """LEB128-encode a non-negative uint64 array, fully vectorized.
 
-    Builds all bytes for all values at once: compute per-value byte length,
-    then scatter 7-bit groups into the output buffer.
+    Returns (byte_array uint8, per-value byte lengths) so callers can slice
+    the stream at arbitrary value boundaries — the whole-batch encode path
+    uses this to encode millions of termlists in one numpy pass.
     """
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # byte length per value: ceil(bitlength/7), min 1
-    bitlen = np.zeros(v.shape, dtype=np.int64)
-    nz = v > 0
-    # bit_length via log2 on floats is unsafe for >2^53; use frexp-free loop
-    # over the max 10 byte-groups instead (still vectorized per group).
+        return np.empty(0, dtype=np.uint8), np.empty(0, dtype=np.int64)
+    # byte length per value: ceil(bitlength/7), min 1.  log2-on-float is
+    # unsafe past 2^53, so count 7-bit groups with a shift loop (<=10
+    # iterations, each fully vectorized).
     tmp = v.copy()
     nbytes = np.ones(v.shape, dtype=np.int64)
     tmp >>= np.uint64(7)
     while tmp.any():
-        more = tmp > 0
-        nbytes[more] += 1
+        nbytes[tmp > 0] += 1
         tmp >>= np.uint64(7)
-    del bitlen, nz
     total = int(nbytes.sum())
     out = np.empty(total, dtype=np.uint8)
     ends = np.cumsum(nbytes)
@@ -61,6 +58,12 @@ def encode_varint(values: np.ndarray) -> bytes:
         cont = (nbytes[sel] > k + 1).astype(np.uint8) << 7
         out[idx] = byte | cont
         shifted >>= np.uint64(7)
+    return out, nbytes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int64/uint64 array -> bytes."""
+    out, _ = encode_varint_with_lengths(np.asarray(values, dtype=np.uint64))
     return out.tobytes()
 
 

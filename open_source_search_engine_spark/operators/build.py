@@ -35,6 +35,7 @@ from dataclasses import dataclass
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -48,7 +49,7 @@ K1 = 1.2
 B = 0.75
 
 BLOCK_SCHEMA = (
-    "term string, salt int, block_id int, n_docs int, min_doc_id long, max_doc_id long, "
+    "term_id long, salt int, block_id int, n_docs int, min_doc_id long, max_doc_id long, "
     "max_tf int, min_doclen int, doc_ids_enc binary, tfs_enc binary, "
     "doclens_enc binary, positions_enc binary"
 )
@@ -65,6 +66,10 @@ class Index:
     @property
     def docstats(self) -> SnapshotTable:
         return SnapshotTable(self.root, "docstats")
+
+    @property
+    def termdict(self) -> SnapshotTable:
+        return SnapshotTable(self.root, "termdict")
 
     @property
     def termstats_partial(self) -> SnapshotTable:
@@ -87,31 +92,47 @@ class Index:
         return SnapshotTable(self.root, "metrics")
 
 
-def derive_docs(docs: DataFrame, code_aware: bool = True) -> DataFrame:
-    """documents -> + doc_id, content_sha256, tokens, doclen."""
+def derive_ids(docs: DataFrame) -> DataFrame:
+    """documents -> + doc_id, content_sha256 (cheap JVM columns only —
+    computed BEFORE any shard filter so shard pruning costs nothing)."""
+    return docs.withColumn(
+        "doc_id", doc_id_col(F.col("repo"), F.col("path"), F.col("commit"))
+    ).withColumn("content_sha256", content_sha256(F.col("content")))
+
+
+def tokenize_docs(ids: DataFrame, code_aware: bool = True) -> DataFrame:
+    """+ tokens, doclen — the expensive pandas-UDF stage, run per shard."""
     tok = tokenize_code if code_aware else tokenize_simple
-    return (
-        docs.withColumn("doc_id", doc_id_col(F.col("repo"), F.col("path"), F.col("commit")))
-        .withColumn("content_sha256", content_sha256(F.col("content")))
-        .withColumn("tokens", tok(F.col("content")))
-        .withColumn("doclen", F.size("tokens"))
+    return ids.withColumn("tokens", tok(F.col("content"))).withColumn(
+        "doclen", F.size("tokens")
     )
 
 
-def posting_rows(derived: DataFrame, field_terms: bool = True) -> DataFrame:
-    """(term, doc_id, doclen, tf, positions) — occurrence grain folded to
-    (term,doc) grain (A1).  Field terms (F4) are presence-only postings."""
+def derive_docs(docs: DataFrame, code_aware: bool = True) -> DataFrame:
+    """documents -> + doc_id, content_sha256, tokens, doclen."""
+    return tokenize_docs(derive_ids(docs), code_aware=code_aware)
+
+
+def occurrence_rows(derived: DataFrame, field_terms: bool = True) -> DataFrame:
+    """(term, doc_id, doclen, pos) occurrence grain — the analog of 'one
+    posdb key per occurrence' (SURVEY §1.2).  Field terms (F4) are single
+    presence occurrences at pos 0.
+
+    Deliberately NOT aggregated to (term,doc) grain here: tf and position
+    lists are computed inside the Arrow encode kernel by segmented
+    reduction, so nothing but fixed-width primitives ever crosses the
+    JVM->Arrow boundary (array/string columns converted at ~15k rows/s on
+    this VM and dominated the build)."""
     occ = derived.select(
         "doc_id",
         "doclen",
         F.posexplode("tokens").alias("pos", "term"),
     )
-    rows = occ.groupBy("term", "doc_id", "doclen").agg(
-        F.count("*").cast("int").alias("tf"),
-        F.sort_array(F.collect_list("pos")).alias("positions"),
-    )
     if field_terms:
         fielded = derived.select(
+            "doc_id",
+            "doclen",
+            F.lit(0).alias("pos"),
             F.explode(
                 F.array_distinct(
                     F.concat(
@@ -126,21 +147,13 @@ def posting_rows(derived: DataFrame, field_terms: bool = True) -> DataFrame:
                     )
                 )
             ).alias("term"),
-            "doc_id",
-            "doclen",
-        ).select(
-            "term",
-            "doc_id",
-            "doclen",
-            F.lit(1).cast("int").alias("tf"),
-            F.array().cast("array<int>").alias("positions"),
         )
-        rows = rows.unionByName(fielded)
-    return rows
+        occ = occ.unionByName(fielded)
+    return occ
 
 
 _BLOCK_COLS = [
-    "term",
+    "term_id",
     "salt",
     "block_id",
     "n_docs",
@@ -155,127 +168,191 @@ _BLOCK_COLS = [
 ]
 
 
-def _encode_sorted_pdf(pdf: pd.DataFrame, block_size: int) -> pd.DataFrame:
-    """Encode a pandas frame already sorted by (term, salt, doc_id) into
-    block rows.  Group boundaries found vectorized; per-termlist work is
-    numpy slicing + the varint codec — no pandas groupby machinery (that
-    cost ~15ms/group × millions of terms at scale)."""
-    n = len(pdf)
-    terms = pdf["term"].to_numpy()
-    salts = pdf["salt"].to_numpy()
-    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-    tfs = pdf["tf"].to_numpy(dtype=np.int64)
-    doclens = pdf["doclen"].to_numpy(dtype=np.int64)
-    positions = pdf["positions"].to_numpy()
-    pos_lens = np.fromiter((len(p) for p in positions), dtype=np.int64, count=n)
-    # group starts where (term, salt) changes
-    change = np.empty(n, dtype=bool)
+def _encode_sorted_occurrences(
+    term_ids: np.ndarray,
+    salts: np.ndarray,
+    doc_ids: np.ndarray,
+    doclens: np.ndarray,
+    poss: np.ndarray,
+    block_size: int,
+) -> pa.RecordBatch:
+    """Encode occurrence rows sorted by (term_id, salt, doc_id, pos) into
+    termlist blocks — ONE numpy pass, primitives only.
+
+    The kernel itself performs the A1 aggregation (tf + position lists via
+    segmented reduction over the sorted stream), so the JVM never builds
+    array/string columns for the Arrow boundary (those converted at ~15k
+    rows/s on this VM and dominated the build).  All varint streams are
+    encoded globally with per-value byte lengths; per-block output is
+    assembled zero-copy as Arrow binary columns from offset vectors.
+    """
+    n = len(term_ids)
+
+    # ---- segment occurrences -> (term,salt,doc) posting rows (A1) ----
+    dchange = np.empty(n, dtype=bool)
+    dchange[0] = True
+    np.not_equal(term_ids[1:], term_ids[:-1], out=dchange[1:])
+    dchange[1:] |= salts[1:] != salts[:-1]
+    dchange[1:] |= doc_ids[1:] != doc_ids[:-1]
+    dstarts = np.flatnonzero(dchange)
+    occ_bound = np.append(dstarts, n)  # per-doc occurrence ranges
+    tf = np.diff(occ_bound)
+    d_term = term_ids[dstarts]
+    d_salt = salts[dstarts]
+    d_doc = doc_ids[dstarts]
+    d_dl = doclens[dstarts]
+    nd = len(dstarts)
+
+    # ---- block boundaries: new (term,salt) group, or block_size docs ----
+    change = np.empty(nd, dtype=bool)
     change[0] = True
-    np.not_equal(terms[1:], terms[:-1], out=change[1:])
-    change[1:] |= salts[1:] != salts[:-1]
+    np.not_equal(d_term[1:], d_term[:-1], out=change[1:])
+    change[1:] |= d_salt[1:] != d_salt[:-1]
     group_starts = np.flatnonzero(change)
-    group_ends = np.empty_like(group_starts)
-    group_ends[:-1] = group_starts[1:]
-    group_ends[-1] = n
-    out: list[tuple] = []
-    for gs, ge in zip(group_starts.tolist(), group_ends.tolist()):
-        term = terms[gs]
-        salt = int(salts[gs])
-        for bid, start in enumerate(range(gs, ge, block_size)):
-            end = min(start + block_size, ge)
-            d = doc_ids[start:end]
-            t = tfs[start:end]
-            dl = doclens[start:end]
-            lens = pos_lens[start:end]
-            if lens.any():
-                pos_concat = np.concatenate(
-                    [np.asarray(p, dtype=np.int64) for p in positions[start:end]]
-                )
-            else:
-                pos_concat = np.empty(0, dtype=np.int64)
-            bounds = np.zeros(end - start, dtype=np.int64)
-            np.cumsum(lens[:-1], out=bounds[1:])
-            d_enc, t_enc, p_enc = codec.encode_postings_block(d, t, pos_concat, bounds)
-            dl_enc = codec.encode_varint(dl)
-            # block-max WAND metadata (§4.1 getMaxPossibleScore analog):
-            # impact(tf,dl) is monotone up in tf / down in dl, so the
-            # query-time bound idf*impact(max_tf, min_doclen) dominates
-            # every doc in the block.
-            out.append(
-                (
-                    term,
-                    salt,
-                    bid,
-                    end - start,
-                    int(d[0]),
-                    int(d[-1]),
-                    int(t.max()),
-                    int(dl.min()),
-                    d_enc,
-                    t_enc,
-                    dl_enc,
-                    p_enc,
-                )
-            )
-    return pd.DataFrame(out, columns=_BLOCK_COLS)
+    group_sizes = np.diff(np.append(group_starts, nd))
+    within = np.arange(nd) - np.repeat(group_starts, group_sizes)
+    block_mask = change | (within % block_size == 0)
+    bstarts = np.flatnonzero(block_mask)
+    bends = np.append(bstarts[1:], nd)
+    block_id = (within[bstarts] // block_size).astype(np.int64)
+
+    # ---- doc ids: shifted-uint64 deltas, reset to absolute per block ----
+    u = d_doc.astype(np.uint64) + np.uint64(1 << 63)
+    ddelta = np.empty(nd, dtype=np.uint64)
+    ddelta[0] = u[0]
+    np.subtract(u[1:], u[:-1], out=ddelta[1:])
+    ddelta[bstarts] = u[bstarts]
+    doc_bytes, doc_nb = codec.encode_varint_with_lengths(ddelta)
+    doc_off = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(doc_nb, out=doc_off[1:])
+
+    tf_bytes, tf_nb = codec.encode_varint_with_lengths(tf.astype(np.uint64))
+    tf_off = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(tf_nb, out=tf_off[1:])
+
+    dl_bytes, dl_nb = codec.encode_varint_with_lengths(d_dl.astype(np.uint64))
+    dl_off = np.zeros(nd + 1, dtype=np.int64)
+    np.cumsum(dl_nb, out=dl_off[1:])
+
+    # ---- positions: the occurrence 'pos' stream itself, delta-coded with
+    # a reset to absolute at each doc's first occurrence ----
+    flat = poss.astype(np.int64)
+    pdelta = np.empty(n, dtype=np.int64)
+    if n:
+        pdelta[0] = flat[0]
+        np.subtract(flat[1:], flat[:-1], out=pdelta[1:])
+        pdelta[dstarts] = flat[dstarts]
+    pos_bytes, pos_nb = codec.encode_varint_with_lengths(pdelta.astype(np.uint64))
+    pos_boff = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(pos_nb, out=pos_boff[1:])
+    pos_doc_off = pos_boff[occ_bound]  # nd+1: byte offset at each doc start
+
+    # ---- per-block metadata + WAND bounds (§4.1 getMaxPossibleScore):
+    # impact(tf,dl) is monotone up in tf / down in dl, so the query-time
+    # bound idf*impact(max_tf, min_doclen) dominates every doc in a block.
+    max_tf = np.maximum.reduceat(tf, bstarts)
+    min_dl = np.minimum.reduceat(d_dl, bstarts)
+    n_docs = (bends - bstarts).astype(np.int64)
+
+    # ---- zero-copy Arrow binary columns from global streams ----
+    def bin_col(stream: np.ndarray, value_off: np.ndarray) -> pa.Array:
+        offs = np.empty(len(bstarts) + 1, dtype=np.int32)
+        offs[:-1] = value_off[bstarts]
+        offs[-1] = value_off[bends[-1]] if len(bends) else 0
+        return pa.BinaryArray.from_buffers(
+            pa.binary(),
+            len(bstarts),
+            [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(stream.tobytes())],
+        )
+
+    return pa.RecordBatch.from_arrays(
+        [
+            pa.array(d_term[bstarts]),
+            pa.array(d_salt[bstarts].astype(np.int32)),
+            pa.array(block_id.astype(np.int32)),
+            pa.array(n_docs.astype(np.int32)),
+            pa.array(d_doc[bstarts]),
+            pa.array(d_doc[bends - 1]),
+            pa.array(max_tf.astype(np.int32)),
+            pa.array(min_dl.astype(np.int32)),
+            bin_col(doc_bytes, doc_off),
+            bin_col(tf_bytes, tf_off),
+            bin_col(dl_bytes, dl_off),
+            bin_col(pos_bytes, pos_doc_off),
+        ],
+        names=_BLOCK_COLS,
+    )
 
 
 def encode_blocks(
-    rows: DataFrame,
+    occ: DataFrame,
     salt_target: int = 50_000,
     block_size: int = 4096,
 ) -> DataFrame:
     """Salted repartition + sorted varint-block encode (S4/T5/X10).
 
-    Physical shape: ONE shuffle keyed by (term, salt) with a partition-local
-    sort, then a streaming Arrow mapInPandas encode.  A straddle buffer
-    carries the last (possibly incomplete) termlist across Arrow batches so
-    batch boundaries never split a block — this is the RdbDump 'write one
-    sorted run' loop, vectorized.
+    Input: occurrence rows (term_id, doc_id, doclen, pos) — primitives
+    only.  Physical shape: ONE shuffle keyed by (term_id, salt) with a
+    partition-local sort, then a streaming Arrow encode whose kernel also
+    performs the (term,doc) aggregation.  A straddle buffer carries the
+    trailing (term,salt) run across Arrow batches so batch boundaries
+    never split a termlist — the RdbDump 'write one sorted run' loop,
+    vectorized.
 
-    Salting: a term whose df exceeds ``salt_target`` is split into
-    ceil(df/salt_target) doc-hash sub-lists, so the zipf head cannot pin a
-    single task (north-rule explicit skew handling).  The df join rides the
-    same hash key as the repartition.
+    Salting: a term whose occurrence count exceeds ``salt_target`` splits
+    into ceil(cf/salt_target) doc-hash sub-lists, so the zipf head cannot
+    pin a single task (north-rule explicit skew handling).  The stats join
+    rides the same hash key as the repartition.
     """
-    tdf = rows.groupBy("term").agg(F.count("*").alias("df_local"))
+    toc = occ.groupBy("term_id").agg(F.count("*").alias("cf_local"))
     salted = (
-        rows.join(tdf, "term")
+        occ.join(toc, "term_id")
         .withColumn(
             "n_salts",
-            F.greatest(F.ceil(F.col("df_local") / F.lit(salt_target)), F.lit(1)).cast("int"),
+            F.greatest(F.ceil(F.col("cf_local") / F.lit(salt_target)), F.lit(1)).cast("int"),
         )
         .withColumn("salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int"))
-        .select("term", "salt", "doc_id", "tf", "doclen", "positions")
+        .select("term_id", "salt", "doc_id", "doclen", "pos")
     )
-    part = salted.repartition("term", "salt").sortWithinPartitions(
-        "term", "salt", "doc_id"
+    part = salted.repartition("term_id", "salt").sortWithinPartitions(
+        "term_id", "salt", "doc_id", "pos"
     )
+
+    def _extract(batch: pa.RecordBatch):
+        cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        return (
+            cols["term_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cols["salt"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cols["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cols["doclen"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cols["pos"].to_numpy(zero_copy_only=False).astype(np.int64),
+        )
 
     def encode_stream(batches):
-        carry: pd.DataFrame | None = None
-        for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
-                carry = None
-            if not len(pdf):
+        carry = None
+        for batch in batches:
+            if batch.num_rows == 0:
                 continue
-            # hold back the trailing (term, salt) group — it may continue
-            # in the next Arrow batch
-            last_term = pdf["term"].iloc[-1]
-            last_salt = pdf["salt"].iloc[-1]
-            tail_mask = (pdf["term"] == last_term) & (pdf["salt"] == last_salt)
-            # tail is contiguous at the end for sorted input
-            tail_start = len(pdf) - int(tail_mask.iloc[::-1].cumprod().sum())
-            carry = pdf.iloc[tail_start:]
-            head = pdf.iloc[:tail_start]
-            if len(head):
-                yield _encode_sorted_pdf(head, block_size)
-        if carry is not None and len(carry):
-            yield _encode_sorted_pdf(carry, block_size)
+            arrs = _extract(batch)
+            if carry is not None:
+                arrs = tuple(np.concatenate([c, a]) for c, a in zip(carry, arrs))
+                carry = None
+            term_ids, salts = arrs[0], arrs[1]
+            n = len(term_ids)
+            # hold back the trailing (term_id, salt) run — it may continue
+            # in the next Arrow batch (runs are contiguous in sorted input)
+            same = (term_ids == term_ids[-1]) & (salts == salts[-1])
+            n_tail = int(same[::-1].cumprod().sum())
+            if n_tail == n:
+                carry = arrs
+                continue
+            split = n - n_tail
+            yield _encode_sorted_occurrences(*(a[:split] for a in arrs), block_size)
+            carry = tuple(a[split:] for a in arrs)
+        if carry is not None and len(carry[0]):
+            yield _encode_sorted_occurrences(*carry, block_size)
 
-    blocks = part.mapInPandas(encode_stream, BLOCK_SCHEMA)
-    return blocks.withColumn("term_id", F.xxhash64("term"))
+    return part.mapInArrow(encode_stream, BLOCK_SCHEMA)
 
 
 def build_index(
@@ -297,7 +374,7 @@ def build_index(
     run_id = run_id or uuid.uuid4().hex[:12]
     done = _completed_shards(spark, idx)
 
-    derived = derive_docs(docs, code_aware=code_aware).withColumn(
+    ids = derive_ids(docs).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
 
@@ -305,34 +382,48 @@ def build_index(
         if resume and (shard, n_shards) in done:
             continue
         t0 = time.time()
-        # persist the tokenized shard: it feeds docstats AND two posting
-        # branches; recomputing the tokenizer 3x would dominate the build.
-        # (The RdbTree memtable analog — one shard's worth, spills to disk.)
-        d = derived.filter(F.col("shard") == shard).persist(StorageLevel.MEMORY_AND_DISK)
+        # shard filter BEFORE the tokenizer UDF — each shard job tokenizes
+        # only its 1/n_shards of the corpus.  Persist the tokenized shard:
+        # it feeds docstats AND the posting branches (RdbTree memtable
+        # analog — one shard's worth, spills to disk).
+        d = tokenize_docs(
+            ids.filter(F.col("shard") == shard), code_aware=code_aware
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         docstats = d.select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256", "doclen"
         )
         ds_seg = idx.docstats.write_segment(docstats, label=f"shard{shard}")
-        rows = posting_rows(d, field_terms=field_terms).persist(StorageLevel.MEMORY_AND_DISK)
-        blocks = encode_blocks(rows, salt_target=salt_target, block_size=block_size)
+        occ_t = occurrence_rows(d, field_terms=field_terms)
+        # term dictionary: the ONLY place strings leave the tokenizer —
+        # a small distinct agg, written straight to parquet (no Arrow)
+        dict_df = occ_t.select(
+            F.xxhash64("term").alias("term_id"), "term"
+        ).distinct()
+        td_seg = idx.termdict.write_segment(dict_df, label=f"shard{shard}")
+        occ = occ_t.select(
+            F.xxhash64("term").alias("term_id"), "doc_id", "doclen", "pos"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # persist encoded blocks: repartitionByRange's boundary-sampling
+        # pass would otherwise run the whole encode twice
+        blocks = encode_blocks(
+            occ, salt_target=salt_target, block_size=block_size
+        ).persist(StorageLevel.MEMORY_AND_DISK)
         # range-partition + sort by term_id so query-time term lookups prune
         # to a handful of row groups (RdbMap sparse-index seek analog, S2)
         blocks_sorted = blocks.repartitionByRange("term_id").sortWithinPartitions(
             "term_id", "salt", "block_id"
         )
         po_seg = idx.postings.write_segment(blocks_sorted, label=f"shard{shard}")
-        ts_partial = (
-            spark.read.parquet(po_seg)
-            .groupBy("term_id", "term")
-            .agg(
-                F.sum("n_docs").alias("df"),
-                F.count("*").alias("n_blocks"),
-            )
+        ts_partial = blocks.groupBy("term_id").agg(
+            F.sum("n_docs").alias("df"),
+            F.count("*").alias("n_blocks"),
         )
         tsp_seg = idx.termstats_partial.write_segment(ts_partial, label=f"shard{shard}")
-        rows.unpersist()
+        blocks.unpersist()
+        occ.unpersist()
         d.unpersist()
         idx.docstats.commit(add=[ds_seg], meta={"shard": shard, "run_id": run_id})
+        idx.termdict.commit(add=[td_seg], meta={"shard": shard})
         idx.postings.commit(add=[po_seg], meta={"shard": shard, "run_id": run_id})
         idx.termstats_partial.commit(add=[tsp_seg], meta={"shard": shard})
         _checkpoint(spark, idx, run_id, shard, n_shards, time.time() - t0)
@@ -346,8 +437,11 @@ def build_index(
 def finalize_stats(spark: SparkSession, idx: Index, run_id: str) -> None:
     """Global termstats/collstats from per-shard partials (A2/A3/A5)."""
     partials = idx.termstats_partial.read(spark)
-    termstats = partials.groupBy("term_id", "term").agg(
-        F.sum("df").alias("df"), F.sum("n_blocks").alias("n_blocks")
+    tdict = idx.termdict.read(spark).select("term_id", "term").distinct()
+    termstats = (
+        partials.groupBy("term_id")
+        .agg(F.sum("df").alias("df"), F.sum("n_blocks").alias("n_blocks"))
+        .join(tdict, "term_id")
     )
     ts_seg = idx.termstats.write_segment(termstats, label="final")
     # replace any previous final snapshot
@@ -370,6 +464,24 @@ def finalize_stats(spark: SparkSession, idx: Index, run_id: str) -> None:
     )
 
 
+def _write_tiny_segment(table, pdf: pd.DataFrame, label: str) -> str:
+    """Driver-side parquet write for operational rows (checkpoints,
+    metrics, lineage): a handful of rows the driver already holds — a
+    Spark job per write cost seconds of pure scheduling overhead."""
+    import pyarrow.parquet as pq
+
+    path = table.new_segment_path(label)
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(
+        pa.Table.from_pandas(pdf),
+        os.path.join(path, "part-0.parquet"),
+        # Spark cannot read TIMESTAMP(NANOS) parquet
+        coerce_timestamps="us",
+        allow_truncated_timestamps=True,
+    )
+    return path
+
+
 def _completed_shards(spark: SparkSession, idx: Index) -> set[tuple[int, int]]:
     df = idx.checkpoints.read(spark)
     if df is None:
@@ -383,20 +495,29 @@ def _checkpoint(
 ) -> None:
     # rows_out carries n_shards so a resume with a different shard count
     # never wrongly skips (lineage of the partitioning itself).
-    ck = spark.createDataFrame(
-        [(run_id, "build_shard", shard, "done", n_shards)],
-        "run_id string, stage string, partition_id int, status string, rows_out long",
-    ).withColumn("ts", F.current_timestamp())
-    seg = idx.checkpoints.write_segment(ck, label=f"ck{shard}")
+    now = pd.Timestamp.utcnow().tz_localize(None)
+    ck = pd.DataFrame(
+        {
+            "run_id": [run_id],
+            "stage": ["build_shard"],
+            "partition_id": np.array([shard], dtype=np.int32),
+            "status": ["done"],
+            "rows_out": np.array([n_shards], dtype=np.int64),
+            "ts": [now],
+        }
+    )
+    seg = _write_tiny_segment(idx.checkpoints, ck, f"ck{shard}")
     idx.checkpoints.commit(add=[seg], meta={"run_id": run_id})
-    mt = spark.createDataFrame(
-        [
-            (run_id, "build_shard", "wall_secs", float(secs)),
-            (run_id, "build_shard", "shard", float(shard)),
-        ],
-        "run_id string, stage string, metric string, value double",
-    ).withColumn("ts", F.current_timestamp())
-    mseg = idx.metrics.write_segment(mt, label=f"m{shard}")
+    mt = pd.DataFrame(
+        {
+            "run_id": [run_id] * 2,
+            "stage": ["build_shard"] * 2,
+            "metric": ["wall_secs", "shard"],
+            "value": [float(secs), float(shard)],
+            "ts": [now] * 2,
+        }
+    )
+    mseg = _write_tiny_segment(idx.metrics, mt, f"m{shard}")
     idx.metrics.commit(add=[mseg])
 
 

@@ -14,11 +14,11 @@ from pyspark.sql import functions as F
 from ..functions.hashing import term_id_col
 
 
-def termstats_from_postings(postings_rows: DataFrame) -> DataFrame:
-    """df/cf per term from (term, doc_id, tf) rows.  A2."""
-    return postings_rows.groupBy("term").agg(
-        F.count("*").alias("df"),  # one row per (term,doc) => count == distinct docs
-        F.sum("tf").alias("cf"),
+def termstats_from_occurrences(occ: DataFrame) -> DataFrame:
+    """df/cf per term from occurrence rows (term, doc_id, ...).  A2."""
+    return occ.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df"),
+        F.count("*").alias("cf"),
     ).withColumn("term_id", term_id_col(F.col("term")))
 
 

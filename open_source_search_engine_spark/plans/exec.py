@@ -58,8 +58,7 @@ def search(
     if not plan.groups:
         raise ValueError("query has no positive terms")
 
-    coll = index.collstats.read(spark).collect()[0]
-    n_docs, avgdl = float(coll["n_docs"]), float(coll["avgdl"])
+    n_docs, avgdl = _collstats_cached(spark, index)
 
     # term table: slot id per AND-group, member terms OR'd within a slot.
     # Phrase members are expanded to ordinary AND slots + a positional
@@ -84,13 +83,7 @@ def search(
     neg_terms = [t.text for t in plan.negatives]
 
     all_terms = sorted({r[0] for r in member_rows} | set(neg_terms))
-    ts = (
-        index.termstats.read(spark)
-        .filter(F.col("term").isin(all_terms))
-        .select("term", "term_id", "df")
-        .collect()
-    )
-    df_by_term = {r["term"]: (int(r["term_id"]), int(r["df"])) for r in ts}
+    df_by_term = _termstats_cached(spark, index, all_terms)
 
     present_members = [r for r in member_rows if r[0] in df_by_term]
     # any required (non-OR-group) term absent from the corpus => empty result.
@@ -169,6 +162,43 @@ def _py_idf(df_: int, n_docs: float) -> float:
     import math
 
     return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
+
+# -- per-snapshot driver-side stat caches (Msg2's termlist-cache analog):
+# collection stats and per-term (term_id, df) are tiny and immutable per
+# snapshot version; re-collecting them cost a Spark job per query.
+_COLL_CACHE: dict[tuple[str, int], tuple[float, float]] = {}
+_TERM_CACHE: dict[tuple[str, int], dict[str, tuple[int, int]]] = {}
+
+
+def _collstats_cached(spark: SparkSession, index: Index) -> tuple[float, float]:
+    snap = index.collstats.latest()
+    key = (index.root, snap.version if snap else -1)
+    if key not in _COLL_CACHE:
+        row = index.collstats.read(spark).collect()[0]
+        _COLL_CACHE[key] = (float(row["n_docs"]), float(row["avgdl"]))
+    return _COLL_CACHE[key]
+
+
+def _termstats_cached(
+    spark: SparkSession, index: Index, terms: list[str]
+) -> dict[str, tuple[int, int]]:
+    snap = index.termstats.latest()
+    key = (index.root, snap.version if snap else -1)
+    cache = _TERM_CACHE.setdefault(key, {})
+    missing = [t for t in terms if t not in cache]
+    if missing:
+        rows = (
+            index.termstats.read(spark)
+            .filter(F.col("term").isin(missing))
+            .select("term", "term_id", "df")
+            .collect()
+        )
+        for r in rows:
+            cache[r["term"]] = (int(r["term_id"]), int(r["df"]))
+        for t in missing:  # negative-cache absent terms
+            cache.setdefault(t, (0, 0))
+    return {t: cache[t] for t in terms if cache.get(t, (0, 0))[1] > 0}
 
 
 def _apply_phrase_filter(cand: DataFrame, phrase_specs: list[tuple[int, int]]) -> DataFrame:

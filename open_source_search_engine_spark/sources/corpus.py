@@ -54,10 +54,24 @@ NEEDLES = {
 }
 
 
+_VOCAB_CACHE: list[str] | None = None
+
+
+def _vocab() -> list[str]:
+    """Full 50k-word deterministic vocabulary, computed once per process
+    (sha1 per token during generation dominated synth time before)."""
+    global _VOCAB_CACHE
+    if _VOCAB_CACHE is None:
+        _VOCAB_CACHE = [
+            f"id{i}x{hashlib.sha1(f'vocab:{SEED}:{i}'.encode()).hexdigest()[:4]}"
+            for i in range(VOCAB_SIZE)
+        ]
+    return _VOCAB_CACHE
+
+
 def _vocab_word(idx: int) -> str:
     """Deterministic identifier for vocab slot ``idx`` (0 is most frequent)."""
-    h = hashlib.sha1(f"vocab:{SEED}:{idx}".encode()).hexdigest()[:8]
-    return f"id{idx}x{h[:4]}"
+    return _vocab()[idx]
 
 
 # Precomputed zipf CDF over vocab ranks (module-level: pickled once into the
@@ -77,8 +91,9 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
         lang = LANGS[int(np.searchsorted(_LANG_CDF, rng.random()))]
         n_tokens = int(30 + rng.random() ** 2 * 2970)  # 30..3000, short-skewed
         # identifiers: zipf draw via inverse-CDF (vectorized)
+        vocab = _vocab()
         draws = np.searchsorted(_ZIPF_CDF, rng.random(n_tokens))
-        words = [_vocab_word(int(d)) for d in draws]
+        words = [vocab[d] for d in draws.tolist()]
         # interleave language keywords every ~6 tokens
         kws = LANG_KEYWORDS[lang]
         for j in range(0, n_tokens, 6):
