@@ -10,12 +10,26 @@ wordHash) does: ``xxhash64("lang:py")`` (SURVEY §2.2 F4).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import functions as F
 from pyspark.sql.column import Column
 
 
+def term_hash_py(token: str) -> int:
+    """48-bit-termId analog, computed Python-side: signed-int64 blake2b.
+
+    The index build hashes terms inside the tokenizer kernel (so only
+    primitives cross the Arrow boundary) and the query driver hashes its
+    handful of query terms the same way — the two sides only ever need to
+    agree with EACH OTHER, never with the JVM."""
+    v = int.from_bytes(hashlib.blake2b(token.encode(), digest_size=8).digest(), "little")
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def term_id_col(term: Column) -> Column:
-    """48-bit-termId analog: xxhash64 of the (already lowercased) token."""
+    """JVM-side term id for column pipelines that never meet the stored
+    index (ad-hoc oracle queries etc.)."""
     return F.xxhash64(term)
 
 

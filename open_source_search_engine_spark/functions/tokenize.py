@@ -71,6 +71,100 @@ def tokens_col(colname: str) -> Column:
     return F.regexp_extract_all(F.lower(F.col(colname)), F.lit(SIMPLE_TOKEN_RE), F.lit(0))
 
 
+def tokenize_to_occurrences(
+    docs, code_aware: bool = True, field_terms: bool = True
+):
+    """documents(+doc_id) -> occurrence rows via ONE mapInArrow pass:
+    (term_id, doc_id, doclen, pos, term) where ``term`` (the string) is
+    non-null only on its first occurrence per partition — the term
+    dictionary falls out as ``filter(term is not null).distinct()`` while
+    the hot columns stay fixed-width primitives end to end.
+
+    term_id = blake2b64(token) computed in-kernel with a per-partition
+    memo (zipf head hits the memo almost always); the query driver hashes
+    its few terms the same way (functions.hashing.term_hash_py).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .hashing import term_hash_py
+
+    def kernel(batches):
+        memo: dict[str, int] = {}
+
+        def hash_term(tok: str, firsts: list, out: list) -> None:
+            h = memo.get(tok)
+            if h is None:
+                h = term_hash_py(tok)
+                memo[tok] = h
+                firsts.append((len(out), tok))
+            out.append(h)
+
+        for batch in batches:
+            cols = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            contents = cols["content"].to_pylist()
+            doc_ids = cols["doc_id"].to_numpy(zero_copy_only=False)
+            langs = cols["lang"].to_pylist() if field_terms else None
+            repos = cols["repo"].to_pylist() if field_terms else None
+            paths = cols["path"].to_pylist() if field_terms else None
+            hashes: list[int] = []
+            firsts: list[tuple[int, str]] = []
+            out_doc: list[np.ndarray] = []
+            out_pos: list[np.ndarray] = []
+            out_dl: list[np.ndarray] = []
+            for i, content in enumerate(contents):
+                toks = _tokenize_one(content or "", code_aware)
+                doclen = len(toks)
+                start = len(hashes)
+                for t in toks:
+                    hash_term(t, firsts, hashes)
+                if field_terms:
+                    ft = {f"lang:{(langs[i] or '').lower()}", f"repo:{(repos[i] or '').lower()}"}
+                    for ptok in _WORD_RE.findall((paths[i] or "").lower()):
+                        ft.add(f"path:{ptok}")
+                    for t in sorted(ft):
+                        hash_term(t, firsts, hashes)
+                total = len(hashes) - start
+                out_doc.append(np.full(total, doc_ids[i], dtype=np.int64))
+                dl = np.full(total, doclen, dtype=np.int32)
+                out_dl.append(dl)
+                p = np.zeros(total, dtype=np.int32)
+                p[:doclen] = np.arange(doclen, dtype=np.int32)
+                out_pos.append(p)
+            n = len(hashes)
+            term_strs = pa.nulls(n, type=pa.string())
+            if firsts:
+                idxs = np.array([f[0] for f in firsts], dtype=np.int64)
+                vals = [f[1] for f in firsts]
+                mask = np.zeros(n, dtype=bool)
+                mask[idxs] = True
+                # build sparse string column: null except first occurrences
+                arr = np.empty(n, dtype=object)
+                arr[idxs] = vals
+                term_strs = pa.array(arr, type=pa.string(), from_pandas=True)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.asarray(hashes, dtype=np.int64)),
+                    pa.array(
+                        np.concatenate(out_doc) if out_doc else np.empty(0, np.int64)
+                    ),
+                    pa.array(
+                        np.concatenate(out_dl) if out_dl else np.empty(0, np.int32)
+                    ),
+                    pa.array(
+                        np.concatenate(out_pos) if out_pos else np.empty(0, np.int32)
+                    ),
+                    term_strs,
+                ],
+                names=["term_id", "doc_id", "doclen", "pos", "term"],
+            )
+
+    cols = ["content", "doc_id"] + (["lang", "repo", "path"] if field_terms else [])
+    return docs.select(*cols).mapInArrow(
+        kernel, "term_id long, doc_id long, doclen int, pos int, term string"
+    )
+
+
 def bigrams_col(tokens: Column) -> Column:
     """Adjacent-pair bigram terms (Phrases.cpp analog, X3): built-ins only —
     zip the token array with itself shifted by one."""

@@ -42,15 +42,19 @@ from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..functions.hashing import content_sha256, doc_id_col
-from ..functions.tokenize import tokenize_code, tokenize_simple
+from ..functions.tokenize import (
+    tokenize_code,
+    tokenize_simple,
+    tokenize_to_occurrences,
+)
 from ..sources.tables import SnapshotTable
 
 K1 = 1.2
 B = 0.75
 
 BLOCK_SCHEMA = (
-    "term_id long, salt int, block_id int, n_docs int, min_doc_id long, max_doc_id long, "
-    "max_tf int, min_doclen int, doc_ids_enc binary, tfs_enc binary, "
+    "term_id long, salt int, n_salts int, block_id int, n_docs int, min_doc_id long, "
+    "max_doc_id long, max_tf int, min_doclen int, doc_ids_enc binary, tfs_enc binary, "
     "doclens_enc binary, positions_enc binary"
 )
 
@@ -155,6 +159,7 @@ def occurrence_rows(derived: DataFrame, field_terms: bool = True) -> DataFrame:
 _BLOCK_COLS = [
     "term_id",
     "salt",
+    "n_salts",
     "block_id",
     "n_docs",
     "min_doc_id",
@@ -171,6 +176,7 @@ _BLOCK_COLS = [
 def _encode_sorted_occurrences(
     term_ids: np.ndarray,
     salts: np.ndarray,
+    n_salts_arr: np.ndarray,
     doc_ids: np.ndarray,
     doclens: np.ndarray,
     poss: np.ndarray,
@@ -269,6 +275,7 @@ def _encode_sorted_occurrences(
         [
             pa.array(d_term[bstarts]),
             pa.array(d_salt[bstarts].astype(np.int32)),
+            pa.array(n_salts_arr[dstarts][bstarts].astype(np.int32)),
             pa.array(block_id.astype(np.int32)),
             pa.array(n_docs.astype(np.int32)),
             pa.array(d_doc[bstarts]),
@@ -312,7 +319,7 @@ def encode_blocks(
             F.greatest(F.ceil(F.col("cf_local") / F.lit(salt_target)), F.lit(1)).cast("int"),
         )
         .withColumn("salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int"))
-        .select("term_id", "salt", "doc_id", "doclen", "pos")
+        .select("term_id", "salt", "n_salts", "doc_id", "doclen", "pos")
     )
     part = salted.repartition("term_id", "salt").sortWithinPartitions(
         "term_id", "salt", "doc_id", "pos"
@@ -323,6 +330,7 @@ def encode_blocks(
         return (
             cols["term_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["salt"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cols["n_salts"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["doclen"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["pos"].to_numpy(zero_copy_only=False).astype(np.int64),
@@ -382,46 +390,50 @@ def build_index(
         if resume and (shard, n_shards) in done:
             continue
         t0 = time.time()
-        # shard filter BEFORE the tokenizer UDF — each shard job tokenizes
-        # only its 1/n_shards of the corpus.  Persist the tokenized shard:
-        # it feeds docstats AND the posting branches (RdbTree memtable
-        # analog — one shard's worth, spills to disk).
-        d = tokenize_docs(
-            ids.filter(F.col("shard") == shard), code_aware=code_aware
+        # shard filter BEFORE the tokenizer kernel — each shard job
+        # tokenizes only its 1/n_shards of the corpus.  The kernel emits
+        # occurrence primitives directly (term hashed in-kernel; term
+        # string non-null only on first occurrence per partition), so no
+        # array/string column ever crosses Arrow on the hot path.  Persist
+        # = the RdbTree memtable analog, one shard's worth, spills to disk.
+        d = ids.filter(F.col("shard") == shard)
+        occ_full = tokenize_to_occurrences(
+            d, code_aware=code_aware, field_terms=field_terms
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        docstats = d.select(
-            "doc_id", "repo", "path", "commit", "lang", "content_sha256", "doclen"
+        dict_df = (
+            occ_full.filter(F.col("term").isNotNull())
+            .select("term_id", "term")
+            .distinct()
         )
+        td_seg = idx.termdict.write_segment(dict_df.coalesce(4), label=f"shard{shard}")
+        doclens = occ_full.select("doc_id", "doclen").distinct()
+        docstats = d.select(
+            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+        ).join(doclens, "doc_id")
         ds_seg = idx.docstats.write_segment(docstats, label=f"shard{shard}")
-        occ_t = occurrence_rows(d, field_terms=field_terms)
-        # term dictionary: the ONLY place strings leave the tokenizer —
-        # a small distinct agg, written straight to parquet (no Arrow)
-        dict_df = occ_t.select(
-            F.xxhash64("term").alias("term_id"), "term"
-        ).distinct()
-        td_seg = idx.termdict.write_segment(dict_df, label=f"shard{shard}")
-        occ = occ_t.select(
-            F.xxhash64("term").alias("term_id"), "doc_id", "doclen", "pos"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        occ = occ_full.select("term_id", "doc_id", "doclen", "pos")
         # persist encoded blocks: repartitionByRange's boundary-sampling
         # pass would otherwise run the whole encode twice
         blocks = encode_blocks(
             occ, salt_target=salt_target, block_size=block_size
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # range-partition + sort by term_id so query-time term lookups prune
-        # to a handful of row groups (RdbMap sparse-index seek analog, S2)
-        blocks_sorted = blocks.repartitionByRange("term_id").sortWithinPartitions(
-            "term_id", "salt", "block_id"
+        # to a handful of row groups (RdbMap sparse-index seek analog, S2).
+        # The shard column marks the doc-partition each block belongs to —
+        # WAND runs one task per shard over doc-disjoint lists (Msg39).
+        blocks_sorted = (
+            blocks.withColumn("shard", F.lit(shard))
+            .repartitionByRange("term_id")
+            .sortWithinPartitions("term_id", "salt", "block_id")
         )
         po_seg = idx.postings.write_segment(blocks_sorted, label=f"shard{shard}")
         ts_partial = blocks.groupBy("term_id").agg(
             F.sum("n_docs").alias("df"),
             F.count("*").alias("n_blocks"),
         )
-        tsp_seg = idx.termstats_partial.write_segment(ts_partial, label=f"shard{shard}")
+        tsp_seg = idx.termstats_partial.write_segment(ts_partial.coalesce(4), label=f"shard{shard}")
         blocks.unpersist()
-        occ.unpersist()
-        d.unpersist()
+        occ_full.unpersist()
         idx.docstats.commit(add=[ds_seg], meta={"shard": shard, "run_id": run_id})
         idx.termdict.commit(add=[td_seg], meta={"shard": shard})
         idx.postings.commit(add=[po_seg], meta={"shard": shard, "run_id": run_id})
@@ -443,7 +455,9 @@ def finalize_stats(spark: SparkSession, idx: Index, run_id: str) -> None:
         .agg(F.sum("df").alias("df"), F.sum("n_blocks").alias("n_blocks"))
         .join(tdict, "term_id")
     )
-    ts_seg = idx.termstats.write_segment(termstats, label="final")
+    # small stat tables coalesce to few files: cold-query latency is
+    # dominated by per-file open cost on this VM
+    ts_seg = idx.termstats.write_segment(termstats.coalesce(4), label="final")
     # replace any previous final snapshot
     prev = idx.termstats.latest()
     idx.termstats.commit(
@@ -457,7 +471,7 @@ def finalize_stats(spark: SparkSession, idx: Index, run_id: str) -> None:
         F.count("*").alias("n_docs"),
         F.avg("doclen").alias("avgdl"),
     )
-    cs_seg = idx.collstats.write_segment(coll, label="final")
+    cs_seg = idx.collstats.write_segment(coll.coalesce(1), label="final")
     prev = idx.collstats.latest()
     idx.collstats.commit(
         add=[cs_seg], remove=(prev.segments if prev else []), operation="replace"

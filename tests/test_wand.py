@@ -1,0 +1,106 @@
+"""M5: block-max WAND == exhaustive top-k (SURVEY.md §4.1, §7.5 property
+(c)), plus a kernel-level proof that the upper-bound prune actually skips
+block decodes."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from open_source_search_engine_spark.functions import codec
+from open_source_search_engine_spark.operators import topk as T
+from open_source_search_engine_spark.operators.build import build_index
+from open_source_search_engine_spark.operators.topk import search_wand
+from open_source_search_engine_spark.plans.exec import search
+from open_source_search_engine_spark.sources.corpus import synth_documents
+
+
+@pytest.fixture(scope="module")
+def wand_index(spark, tmp_path_factory):
+    docs = synth_documents(spark, 150, partitions=4)
+    root = str(tmp_path_factory.mktemp("wandidx"))
+    return build_index(
+        spark, docs, root, n_shards=2, block_size=16, salt_target=200
+    )
+
+
+QUERIES = [
+    "def",
+    "def return",
+    "binarysearchtree",
+    "def return lang:python",
+    "def -return",
+    "import class self",
+]
+
+
+@pytest.mark.parametrize("q", QUERIES)
+def test_wand_equals_exhaustive(spark, wand_index, q):
+    exh = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(spark, wand_index, q, k=7, enrich=False).collect()
+    ]
+    wnd = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_wand(spark, wand_index, q, k=7, enrich=False).collect()
+    ]
+    assert wnd == exh
+
+
+def test_wand_rejects_or_groups(spark, wand_index):
+    with pytest.raises(ValueError):
+        search_wand(spark, wand_index, "a OR b")
+
+
+def _mk_block(term_id, salt, n_salts, bid, doc_ids, tfs, doclens):
+    doc_ids = np.sort(np.asarray(doc_ids, dtype=np.int64))
+    d_enc = codec.encode_varint(codec.delta_encode(doc_ids))
+    t_enc = codec.encode_varint(np.asarray(tfs, dtype=np.uint64))
+    l_enc = codec.encode_varint(np.asarray(doclens, dtype=np.uint64))
+    return (
+        term_id, salt, n_salts, bid, len(doc_ids), int(doc_ids[0]),
+        int(doc_ids[-1]), int(max(tfs)), int(min(doclens)),
+        d_enc, t_enc, l_enc, b"",
+    )
+
+
+def test_kernel_prunes_blocks():
+    """Hand-built single-term shard: one high-impact block and many
+    low-impact blocks.  After the heap fills from the best block, every
+    low-bound block must be skipped WITHOUT decoding."""
+    rows = []
+    # best block: tf=50, short docs -> huge impact
+    rows.append(_mk_block(7, 0, 1, 0, [10, 20, 30], [50, 50, 50], [10, 10, 10]))
+    # 20 hopeless blocks: tf=1, long docs
+    for b in range(1, 21):
+        rows.append(
+            _mk_block(7, 0, 1, b, [1000 * b + i for i in range(4)], [1] * 4, [5000] * 4)
+        )
+    cols = list(zip(*rows))
+    names = [
+        "term_id", "salt", "n_salts", "block_id", "n_docs", "min_doc_id",
+        "max_doc_id", "max_tf", "min_doclen", "doc_ids_enc", "tfs_enc",
+        "doclens_enc", "positions_enc",
+    ]
+    tbl = pa.Table.from_arrays(
+        [pa.array(list(c)) for c in cols], names=names
+    )
+    qmeta = {"idf": {7: 1.0}, "rarest": 7, "avgdl": 100.0, "neg_ids": []}
+    out = T._wand_kernel(tbl, qmeta, k=3)
+    assert out.num_rows == 3
+    assert set(out.column("doc_id").to_pylist()) == {10, 20, 30}
+    assert out.column("blocks_skipped")[0].as_py() == 20
+    assert out.column("blocks_scored")[0].as_py() == 1
+
+
+def test_kernel_bound_is_safe():
+    """The block bound must dominate every doc: random blocks, verify
+    idf*impact(max_tf, min_dl) >= every true doc impact."""
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        tfs = rng.integers(1, 40, size=16)
+        dls = rng.integers(10, 4000, size=16)
+        bound = T._impact(float(tfs.max()), float(dls.min()), 500.0)
+        true = T._impact(tfs.astype(float), dls.astype(float), 500.0)
+        assert bound >= true.max() - 1e-12
