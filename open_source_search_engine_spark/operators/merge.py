@@ -1,0 +1,164 @@
+"""Segment compaction + tombstone maintenance (SURVEY.md §2.9 R3/R4, U4).
+
+Reference analog: RdbBase::attemptMerge k-way-merges sorted runs and
+annihilates delbit tombstone pairs; Msg5 resolves tree+files on the fly
+until then.  The Spark rebuild:
+
+- incremental adds append immutable segments (streaming/incremental.py);
+  deletes append doc_id tombstones to the ``deletes`` table (merge-on-read);
+- ``compact_postings`` rewrites all live segments into one
+  term_id-range-sorted segment, dropping tombstoned docs, then atomically
+  swaps the snapshot (and clears consumed tombstones) — the LSM merge.
+
+Updates never collide on doc_id: doc_id = hash(repo, path, commit), so a
+changed file arrives under a new commit => new doc_id, and the old
+doc_id is tombstoned (the reference's 'delete old TitleRec keys then add
+new' diff, XmlDoc::getMetaList).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import SnapshotTable
+from .build import Index, _write_tiny_segment, encode_blocks, finalize_stats
+
+
+def deletes_table(idx: Index) -> SnapshotTable:
+    return SnapshotTable(idx.root, "deletes")
+
+
+def delete_docs(spark: SparkSession, idx: Index, doc_ids: list[int]) -> None:
+    """Append tombstones (merge-on-read): queries exclude these doc_ids
+    until the next compaction physically drops them."""
+    pdf = pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64)})
+    t = deletes_table(idx)
+    seg = _write_tiny_segment(t, pdf, "del")
+    t.commit(add=[seg], meta={"n": len(doc_ids)})
+
+
+def deleted_doc_ids(spark: SparkSession, idx: Index) -> np.ndarray:
+    """Sorted live tombstones (small between compactions by design)."""
+    t = deletes_table(idx)
+    df = t.read(spark)
+    if df is None:
+        return np.empty(0, dtype=np.int64)
+    vals = np.array([r["doc_id"] for r in df.collect()], dtype=np.int64)
+    u = vals.astype(np.uint64) + np.uint64(1 << 63)
+    return vals[np.argsort(u)]
+
+
+def decode_to_occurrences(blocks: DataFrame) -> DataFrame:
+    """Stored blocks -> occurrence rows (term_id, doc_id, doclen, pos) —
+    the exact inverse of the encode kernel, primitives only, so a full
+    compaction round-trips through the same fast Arrow path."""
+    import pyarrow as pa
+
+    from ..functions import codec
+
+    cols = ["term_id", "n_docs", "doc_ids_enc", "tfs_enc", "doclens_enc", "positions_enc"]
+
+    def decode(batches):
+        for batch in batches:
+            c = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
+            outs_t, outs_d, outs_l, outs_p = [], [], [], []
+            for i in range(batch.num_rows):
+                nd = int(c["n_docs"][i].as_py())
+                d, tf, pos, bounds = codec.decode_postings_block(
+                    c["doc_ids_enc"][i].as_py(),
+                    c["tfs_enc"][i].as_py(),
+                    c["positions_enc"][i].as_py(),
+                    nd,
+                )
+                dl = codec.decode_varint(c["doclens_enc"][i].as_py(), nd)
+                outs_t.append(np.full(len(pos), c["term_id"][i].as_py(), dtype=np.int64))
+                outs_d.append(np.repeat(d, tf))
+                outs_l.append(np.repeat(dl, tf).astype(np.int32))
+                outs_p.append(pos.astype(np.int32))
+            if outs_t:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(outs_t)),
+                        pa.array(np.concatenate(outs_d)),
+                        pa.array(np.concatenate(outs_l)),
+                        pa.array(np.concatenate(outs_p)),
+                    ],
+                    names=["term_id", "doc_id", "doclen", "pos"],
+                )
+
+    return blocks.select(*cols).mapInArrow(
+        decode, "term_id long, doc_id long, doclen int, pos int"
+    )
+
+
+def compact_postings(
+    spark: SparkSession,
+    idx: Index,
+    salt_target: int = 50_000,
+    block_size: int = 4096,
+    run_id: str = "compact",
+) -> None:
+    """Rewrite all live postings segments into one merged, tombstone-free,
+    term_id-range-sorted segment and swap snapshots atomically (R3).
+
+    Docstats/termstats are rebuilt consistently; consumed tombstones are
+    cleared in the same logical operation (snapshot commits are per-table
+    but idempotent — a crash mid-way leaves a readable index either way).
+    """
+    from pyspark import StorageLevel
+
+    blocks_df = idx.postings.read(spark)
+    if blocks_df is None:
+        return
+    prev_snap = idx.postings.latest()
+    dead = deleted_doc_ids(spark, idx)
+    occ = decode_to_occurrences(blocks_df)
+    if len(dead):
+        dead_df = F.broadcast(
+            spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
+        )
+        occ = occ.join(dead_df, "doc_id", "left_anti")
+    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    merged = encode_blocks(occ, salt_target=salt_target, block_size=block_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # compacted index is one logical doc-partition for WAND (shard 0)
+    merged_sorted = (
+        merged.withColumn("shard", F.lit(0))
+        .repartitionByRange("term_id")
+        .sortWithinPartitions("term_id", "salt", "block_id")
+    )
+    seg = idx.postings.write_segment(merged_sorted, label="compacted")
+    ts_partial = merged.groupBy("term_id").agg(
+        F.sum("n_docs").alias("df"), F.count("*").alias("n_blocks")
+    )
+    tsp_seg = idx.termstats_partial.write_segment(ts_partial.coalesce(4), label="compacted")
+    merged.unpersist()
+    occ.unpersist()
+
+    idx.postings.commit(
+        add=[seg], remove=list(prev_snap.segments), operation="compact",
+        meta={"run_id": run_id, "tombstones_dropped": int(len(dead))},
+    )
+    prev_tsp = idx.termstats_partial.latest()
+    idx.termstats_partial.commit(
+        add=[tsp_seg], remove=list(prev_tsp.segments), operation="compact"
+    )
+    # docstats: physically drop tombstoned docs
+    if len(dead):
+        ds = idx.docstats.read(spark)
+        dead_df = F.broadcast(
+            spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
+        )
+        live = ds.join(dead_df, "doc_id", "left_anti")
+        ds_seg = idx.docstats.write_segment(live, label="compacted")
+        prev_ds = idx.docstats.latest()
+        idx.docstats.commit(add=[ds_seg], remove=list(prev_ds.segments), operation="compact")
+        dt = deletes_table(idx)
+        prev_del = dt.latest()
+        if prev_del and prev_del.segments:
+            dt.commit(remove=list(prev_del.segments), operation="clear")
+    finalize_stats(spark, idx, run_id)

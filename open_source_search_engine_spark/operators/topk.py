@@ -59,6 +59,7 @@ def _wand_kernel(
     rarest = qmeta["rarest"]  # term_id with min df
     avgdl = qmeta["avgdl"]
     neg_ids = qmeta.get("neg_ids", [])
+    dead = qmeta.get("dead", np.empty(0, dtype=np.int64))
     term_ids = blocks.column("term_id").to_numpy()
     salts = blocks.column("salt").to_numpy()
     n_salts_col = blocks.column("n_salts").to_numpy()
@@ -132,6 +133,11 @@ def _wand_kernel(
         cl = codec.decode_varint(l_enc[i].as_py(), int(n_docs_col[i]))
         score = idf[rarest] * _impact(ct.astype(np.float64), cl.astype(np.float64), avgdl)
         alive = np.ones(len(cd), dtype=bool)
+        if len(dead):  # merge-on-read tombstones (U4)
+            du = dead.astype(np.uint64) + np.uint64(1 << 63)
+            cu = cd.astype(np.uint64) + np.uint64(1 << 63)
+            pos_d = np.clip(np.searchsorted(du, cu), 0, len(dead) - 1)
+            alive &= dead[pos_d] != cd
 
         def probe(t: int) -> tuple[np.ndarray, np.ndarray]:
             """(tf, present) of candidates cd in term t's salt sub-lists:
@@ -246,7 +252,15 @@ def search_wand(
     }
     rarest = stats[min(terms, key=lambda t: stats[t][1])][0]
     neg_ids = [stats[t][0] for t in neg_terms if t in stats]
-    qmeta = {"idf": idf, "rarest": rarest, "avgdl": avgdl, "neg_ids": neg_ids}
+    from .merge import deleted_doc_ids
+
+    qmeta = {
+        "idf": idf,
+        "rarest": rarest,
+        "avgdl": avgdl,
+        "neg_ids": neg_ids,
+        "dead": deleted_doc_ids(spark, index),
+    }
     pos_ids = list(idf.keys())
 
     blocks = index.postings.read(spark).filter(

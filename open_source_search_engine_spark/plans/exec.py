@@ -145,6 +145,16 @@ def search(
             ).select("doc_id").distinct()
             scored = scored.join(neg_docs, "doc_id", "left_anti")  # F3/J3
 
+    # merge-on-read tombstones (U4): exclude deleted docs until compaction
+    from ..operators.merge import deleted_doc_ids
+
+    dead = deleted_doc_ids(spark, index)
+    if len(dead):
+        dead_df = F.broadcast(
+            spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
+        )
+        scored = scored.join(dead_df, "doc_id", "left_anti")
+
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not enrich:
         return topk

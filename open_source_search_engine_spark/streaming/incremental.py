@@ -1,0 +1,149 @@
+"""Incremental index maintenance (SURVEY.md §2.9 R1-R6).
+
+Reference semantics: a continuously updating index — new docs become
+searchable as soon as their keys land in RdbTree (memtable), dumps write
+sorted runs at memory thresholds, background merge compacts, re-spidered
+docs are updated via delete-then-re-add diffs, and Msg4's ACKed idempotent
+adds give exactly-once-ish ingestion.
+
+Spark mapping:
+- ``add_documents``      one micro-batch: tokenize -> encode -> append an
+                         immutable delta segment + stats partials, atomic
+                         snapshot commit.  Queries see base ∪ delta the
+                         moment the commit lands (R1/R2).
+- ``update_documents``   delete-then-re-add (R4): old doc_ids tombstoned
+                         (doc_id = hash(repo,path,commit) so the new
+                         version never collides), new version appended.
+- ``stream_documents``   Structured Streaming ``foreachBatch`` glue: each
+                         micro-batch runs add_documents; the checkpoint
+                         dir + deterministic doc_ids + idempotent snapshot
+                         commits give R6 exactly-once-ish semantics.
+- compaction (R3) lives in operators.merge.compact_postings.
+
+Each delta segment gets a fresh WAND shard id: a document's postings are
+wholly contained in its batch, so per-shard DAAT stays complete per doc.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..operators.build import (
+    Index,
+    derive_ids,
+    encode_blocks,
+    finalize_stats,
+)
+from ..functions.tokenize import tokenize_to_occurrences
+
+
+def _next_shard_id(idx: Index) -> int:
+    snap = idx.postings.latest()
+    if snap is None:
+        return 0
+    return int(snap.meta.get("max_shard", len(snap.segments))) + 1
+
+
+def add_documents(
+    spark: SparkSession,
+    idx: Index,
+    docs: DataFrame,
+    code_aware: bool = True,
+    field_terms: bool = True,
+    salt_target: int = 50_000,
+    block_size: int = 4096,
+    refresh_stats: bool = True,
+    run_id: str | None = None,
+) -> None:
+    """Append one delta segment for ``docs`` (R1: searchable on commit)."""
+    run_id = run_id or uuid.uuid4().hex[:8]
+    shard_id = _next_shard_id(idx)
+    d = derive_ids(docs)
+    occ_full = tokenize_to_occurrences(
+        d, code_aware=code_aware, field_terms=field_terms
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dict_df = (
+        occ_full.filter(F.col("term").isNotNull()).select("term_id", "term").distinct()
+    )
+    td_seg = idx.termdict.write_segment(dict_df.coalesce(4), label=f"delta{shard_id}")
+    doclens = occ_full.select("doc_id", "doclen").distinct()
+    docstats = d.select(
+        "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+    ).join(doclens, "doc_id")
+    ds_seg = idx.docstats.write_segment(docstats, label=f"delta{shard_id}")
+    occ = occ_full.select("term_id", "doc_id", "doclen", "pos")
+    blocks = encode_blocks(occ, salt_target=salt_target, block_size=block_size).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    blocks_sorted = (
+        blocks.withColumn("shard", F.lit(shard_id))
+        .repartitionByRange("term_id")
+        .sortWithinPartitions("term_id", "salt", "block_id")
+    )
+    po_seg = idx.postings.write_segment(blocks_sorted, label=f"delta{shard_id}")
+    ts_partial = blocks.groupBy("term_id").agg(
+        F.sum("n_docs").alias("df"), F.count("*").alias("n_blocks")
+    )
+    tsp_seg = idx.termstats_partial.write_segment(
+        ts_partial.coalesce(4), label=f"delta{shard_id}"
+    )
+    blocks.unpersist()
+    occ_full.unpersist()
+    idx.docstats.commit(add=[ds_seg], meta={"run_id": run_id})
+    idx.termdict.commit(add=[td_seg])
+    idx.postings.commit(
+        add=[po_seg], meta={"run_id": run_id, "max_shard": shard_id}
+    )
+    idx.termstats_partial.commit(add=[tsp_seg])
+    if refresh_stats:
+        finalize_stats(spark, idx, run_id)
+
+
+def update_documents(
+    spark: SparkSession,
+    idx: Index,
+    old_doc_ids: list[int],
+    new_docs: DataFrame,
+    **kwargs,
+) -> None:
+    """R4: delete-then-re-add diff of a re-crawled/re-committed file."""
+    from ..operators.merge import delete_docs
+
+    delete_docs(spark, idx, old_doc_ids)
+    add_documents(spark, idx, new_docs, **kwargs)
+
+
+def stream_documents(
+    spark: SparkSession,
+    idx: Index,
+    stream: DataFrame,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    **add_kwargs,
+) -> StreamingQuery:
+    """Wire a streaming documents source into the index via foreachBatch.
+
+    Structured Streaming's checkpoint gives at-least-once batch delivery;
+    deterministic doc_ids + append-only segments make replays detectable
+    (same doc_id set) and compaction idempotent — the Msg4-ACK analog R6.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        add_documents(
+            spark, idx, batch_df, run_id=f"stream-{batch_id}", **add_kwargs
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

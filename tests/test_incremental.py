@@ -1,0 +1,127 @@
+"""§2.9 semantics: incremental adds (R1), update-as-delete+re-add (R4),
+compaction with tombstone annihilation (R3/U4), streaming ingestion (R6)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators.build import build_index
+from open_source_search_engine_spark.operators.merge import (
+    compact_postings,
+    delete_docs,
+    deleted_doc_ids,
+    deletes_table,
+)
+from open_source_search_engine_spark.operators.topk import search_wand
+from open_source_search_engine_spark.plans.exec import search
+from open_source_search_engine_spark.streaming.incremental import (
+    add_documents,
+    stream_documents,
+    update_documents,
+)
+
+DOCS_V1 = [
+    ("r/a", "a.py", "c1", "python", "alpha beta gamma"),
+    ("r/a", "b.py", "c2", "python", "alpha delta"),
+    ("r/b", "c.py", "c3", "python", "epsilon zeta"),
+]
+DOC_NEW = [("r/b", "d.py", "c4", "python", "alpha omega freshdoc")]
+DOC_V2 = [("r/a", "a.py", "c9", "python", "alpha beta gamma updatedtoken")]
+
+SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+@pytest.fixture()
+def inc_index(spark, tmp_path):
+    docs = spark.createDataFrame(DOCS_V1, SCHEMA)
+    return build_index(
+        spark, docs, str(tmp_path / "inc"), n_shards=1, code_aware=False, block_size=4
+    )
+
+
+def _paths(spark, idx, q, fn=search):
+    return {r["path"] for r in fn(spark, idx, q, k=10).collect()}
+
+
+def test_incremental_add_visible(spark, inc_index):
+    assert _paths(spark, inc_index, "alpha") == {"a.py", "b.py"}
+    add_documents(
+        spark, inc_index, spark.createDataFrame(DOC_NEW, SCHEMA), code_aware=False
+    )
+    assert _paths(spark, inc_index, "alpha") == {"a.py", "b.py", "d.py"}
+    assert _paths(spark, inc_index, "freshdoc") == {"d.py"}
+    # WAND path sees the delta segment too (its own shard id)
+    assert _paths(spark, inc_index, "alpha", search_wand) == {"a.py", "b.py", "d.py"}
+
+
+def test_update_delete_readd(spark, inc_index):
+    old_id = (
+        inc_index.docstats.read(spark)
+        .filter(F.col("path") == "a.py")
+        .collect()[0]["doc_id"]
+    )
+    update_documents(
+        spark,
+        inc_index,
+        [old_id],
+        spark.createDataFrame(DOC_V2, SCHEMA),
+        code_aware=False,
+    )
+    # both query paths exclude the tombstoned old version
+    for fn in (search, search_wand):
+        rows = fn(spark, inc_index, "alpha", k=10).collect()
+        a_rows = [r for r in rows if r["path"] == "a.py"]
+        assert len(a_rows) == 1
+        assert a_rows[0]["doc_id"] != old_id
+    assert _paths(spark, inc_index, "updatedtoken") == {"a.py"}
+
+
+def test_compaction_annihilates_tombstones(spark, inc_index):
+    old_id = (
+        inc_index.docstats.read(spark)
+        .filter(F.col("path") == "b.py")
+        .collect()[0]["doc_id"]
+    )
+    delete_docs(spark, inc_index, [old_id])
+    before = _paths(spark, inc_index, "alpha")
+    assert before == {"a.py"}
+    n_segs_before = len(inc_index.postings.latest().segments)
+    compact_postings(spark, inc_index, block_size=4)
+    # one merged segment, tombstones physically gone, results unchanged
+    assert len(inc_index.postings.latest().segments) == 1
+    assert len(deleted_doc_ids(spark, inc_index)) == 0
+    assert _paths(spark, inc_index, "alpha") == {"a.py"}
+    assert _paths(spark, inc_index, "alpha", search_wand) == {"a.py"}
+    assert inc_index.docstats.read(spark).filter(F.col("doc_id") == old_id).count() == 0
+
+
+def test_compaction_identity_no_deletes(spark, inc_index):
+    """compaction of a delta-less index preserves every posting (property
+    (b): merge(union) == build(full))."""
+    from open_source_search_engine_spark.operators.build import decode_blocks
+
+    before = sorted(
+        (r["term_id"], r["doc_id"], r["tf"])
+        for r in decode_blocks(inc_index.postings.read(spark)).collect()
+    )
+    compact_postings(spark, inc_index, block_size=4)
+    after = sorted(
+        (r["term_id"], r["doc_id"], r["tf"])
+        for r in decode_blocks(inc_index.postings.read(spark)).collect()
+    )
+    assert before == after
+
+
+def test_streaming_ingest(spark, inc_index, tmp_path):
+    """R6: parquet-file stream -> foreachBatch -> searchable index."""
+    src = tmp_path / "stream_src"
+    spark.createDataFrame(DOC_NEW, SCHEMA).write.parquet(str(src))
+    stream = spark.readStream.schema(SCHEMA).parquet(str(src))
+    q = stream_documents(
+        spark,
+        inc_index,
+        stream,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        code_aware=False,
+    )
+    q.awaitTermination(120)
+    assert _paths(spark, inc_index, "freshdoc") == {"d.py"}
