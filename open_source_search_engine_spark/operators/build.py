@@ -45,7 +45,7 @@ from ..functions.hashing import content_sha256, doc_id_col
 from ..functions.tokenize import (
     tokenize_code,
     tokenize_simple,
-    tokenize_to_occurrences,
+    tokenize_to_postings,
 )
 from ..sources.tables import SnapshotTable
 
@@ -173,47 +173,35 @@ _BLOCK_COLS = [
 ]
 
 
-def _encode_sorted_occurrences(
+def _encode_sorted_postings(
     term_ids: np.ndarray,
     salts: np.ndarray,
     n_salts_arr: np.ndarray,
     doc_ids: np.ndarray,
     doclens: np.ndarray,
-    poss: np.ndarray,
+    tfs: np.ndarray,
+    pos_values: np.ndarray,
+    pos_offsets: np.ndarray,
     block_size: int,
 ) -> pa.RecordBatch:
-    """Encode occurrence rows sorted by (term_id, salt, doc_id, pos) into
-    termlist blocks — ONE numpy pass, primitives only.
+    """Encode posting rows sorted by (term_id, salt, doc_id) into termlist
+    blocks — ONE numpy pass, primitives + pre-encoded position bytes.
 
-    The kernel itself performs the A1 aggregation (tf + position lists via
-    segmented reduction over the sorted stream), so the JVM never builds
-    array/string columns for the Arrow boundary (those converted at ~15k
-    rows/s on this VM and dominated the build).  All varint streams are
-    encoded globally with per-value byte lengths; per-block output is
-    assembled zero-copy as Arrow binary columns from offset vectors.
+    Positions arrive already delta+varint encoded per doc (tokenizer
+    kernel), and the wire format is per-doc self-contained, so a block's
+    positions stream is a pure byte-range concat: zero-copy via the input
+    binary column's values buffer + offset vector.  Doc-id deltas reset to
+    absolute at each block boundary; all varint streams are encoded
+    globally with per-value lengths and sliced via offset vectors — no
+    per-block python beyond assembling the Arrow arrays.
     """
-    n = len(term_ids)
-
-    # ---- segment occurrences -> (term,salt,doc) posting rows (A1) ----
-    dchange = np.empty(n, dtype=bool)
-    dchange[0] = True
-    np.not_equal(term_ids[1:], term_ids[:-1], out=dchange[1:])
-    dchange[1:] |= salts[1:] != salts[:-1]
-    dchange[1:] |= doc_ids[1:] != doc_ids[:-1]
-    dstarts = np.flatnonzero(dchange)
-    occ_bound = np.append(dstarts, n)  # per-doc occurrence ranges
-    tf = np.diff(occ_bound)
-    d_term = term_ids[dstarts]
-    d_salt = salts[dstarts]
-    d_doc = doc_ids[dstarts]
-    d_dl = doclens[dstarts]
-    nd = len(dstarts)
+    nd = len(term_ids)
 
     # ---- block boundaries: new (term,salt) group, or block_size docs ----
     change = np.empty(nd, dtype=bool)
     change[0] = True
-    np.not_equal(d_term[1:], d_term[:-1], out=change[1:])
-    change[1:] |= d_salt[1:] != d_salt[:-1]
+    np.not_equal(term_ids[1:], term_ids[:-1], out=change[1:])
+    change[1:] |= salts[1:] != salts[:-1]
     group_starts = np.flatnonzero(change)
     group_sizes = np.diff(np.append(group_starts, nd))
     within = np.arange(nd) - np.repeat(group_starts, group_sizes)
@@ -223,7 +211,7 @@ def _encode_sorted_occurrences(
     block_id = (within[bstarts] // block_size).astype(np.int64)
 
     # ---- doc ids: shifted-uint64 deltas, reset to absolute per block ----
-    u = d_doc.astype(np.uint64) + np.uint64(1 << 63)
+    u = doc_ids.astype(np.uint64) + np.uint64(1 << 63)
     ddelta = np.empty(nd, dtype=np.uint64)
     ddelta[0] = u[0]
     np.subtract(u[1:], u[:-1], out=ddelta[1:])
@@ -232,35 +220,21 @@ def _encode_sorted_occurrences(
     doc_off = np.zeros(nd + 1, dtype=np.int64)
     np.cumsum(doc_nb, out=doc_off[1:])
 
-    tf_bytes, tf_nb = codec.encode_varint_with_lengths(tf.astype(np.uint64))
+    tf_bytes, tf_nb = codec.encode_varint_with_lengths(tfs.astype(np.uint64))
     tf_off = np.zeros(nd + 1, dtype=np.int64)
     np.cumsum(tf_nb, out=tf_off[1:])
 
-    dl_bytes, dl_nb = codec.encode_varint_with_lengths(d_dl.astype(np.uint64))
+    dl_bytes, dl_nb = codec.encode_varint_with_lengths(doclens.astype(np.uint64))
     dl_off = np.zeros(nd + 1, dtype=np.int64)
     np.cumsum(dl_nb, out=dl_off[1:])
-
-    # ---- positions: the occurrence 'pos' stream itself, delta-coded with
-    # a reset to absolute at each doc's first occurrence ----
-    flat = poss.astype(np.int64)
-    pdelta = np.empty(n, dtype=np.int64)
-    if n:
-        pdelta[0] = flat[0]
-        np.subtract(flat[1:], flat[:-1], out=pdelta[1:])
-        pdelta[dstarts] = flat[dstarts]
-    pos_bytes, pos_nb = codec.encode_varint_with_lengths(pdelta.astype(np.uint64))
-    pos_boff = np.zeros(n + 1, dtype=np.int64)
-    np.cumsum(pos_nb, out=pos_boff[1:])
-    pos_doc_off = pos_boff[occ_bound]  # nd+1: byte offset at each doc start
 
     # ---- per-block metadata + WAND bounds (§4.1 getMaxPossibleScore):
     # impact(tf,dl) is monotone up in tf / down in dl, so the query-time
     # bound idf*impact(max_tf, min_doclen) dominates every doc in a block.
-    max_tf = np.maximum.reduceat(tf, bstarts)
-    min_dl = np.minimum.reduceat(d_dl, bstarts)
+    max_tf = np.maximum.reduceat(tfs, bstarts)
+    min_dl = np.minimum.reduceat(doclens, bstarts)
     n_docs = (bends - bstarts).astype(np.int64)
 
-    # ---- zero-copy Arrow binary columns from global streams ----
     def bin_col(stream: np.ndarray, value_off: np.ndarray) -> pa.Array:
         offs = np.empty(len(bstarts) + 1, dtype=np.int32)
         offs[:-1] = value_off[bstarts]
@@ -273,67 +247,102 @@ def _encode_sorted_occurrences(
 
     return pa.RecordBatch.from_arrays(
         [
-            pa.array(d_term[bstarts]),
-            pa.array(d_salt[bstarts].astype(np.int32)),
-            pa.array(n_salts_arr[dstarts][bstarts].astype(np.int32)),
+            pa.array(term_ids[bstarts]),
+            pa.array(salts[bstarts].astype(np.int32)),
+            pa.array(n_salts_arr[bstarts].astype(np.int32)),
             pa.array(block_id.astype(np.int32)),
             pa.array(n_docs.astype(np.int32)),
-            pa.array(d_doc[bstarts]),
-            pa.array(d_doc[bends - 1]),
+            pa.array(doc_ids[bstarts]),
+            pa.array(doc_ids[bends - 1]),
             pa.array(max_tf.astype(np.int32)),
             pa.array(min_dl.astype(np.int32)),
             bin_col(doc_bytes, doc_off),
             bin_col(tf_bytes, tf_off),
             bin_col(dl_bytes, dl_off),
-            bin_col(pos_bytes, pos_doc_off),
+            bin_col(pos_values, pos_offsets),
         ],
         names=_BLOCK_COLS,
     )
 
 
 def encode_blocks(
-    occ: DataFrame,
+    postings: DataFrame,
     salt_target: int = 50_000,
     block_size: int = 4096,
 ) -> DataFrame:
     """Salted repartition + sorted varint-block encode (S4/T5/X10).
 
-    Input: occurrence rows (term_id, doc_id, doclen, pos) — primitives
-    only.  Physical shape: ONE shuffle keyed by (term_id, salt) with a
-    partition-local sort, then a streaming Arrow encode whose kernel also
-    performs the (term,doc) aggregation.  A straddle buffer carries the
-    trailing (term,salt) run across Arrow batches so batch boundaries
-    never split a termlist — the RdbDump 'write one sorted run' loop,
-    vectorized.
+    Input: posting rows (term_id, doc_id, doclen, tf, pos_enc) — fixed
+    width primitives + one small binary column.  Physical shape: ONE
+    shuffle keyed by (term_id, salt) with a partition-local sort, then a
+    streaming Arrow encode.  A straddle buffer carries the trailing
+    (term_id, salt) run across Arrow batches so batch boundaries never
+    split a termlist — the RdbDump 'write one sorted run' loop, vectorized.
 
-    Salting: a term whose occurrence count exceeds ``salt_target`` splits
-    into ceil(cf/salt_target) doc-hash sub-lists, so the zipf head cannot
-    pin a single task (north-rule explicit skew handling).  The stats join
-    rides the same hash key as the repartition.
+    Salting: a term whose df exceeds ``salt_target`` splits into
+    ceil(df/salt_target) doc-hash sub-lists, so the zipf head cannot pin a
+    single task (north-rule explicit skew handling).  The stats join rides
+    the same hash key as the repartition.
     """
-    toc = occ.groupBy("term_id").agg(F.count("*").alias("cf_local"))
+    # only the zipf head needs salting: aggregate df per term, keep just
+    # the heavy terms (df > salt_target) and broadcast THAT — a few
+    # hundred rows — instead of joining the full per-term stats (a ~1M-row
+    # broadcast serialized on the driver cost ~10 s flat regardless of
+    # cluster size).  Light terms default to n_salts = 1.
+    heavy = (
+        postings.groupBy("term_id")
+        .agg(F.count("*").alias("df_local"))
+        .filter(F.col("df_local") > salt_target)
+    )
     salted = (
-        occ.join(toc, "term_id")
+        postings.join(F.broadcast(heavy), "term_id", "left")
         .withColumn(
             "n_salts",
-            F.greatest(F.ceil(F.col("cf_local") / F.lit(salt_target)), F.lit(1)).cast("int"),
+            F.coalesce(
+                F.ceil(F.col("df_local") / F.lit(salt_target)), F.lit(1)
+            ).cast("int"),
         )
         .withColumn("salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int"))
-        .select("term_id", "salt", "n_salts", "doc_id", "doclen", "pos")
+        .select("term_id", "salt", "n_salts", "doc_id", "doclen", "tf", "pos_enc")
     )
     part = salted.repartition("term_id", "salt").sortWithinPartitions(
-        "term_id", "salt", "doc_id", "pos"
+        "term_id", "salt", "doc_id"
     )
 
     def _extract(batch: pa.RecordBatch):
         cols = {name: batch.column(i) for i, name in enumerate(batch.schema.names)}
+        pe = cols["pos_enc"]
+        # binary column -> (values uint8, per-row byte offsets len n+1);
+        # offsets may not start at 0 for sliced arrays — rebase
+        offs = np.frombuffer(pe.buffers()[1], dtype=np.int32, count=len(pe) + 1 + pe.offset)[
+            pe.offset :
+        ].astype(np.int64)
+        data = np.frombuffer(pe.buffers()[2], dtype=np.uint8)
+        values = data[offs[0] : offs[-1]].copy()
+        offs = offs - offs[0]
         return (
             cols["term_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["salt"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["n_salts"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["doclen"].to_numpy(zero_copy_only=False).astype(np.int64),
-            cols["pos"].to_numpy(zero_copy_only=False).astype(np.int64),
+            cols["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
+            values,
+            offs,
+        )
+
+    def _concat(a, b):
+        # first 6 are row arrays; 7th is the byte stream; 8th the offsets
+        rows = tuple(np.concatenate([x, y]) for x, y in zip(a[:6], b[:6]))
+        values = np.concatenate([a[6], b[6]])
+        offs = np.concatenate([a[7][:-1], b[7] + a[7][-1]])
+        return rows + (values, offs)
+
+    def _slice(arrs, lo, hi):
+        blo, bhi = arrs[7][lo], arrs[7][hi]
+        return tuple(x[lo:hi] for x in arrs[:6]) + (
+            arrs[6][blo:bhi],
+            arrs[7][lo : hi + 1] - blo,
         )
 
     def encode_stream(batches):
@@ -343,7 +352,7 @@ def encode_blocks(
                 continue
             arrs = _extract(batch)
             if carry is not None:
-                arrs = tuple(np.concatenate([c, a]) for c, a in zip(carry, arrs))
+                arrs = _concat(carry, arrs)
                 carry = None
             term_ids, salts = arrs[0], arrs[1]
             n = len(term_ids)
@@ -355,10 +364,11 @@ def encode_blocks(
                 carry = arrs
                 continue
             split = n - n_tail
-            yield _encode_sorted_occurrences(*(a[:split] for a in arrs), block_size)
-            carry = tuple(a[split:] for a in arrs)
+            head = _slice(arrs, 0, split)
+            carry = _slice(arrs, split, n)
+            yield _encode_sorted_postings(*head, block_size)
         if carry is not None and len(carry[0]):
-            yield _encode_sorted_occurrences(*carry, block_size)
+            yield _encode_sorted_postings(*carry, block_size)
 
     return part.mapInArrow(encode_stream, BLOCK_SCHEMA)
 
@@ -375,47 +385,60 @@ def build_index(
     block_size: int = 4096,
     resume: bool = True,
     fail_after_shard: int | None = None,
+    shard_parallelism: int = 2,
 ) -> Index:
-    """Full resumable build.  ``fail_after_shard`` injects a crash after
-    that shard commits (checkpoint/resume test hook, FIXTURES.md §7)."""
+    """Full resumable build.
+
+    Shards are independent jobs; ``shard_parallelism`` > 1 submits them
+    from concurrent driver threads so Spark interleaves their stages and
+    fills scheduler gaps (snapshot commits are optimistic-retry safe).
+    ``fail_after_shard`` injects a crash after that shard commits
+    (checkpoint/resume test hook, FIXTURES.md §7) and forces sequential
+    execution for determinism.
+    """
     idx = Index(index_root)
     run_id = run_id or uuid.uuid4().hex[:12]
     done = _completed_shards(spark, idx)
 
+    # a small source parquet may expose fewer splits than cores, capping
+    # the tokenizer stage's parallelism — round-robin repartition so every
+    # core gets work regardless of the input's file layout
+    target_parts = max(2 * spark.sparkContext.defaultParallelism, 16)
+    if docs.rdd.getNumPartitions() < target_parts:
+        docs = docs.repartition(target_parts)
     ids = derive_ids(docs).withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     )
 
-    for shard in range(n_shards):
-        if resume and (shard, n_shards) in done:
-            continue
+    def build_shard(shard: int) -> None:
         t0 = time.time()
         # shard filter BEFORE the tokenizer kernel — each shard job
         # tokenizes only its 1/n_shards of the corpus.  The kernel emits
-        # occurrence primitives directly (term hashed in-kernel; term
-        # string non-null only on first occurrence per partition), so no
-        # array/string column ever crosses Arrow on the hot path.  Persist
-        # = the RdbTree memtable analog, one shard's worth, spills to disk.
+        # posting primitives directly (term hashed in-kernel; positions
+        # pre-encoded; term string non-null only on first occurrence per
+        # partition), so no array column ever crosses Arrow.  Persist =
+        # the RdbTree memtable analog, one shard's worth, spills to disk.
         d = ids.filter(F.col("shard") == shard)
-        occ_full = tokenize_to_occurrences(
+        posts = tokenize_to_postings(
             d, code_aware=code_aware, field_terms=field_terms
         ).persist(StorageLevel.MEMORY_AND_DISK)
         dict_df = (
-            occ_full.filter(F.col("term").isNotNull())
+            posts.filter(F.col("term").isNotNull())
             .select("term_id", "term")
             .distinct()
         )
         td_seg = idx.termdict.write_segment(dict_df.coalesce(4), label=f"shard{shard}")
-        doclens = occ_full.select("doc_id", "doclen").distinct()
+        doclens = posts.select("doc_id", "doclen").distinct()
         docstats = d.select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256"
         ).join(doclens, "doc_id")
         ds_seg = idx.docstats.write_segment(docstats, label=f"shard{shard}")
-        occ = occ_full.select("term_id", "doc_id", "doclen", "pos")
         # persist encoded blocks: repartitionByRange's boundary-sampling
         # pass would otherwise run the whole encode twice
         blocks = encode_blocks(
-            occ, salt_target=salt_target, block_size=block_size
+            posts.select("term_id", "doc_id", "doclen", "tf", "pos_enc"),
+            salt_target=salt_target,
+            block_size=block_size,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         # range-partition + sort by term_id so query-time term lookups prune
         # to a handful of row groups (RdbMap sparse-index seek analog, S2).
@@ -431,16 +454,28 @@ def build_index(
             F.sum("n_docs").alias("df"),
             F.count("*").alias("n_blocks"),
         )
-        tsp_seg = idx.termstats_partial.write_segment(ts_partial.coalesce(4), label=f"shard{shard}")
+        tsp_seg = idx.termstats_partial.write_segment(
+            ts_partial.coalesce(4), label=f"shard{shard}"
+        )
         blocks.unpersist()
-        occ_full.unpersist()
+        posts.unpersist()
         idx.docstats.commit(add=[ds_seg], meta={"shard": shard, "run_id": run_id})
         idx.termdict.commit(add=[td_seg], meta={"shard": shard})
         idx.postings.commit(add=[po_seg], meta={"shard": shard, "run_id": run_id})
         idx.termstats_partial.commit(add=[tsp_seg], meta={"shard": shard})
         _checkpoint(spark, idx, run_id, shard, n_shards, time.time() - t0)
-        if fail_after_shard is not None and shard == fail_after_shard:
-            raise RuntimeError(f"injected failure after shard {shard}")
+
+    todo = [s for s in range(n_shards) if not (resume and (s, n_shards) in done)]
+    if fail_after_shard is not None or shard_parallelism <= 1 or len(todo) <= 1:
+        for shard in todo:
+            build_shard(shard)
+            if fail_after_shard is not None and shard == fail_after_shard:
+                raise RuntimeError(f"injected failure after shard {shard}")
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=shard_parallelism) as ex:
+            list(ex.map(build_shard, todo))
 
     finalize_stats(spark, idx, run_id)
     return idx

@@ -51,10 +51,15 @@ def deleted_doc_ids(spark: SparkSession, idx: Index) -> np.ndarray:
     return vals[np.argsort(u)]
 
 
-def decode_to_occurrences(blocks: DataFrame) -> DataFrame:
-    """Stored blocks -> occurrence rows (term_id, doc_id, doclen, pos) —
-    the exact inverse of the encode kernel, primitives only, so a full
-    compaction round-trips through the same fast Arrow path."""
+def decode_to_postings(blocks: DataFrame) -> DataFrame:
+    """Stored blocks -> posting rows (term_id, doc_id, doclen, tf,
+    pos_enc) — the exact inverse of the encode kernel, so a compaction
+    round-trips through the same fast Arrow path.
+
+    The per-doc position streams are NOT decoded: the wire format is
+    per-doc self-contained inside a block, so each doc's byte range is
+    recovered from varint continuation bits + tf counts and re-sliced
+    zero-copy."""
     import pyarrow as pa
 
     from ..functions import codec
@@ -64,33 +69,60 @@ def decode_to_occurrences(blocks: DataFrame) -> DataFrame:
     def decode(batches):
         for batch in batches:
             c = {n: batch.column(i) for i, n in enumerate(batch.schema.names)}
-            outs_t, outs_d, outs_l, outs_p = [], [], [], []
+            t_out, d_out, l_out, f_out = [], [], [], []
+            pos_chunks: list[np.ndarray] = []
+            row_pos_lens: list[np.ndarray] = []
             for i in range(batch.num_rows):
                 nd = int(c["n_docs"][i].as_py())
-                d, tf, pos, bounds = codec.decode_postings_block(
-                    c["doc_ids_enc"][i].as_py(),
-                    c["tfs_enc"][i].as_py(),
-                    c["positions_enc"][i].as_py(),
-                    nd,
+                d, tf, _pos, _b = codec.decode_postings_block(
+                    c["doc_ids_enc"][i].as_py(), c["tfs_enc"][i].as_py(), b"", nd
                 )
                 dl = codec.decode_varint(c["doclens_enc"][i].as_py(), nd)
-                outs_t.append(np.full(len(pos), c["term_id"][i].as_py(), dtype=np.int64))
-                outs_d.append(np.repeat(d, tf))
-                outs_l.append(np.repeat(dl, tf).astype(np.int32))
-                outs_p.append(pos.astype(np.int32))
-            if outs_t:
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(np.concatenate(outs_t)),
-                        pa.array(np.concatenate(outs_d)),
-                        pa.array(np.concatenate(outs_l)),
-                        pa.array(np.concatenate(outs_p)),
-                    ],
-                    names=["term_id", "doc_id", "doclen", "pos"],
-                )
+                raw = np.frombuffer(c["positions_enc"][i].as_py(), dtype=np.uint8)
+                # per-value byte length from continuation bits -> per-doc
+                # byte lengths by summing tf consecutive value lengths
+                if raw.size:
+                    vends = np.flatnonzero((raw & 0x80) == 0) + 1
+                    tfcum = np.cumsum(tf)
+                    doc_byte_end = vends[tfcum - 1]
+                    doc_byte_start = np.empty(nd, dtype=np.int64)
+                    doc_byte_start[0] = 0
+                    doc_byte_start[1:] = doc_byte_end[:-1]
+                    lens = doc_byte_end - doc_byte_start
+                else:
+                    lens = np.zeros(nd, dtype=np.int64)
+                t_out.append(np.full(nd, c["term_id"][i].as_py(), dtype=np.int64))
+                d_out.append(d)
+                l_out.append(dl.astype(np.int32))
+                f_out.append(tf.astype(np.int32))
+                pos_chunks.append(raw)
+                row_pos_lens.append(lens)
+            if not t_out:
+                continue
+            values = (
+                np.concatenate(pos_chunks) if pos_chunks else np.empty(0, np.uint8)
+            )
+            lens_all = np.concatenate(row_pos_lens)
+            offs = np.zeros(len(lens_all) + 1, dtype=np.int32)
+            np.cumsum(lens_all, out=offs[1:])
+            pos_enc = pa.BinaryArray.from_buffers(
+                pa.binary(),
+                len(lens_all),
+                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(values.tobytes())],
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.concatenate(t_out)),
+                    pa.array(np.concatenate(d_out)),
+                    pa.array(np.concatenate(l_out)),
+                    pa.array(np.concatenate(f_out)),
+                    pos_enc,
+                ],
+                names=["term_id", "doc_id", "doclen", "tf", "pos_enc"],
+            )
 
     return blocks.select(*cols).mapInArrow(
-        decode, "term_id long, doc_id long, doclen int, pos int"
+        decode, "term_id long, doc_id long, doclen int, tf int, pos_enc binary"
     )
 
 
@@ -115,16 +147,16 @@ def compact_postings(
         return
     prev_snap = idx.postings.latest()
     dead = deleted_doc_ids(spark, idx)
-    occ = decode_to_occurrences(blocks_df)
+    posts = decode_to_postings(blocks_df)
     if len(dead):
         dead_df = F.broadcast(
             spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
         )
-        occ = occ.join(dead_df, "doc_id", "left_anti")
-    occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
-    merged = encode_blocks(occ, salt_target=salt_target, block_size=block_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+        posts = posts.join(dead_df, "doc_id", "left_anti")
+    posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
+    merged = encode_blocks(
+        posts, salt_target=salt_target, block_size=block_size
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # compacted index is one logical doc-partition for WAND (shard 0)
     merged_sorted = (
         merged.withColumn("shard", F.lit(0))
@@ -137,7 +169,7 @@ def compact_postings(
     )
     tsp_seg = idx.termstats_partial.write_segment(ts_partial.coalesce(4), label="compacted")
     merged.unpersist()
-    occ.unpersist()
+    posts.unpersist()
 
     idx.postings.commit(
         add=[seg], remove=list(prev_snap.segments), operation="compact",

@@ -54,6 +54,13 @@ def get_spark(
         # our ASCII-token corpus and orders of magnitude faster here.
         .config("spark.sql.icu.caseMappings.enabled", "false")
     )
+    # this VM's virtio disk turns shuffle I/O into a syscall storm (35-45%
+    # system time, cores idle); tmpfs shuffle dirs restore CPU-bound
+    # behavior.  On a real cluster this maps to fast local SSD/NVMe.
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

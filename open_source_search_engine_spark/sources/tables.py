@@ -59,8 +59,28 @@ class SnapshotTable:
         remove: list[str] | None = None,
         operation: str = "append",
         meta: dict | None = None,
+        _retries: int = 50,
     ) -> Snapshot:
-        """Atomic snapshot commit (the RdbDump 'file set swap' analog)."""
+        """Atomic snapshot commit (the RdbDump 'file set swap' analog).
+
+        Optimistic concurrency: the version file is created with 'x' mode;
+        losing a race re-reads HEAD and retries on top of the winner (the
+        way Iceberg commits retry) — concurrent shard jobs commit safely.
+        """
+        for _ in range(_retries):
+            try:
+                return self._commit_once(add, remove, operation, meta)
+            except FileExistsError:
+                time.sleep(0.05)
+        raise RuntimeError(f"snapshot commit contention on {self.dir}")
+
+    def _commit_once(
+        self,
+        add: list[str] | None,
+        remove: list[str] | None,
+        operation: str,
+        meta: dict | None,
+    ) -> Snapshot:
         cur = self.latest()
         segs = list(cur.segments) if cur else []
         for r in remove or []:
@@ -69,7 +89,6 @@ class SnapshotTable:
         version = (cur.version + 1) if cur else 0
         snap = Snapshot(version, segs, operation, meta or {})
         path = os.path.join(self.snap_dir, f"v{version}.json")
-        # optimistic concurrency: 'x' mode fails if another writer won
         with open(path, "x") as f:
             json.dump(
                 {

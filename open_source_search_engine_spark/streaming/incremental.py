@@ -40,7 +40,7 @@ from ..operators.build import (
     encode_blocks,
     finalize_stats,
 )
-from ..functions.tokenize import tokenize_to_occurrences
+from ..functions.tokenize import tokenize_to_postings
 
 
 def _next_shard_id(idx: Index) -> int:
@@ -65,22 +65,23 @@ def add_documents(
     run_id = run_id or uuid.uuid4().hex[:8]
     shard_id = _next_shard_id(idx)
     d = derive_ids(docs)
-    occ_full = tokenize_to_occurrences(
+    posts = tokenize_to_postings(
         d, code_aware=code_aware, field_terms=field_terms
     ).persist(StorageLevel.MEMORY_AND_DISK)
     dict_df = (
-        occ_full.filter(F.col("term").isNotNull()).select("term_id", "term").distinct()
+        posts.filter(F.col("term").isNotNull()).select("term_id", "term").distinct()
     )
     td_seg = idx.termdict.write_segment(dict_df.coalesce(4), label=f"delta{shard_id}")
-    doclens = occ_full.select("doc_id", "doclen").distinct()
+    doclens = posts.select("doc_id", "doclen").distinct()
     docstats = d.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha256"
     ).join(doclens, "doc_id")
     ds_seg = idx.docstats.write_segment(docstats, label=f"delta{shard_id}")
-    occ = occ_full.select("term_id", "doc_id", "doclen", "pos")
-    blocks = encode_blocks(occ, salt_target=salt_target, block_size=block_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    blocks = encode_blocks(
+        posts.select("term_id", "doc_id", "doclen", "tf", "pos_enc"),
+        salt_target=salt_target,
+        block_size=block_size,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     blocks_sorted = (
         blocks.withColumn("shard", F.lit(shard_id))
         .repartitionByRange("term_id")
@@ -94,7 +95,7 @@ def add_documents(
         ts_partial.coalesce(4), label=f"delta{shard_id}"
     )
     blocks.unpersist()
-    occ_full.unpersist()
+    posts.unpersist()
     idx.docstats.commit(add=[ds_seg], meta={"run_id": run_id})
     idx.termdict.commit(add=[td_seg])
     idx.postings.commit(
