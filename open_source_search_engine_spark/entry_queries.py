@@ -778,6 +778,187 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q_search_facets(spark, sf_dir):
+    """A4 search-side: facet counts (lang, source) over docs matching a
+    term — the gbfacetstr flow: match -> join meta -> partial/final agg."""
+    docs = _t(spark, sf_dir, "documents")
+    matched = docs.filter(F.arrays_overlap(_toks(), F.array(F.lit("join"))))
+    return (
+        matched.groupBy("lang", "source")
+        .agg(F.count("*").alias("facet_count"))
+        .orderBy("lang", "source")
+    )
+
+
+SQL_SEARCH_FACETS = f"""
+SELECT lang, source, count(*) AS facet_count
+FROM documents
+WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_RE}'), 'join')
+GROUP BY lang, source ORDER BY lang, source
+"""
+
+
+def q_site_cluster(spark, sf_dir):
+    """W1: site clustering — best 2 docs per source among matches of
+    'table', ranked by tf (Msg40/Msg51 top-2-per-site collapse)."""
+    docs = _t(spark, sf_dir, "documents")
+    occ = docs.select("doc_id", "source", F.explode(_toks()).alias("term"))
+    tf = (
+        occ.filter(F.col("term") == "table")
+        .groupBy("doc_id", "source")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tf"), F.asc("doc_id"))
+    return (
+        tf.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("source", "doc_id", "tf", "rn")
+        .orderBy("source", "rn")
+    )
+
+
+SQL_SITE_CLUSTER = f"""
+WITH tf AS (
+  SELECT doc_id, source, count(*) AS tf
+  FROM (SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents)
+  WHERE term = 'table' GROUP BY doc_id, source
+)
+SELECT source, doc_id, tf, rn
+FROM (SELECT *, row_number() OVER (PARTITION BY source
+        ORDER BY tf DESC, doc_id) AS rn FROM tf)
+WHERE rn <= 2 ORDER BY source, rn
+"""
+
+
+def q_snippet(spark, sf_dir):
+    """X15: snippet — a window of text around the first hit of 'spark'."""
+    docs = _t(spark, sf_dir, "documents")
+    pos = F.locate("spark", F.lower(F.col("text")))
+    return (
+        docs.filter(pos > 0)
+        .select(
+            "doc_id",
+            F.substring(
+                F.lower(F.col("text")), F.greatest(pos - 20, F.lit(1)), 60
+            ).alias("snippet"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SNIPPET = """
+SELECT doc_id,
+       substr(lower(text), greatest(strpos(lower(text), 'spark') - 20, 1), 60)
+         AS snippet
+FROM documents WHERE strpos(lower(text), 'spark') > 0
+ORDER BY doc_id
+"""
+
+
+def q_spell_suggest(spark, sf_dir):
+    """X16: 'did you mean' — closest vocabulary terms to the misspelling
+    'tabel' by edit distance (Speller.cpp analog over termstats)."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = docs.select(F.explode(_toks()).alias("term")).groupBy("term").agg(
+        F.count("*").alias("cf")
+    )
+    return (
+        vocab.withColumn("dist", F.levenshtein(F.col("term"), F.lit("tabel")))
+        .filter(F.col("dist") <= 2)
+        .select("term", "cf", "dist")
+        .orderBy("dist", F.desc("cf"), "term")
+        .limit(5)
+    )
+
+
+SQL_SPELL_SUGGEST = f"""
+WITH vocab AS (
+  SELECT term, count(*) AS cf
+  FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+        FROM documents)
+  GROUP BY term
+)
+SELECT term, cf, levenshtein(term, 'tabel') AS dist
+FROM vocab WHERE levenshtein(term, 'tabel') <= 2
+ORDER BY dist, cf DESC, term LIMIT 5
+"""
+
+
+def q_bigrams(spark, sf_dir):
+    """X3: adjacent-pair bigram counts (Phrases.cpp) — top 15."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    bigrams = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(15)
+    )
+
+
+SQL_BIGRAMS = f"""
+WITH d AS (
+  SELECT regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+b AS (
+  SELECT unnest(list_transform(range(len(toks) - 1),
+                i -> toks[i+1] || ' ' || toks[i+2])) AS bigram
+  FROM d WHERE len(toks) >= 2
+)
+SELECT bigram, count(*) AS cnt FROM b GROUP BY bigram
+ORDER BY cnt DESC, bigram LIMIT 15
+"""
+
+
+def q_rollup(spark, sf_dir):
+    """A4+: hierarchical facet rollup (free in Spark/DuckDB, absent in the
+    reference — noted as an extension in SURVEY §2.4)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+SQL_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+"""
+
+
+def q_except(spark, sf_dir):
+    """U2: EXCEPT — custkeys with urgent orders but no high orders."""
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey")
+    return urgent.distinct().subtract(high).orderBy("o_custkey")
+
+
+SQL_EXCEPT = """
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+ORDER BY o_custkey
+"""
+
+
 # Spark-only (no SQL-expressible oracle; driver records rows-only check)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates (rows-only check: not SQL-expressible)."""
@@ -832,6 +1013,13 @@ def build_registry() -> tuple[
         "bm25_lang": q_bm25_lang,
         "phrase": q_phrase,
         "gigabits": q_gigabits,
+        "search_facets": q_search_facets,
+        "site_cluster": q_site_cluster,
+        "snippet": q_snippet,
+        "spell_suggest": q_spell_suggest,
+        "bigrams": q_bigrams,
+        "rollup": q_rollup,
+        "except_op": q_except,
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
@@ -871,6 +1059,13 @@ def build_registry() -> tuple[
         "bm25_lang": bm25_oracle_sql(["query"], k=10, lang="en"),
         "phrase": SQL_PHRASE,
         "gigabits": SQL_GIGABITS,
+        "search_facets": SQL_SEARCH_FACETS,
+        "site_cluster": SQL_SITE_CLUSTER,
+        "snippet": SQL_SNIPPET,
+        "spell_suggest": SQL_SPELL_SUGGEST,
+        "bigrams": SQL_BIGRAMS,
+        "rollup": SQL_ROLLUP,
+        "except_op": SQL_EXCEPT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_stats": SQL_TOKEN_STATS,

@@ -1,0 +1,100 @@
+"""Definitive scaling measurement for BENCH/BASELINE.md.
+
+This sandbox VM's throughput drifts ~2.5x over minutes, so single-shot
+level comparisons are meaningless.  This harness interleaves the two
+parallelism levels (A B A B A B) on the identical input and reports the
+per-level MEDIAN build throughput and warm query latency.
+
+Usage: python tools/scaling_interleaved.py [n_docs] [trials]
+Writes /tmp/scaling_interleaved.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
+TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+LEVELS = (8, 32)
+SRC = f"/tmp/scaling_src_{N_DOCS}"
+QUERIES = ["def return", "binarysearchtree", "import class self"]
+
+
+def one_run(cores: int) -> dict:
+    from open_source_search_engine_spark.operators.build import build_index
+    from open_source_search_engine_spark.operators.topk import search_wand
+    from open_source_search_engine_spark.plans.exec import (
+        _COLL_CACHE,
+        _TERM_CACHE,
+        search,
+    )
+    from open_source_search_engine_spark.session import get_spark
+    from open_source_search_engine_spark.sources.corpus import synth_documents
+
+    spark = get_spark(app_name=f"scale{cores}", cores=cores)
+    try:
+        if not os.path.exists(SRC):
+            synth_documents(spark, N_DOCS).write.parquet(SRC)
+        docs = spark.read.parquet(SRC)
+        root = "/tmp/scaling_idx"
+        shutil.rmtree(root, ignore_errors=True)
+        _COLL_CACHE.clear()
+        _TERM_CACHE.clear()
+        t0 = time.time()
+        idx = build_index(spark, docs, root, n_shards=2, shard_parallelism=2)
+        build_secs = time.time() - t0
+        for q in QUERIES * 2:  # warm
+            search_wand(spark, idx, q, k=10).collect()
+        lat = []
+        for _ in range(3):
+            for q in QUERIES:
+                t0 = time.time()
+                search_wand(spark, idx, q, k=10).collect()
+                lat.append((time.time() - t0) * 1000)
+        return {
+            "cores": cores,
+            "build_secs": round(build_secs, 1),
+            "docs_per_sec": round(N_DOCS / build_secs, 1),
+            "query_p50_ms": round(statistics.median(lat), 1),
+        }
+    finally:
+        spark.stop()
+        time.sleep(2)
+
+
+def main() -> None:
+    runs = []
+    for t in range(TRIALS):
+        for cores in LEVELS:
+            r = one_run(cores)
+            r["trial"] = t
+            runs.append(r)
+            print(json.dumps(r), flush=True)
+    out = {"n_docs": N_DOCS, "runs": runs}
+    for cores in LEVELS:
+        tps = [r["docs_per_sec"] for r in runs if r["cores"] == cores]
+        lat = [r["query_p50_ms"] for r in runs if r["cores"] == cores]
+        out[f"median_docs_per_sec_{cores}"] = statistics.median(tps)
+        out[f"median_query_p50_ms_{cores}"] = statistics.median(lat)
+    out["build_efficiency"] = round(
+        (out["median_docs_per_sec_32"] / out["median_docs_per_sec_8"])
+        / (LEVELS[1] / LEVELS[0]),
+        3,
+    )
+    out["query_speedup"] = round(
+        out["median_query_p50_ms_8"] / out["median_query_p50_ms_32"], 2
+    )
+    with open("/tmp/scaling_interleaved.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
