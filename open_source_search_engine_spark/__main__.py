@@ -1,0 +1,125 @@
+"""CLI entry point — the spark-submit surface (north rule: "runs
+end-to-end through spark-submit --py-files on multi-executor clusters").
+
+Usage (local):
+    python -m open_source_search_engine_spark build  --src <parquet> --index <dir>
+    python -m open_source_search_engine_spark search --index <dir> -q "binary search" -k 10
+    python -m open_source_search_engine_spark compact --index <dir>
+    python -m open_source_search_engine_spark synth  --out <parquet> --n 20000
+
+Cluster:
+    zip -r engine.zip open_source_search_engine_spark
+    spark-submit --py-files engine.zip run_engine.py build --src ... --index ...
+    (run_engine.py: ``from open_source_search_engine_spark.__main__ import
+    main; main()`` — when submitted through spark-submit the session
+    already exists; get_spark() adopts it via getOrCreate.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> None:
+    p = argparse.ArgumentParser(prog="open_source_search_engine_spark")
+    p.add_argument("--cores", type=int, default=None, help="local[] cores")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--src", required=True, help="documents parquet path")
+    b.add_argument("--index", required=True, help="index root directory")
+    b.add_argument("--shards", type=int, default=4)
+    b.add_argument("--block-size", type=int, default=4096)
+    b.add_argument("--salt-target", type=int, default=50_000)
+    b.add_argument("--no-resume", action="store_true")
+
+    s = sub.add_parser("search", help="BM25 top-k query")
+    s.add_argument("--index", required=True)
+    s.add_argument("-q", "--query", required=True)
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--engine", choices=["auto", "wand", "exhaustive"], default="auto")
+
+    c = sub.add_parser("compact", help="merge segments, drop tombstones")
+    c.add_argument("--index", required=True)
+
+    g = sub.add_parser("synth", help="generate the synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n", type=int, default=20_000)
+
+    args = p.parse_args(argv)
+
+    from .session import get_spark
+
+    spark = get_spark(cores=args.cores)
+
+    if args.cmd == "synth":
+        from .sources.corpus import synth_documents
+
+        synth_documents(spark, args.n).write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "n_docs": args.n}))
+        return
+
+    if args.cmd == "build":
+        from .operators.build import build_index
+
+        t0 = time.time()
+        build_index(
+            spark,
+            spark.read.parquet(args.src),
+            args.index,
+            n_shards=args.shards,
+            block_size=args.block_size,
+            salt_target=args.salt_target,
+            resume=not args.no_resume,
+        )
+        secs = time.time() - t0
+        print(json.dumps({"index": args.index, "build_secs": round(secs, 1)}))
+        return
+
+    if args.cmd == "compact":
+        from .operators.build import Index
+        from .operators.merge import compact_postings
+
+        compact_postings(spark, Index(args.index))
+        print(json.dumps({"compacted": args.index}))
+        return
+
+    if args.cmd == "search":
+        from .operators.build import Index
+        from .operators.topk import search_wand
+        from .plans.exec import search
+        from .plans.query import parse_query
+
+        idx = Index(args.index)
+        plan = parse_query(args.query)
+        use_wand = args.engine == "wand" or (
+            args.engine == "auto"
+            and not plan.negatives
+            and all(len(g.members) == 1 and not g.members[0].phrase for g in plan.groups)
+        )
+        fn = search_wand if use_wand else search
+        t0 = time.time()
+        rows = fn(spark, idx, args.query, k=args.k).collect()
+        ms = (time.time() - t0) * 1000
+        for r in rows:
+            print(
+                json.dumps(
+                    {
+                        "doc_id": r["doc_id"],
+                        "score": round(r["score"], 4),
+                        "repo": r["repo"],
+                        "path": r["path"],
+                        "lang": r["lang"],
+                    }
+                )
+            )
+        print(json.dumps({"engine": "wand" if use_wand else "exhaustive",
+                          "latency_ms": round(ms, 1)}), file=sys.stderr)
+        return
+
+
+if __name__ == "__main__":
+    main()
