@@ -112,4 +112,15 @@ def parse_query(q: str) -> QueryPlan:
         i += 1
     if pending:
         plan.groups.append(Group(pending))
+    # dedup: a term repeated in the query must not double-count (the
+    # reference collapses repeated QueryTerms); keep first occurrence
+    seen: set[tuple] = set()
+    uniq_groups = []
+    for g in plan.groups:
+        key = tuple(sorted((m.text, m.phrase) for m in g.members))
+        if key not in seen:
+            seen.add(key)
+            uniq_groups.append(g)
+    plan.groups = uniq_groups
+    plan.negatives = list(dict.fromkeys(plan.negatives))
     return plan

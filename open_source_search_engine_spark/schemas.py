@@ -64,36 +64,64 @@ POSTINGS_ROWS = StructType(
     ]
 )
 
-# termlist blocks (stored segments): one row per (term_id, block) with
-# delta+varint encoded columns — the analog of a prefix-compressed RdbList
-# (18B -> 12B -> 6B keys, Posdb.h key-format comment).  Block-level score
-# maxima enable block-max WAND (SURVEY §4.1 "getMaxPossibleScore").
+# posting rows at tokenizer-output grain: one row per (term, doc) with
+# per-doc positions already delta+varint encoded (the hot path carries no
+# array columns — see functions/tokenize.tokenize_to_postings)
+POSTING_ROWS_ENC = StructType(
+    [
+        StructField("term_id", LongType(), False),
+        StructField("doc_id", LongType(), False),
+        StructField("doclen", IntegerType(), False),
+        StructField("tf", IntegerType(), False),
+        StructField("pos_enc", BinaryType(), False),
+        StructField("term", StringType(), True),  # first occurrence only
+    ]
+)
+
+# termlist blocks (stored segments): one row per (term_id, salt, block)
+# with delta+varint encoded columns — the analog of a prefix-compressed
+# RdbList (18B -> 12B -> 6B keys, Posdb.h key-format comment).
+# (max_tf, min_doclen) give the per-block score bound for block-max WAND
+# (SURVEY §4.1 "getMaxPossibleScore"); n_salts records the shard-local
+# salt modulus; shard marks the doc partition (WAND task unit).
 POSTINGS_BLOCKS = StructType(
     [
         StructField("term_id", LongType(), False),
+        StructField("salt", IntegerType(), False),
+        StructField("n_salts", IntegerType(), False),
         StructField("block_id", IntegerType(), False),
         StructField("n_docs", IntegerType(), False),
         StructField("min_doc_id", LongType(), False),
         StructField("max_doc_id", LongType(), False),
         StructField("max_tf", IntegerType(), False),
+        StructField("min_doclen", IntegerType(), False),
         StructField("doc_ids_enc", BinaryType(), False),
         StructField("tfs_enc", BinaryType(), False),
+        StructField("doclens_enc", BinaryType(), False),
         StructField("positions_enc", BinaryType(), False),
+        StructField("shard", IntegerType(), False),
     ]
 )
 
 # ---------------------------------------------------------------------------
 # Collection statistics (drive BM25; reference: Posdb::getTermFreq estimate
 # + Rdb::getNumTotalRecs — we compute them exactly as DataFrame aggregates,
-# SURVEY §2.4 A2/A3).
+# SURVEY §2.4 A2/A3).  termdict maps term_id -> string (strings leave the
+# tokenizer only through this small table).
 # ---------------------------------------------------------------------------
-TERMSTATS = StructType(
+TERMDICT = StructType(
     [
         StructField("term_id", LongType(), False),
         StructField("term", StringType(), False),
+    ]
+)
+
+TERMSTATS = StructType(
+    [
+        StructField("term_id", LongType(), False),
         StructField("df", LongType(), False),
-        StructField("cf", LongType(), False),
-        StructField("n_salts", IntegerType(), False),
+        StructField("n_blocks", LongType(), False),
+        StructField("term", StringType(), False),
     ]
 )
 
@@ -101,8 +129,6 @@ COLLSTATS = StructType(
     [
         StructField("n_docs", LongType(), False),
         StructField("avgdl", DoubleType(), False),
-        StructField("n_terms", LongType(), False),
-        StructField("n_postings", LongType(), False),
     ]
 )
 
