@@ -33,6 +33,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # tuned confs (the ICU case-mapping path hangs on this VM)
     try:
         spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
     return bm25_adhoc(spark, "/root/testdata/sf0.001", ["spark", "join"], k=10)

@@ -27,6 +27,14 @@ TOKEN_RE = "[a-z0-9]+"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver supplies its own session: pin the two confs correctness
+    # depends on (ICU case-mapping hangs this VM; TZ must match DuckDB's
+    # naive timestamps).  Both are runtime-settable SQL confs.
+    try:
+        spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

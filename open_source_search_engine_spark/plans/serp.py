@@ -1,0 +1,106 @@
+"""Serp post-processing (SURVEY.md §3.1 stages 8-10): site clustering,
+facets over matches, snippets/highlighting for the top-k.
+
+Reference analogs: Msg40/Msg51 collapse results to <=2 per site (W1),
+QueryTerm facet hash tables merged by Msg3a (A4), Title/Summary/Highlight
+build the serp entries from TitleRecs fetched per result (Msg20, X15).
+All of it is post-top-k work over tiny DataFrames, so these run as cheap
+window/join/column steps on the search output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..operators.build import Index, decode_blocks
+from .exec import _termstats_cached
+from .query import parse_query
+
+
+def cluster_per_repo(results: DataFrame, max_per_repo: int = 2) -> DataFrame:
+    """W1: keep the best ``max_per_repo`` results per repo, flagging
+    overflow ('more from this site')."""
+    w = Window.partitionBy("repo").orderBy(F.desc("score"), F.asc("doc_id"))
+    counts = results.groupBy("repo").agg(F.count("*").alias("_n_in_repo"))
+    return (
+        results.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_per_repo)
+        .join(F.broadcast(counts), "repo")
+        .withColumn("more_from_repo", F.col("_n_in_repo") > max_per_repo)
+        .drop("_rn", "_n_in_repo")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def facets_for_query(
+    spark: SparkSession,
+    index: Index,
+    query: str,
+    fields: list[str] | None = None,
+) -> DataFrame:
+    """A4: facet counts over ALL matching docs of a conjunctive query
+    (not just the top-k) — gbfacetstr semantics: per-shard partial counts
+    merged by the final hash agg (the Msg3a facet merge, free in Spark).
+    """
+    fields = fields or ["lang", "repo"]
+    plan = parse_query(query)
+    terms = [g.members[0].text for g in plan.groups]
+    stats = _termstats_cached(spark, index, terms)
+    if not stats or any(t not in stats for t in terms):
+        return spark.createDataFrame([], "field string, value string, n long")
+    ids = [stats[t][0] for t in terms]
+    rows = decode_blocks(index.postings.read(spark).filter(F.col("term_id").isin(ids)))
+    matched = (
+        rows.groupBy("doc_id")
+        .agg(F.countDistinct("term_id").alias("nt"))
+        .filter(F.col("nt") == len(set(ids)))
+        .select("doc_id")
+    )
+    docs = index.docstats.read(spark).join(matched, "doc_id")
+    out = None
+    for f in fields:
+        part = docs.groupBy(F.col(f)).agg(F.count("*").alias("n")).select(
+            F.lit(f).alias("field"), F.col(f).cast("string").alias("value"), "n"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.orderBy("field", F.desc("n"), "value")
+
+
+def snippets(
+    spark: SparkSession,
+    index: Index,
+    results: DataFrame,
+    source_docs: DataFrame,
+    query: str,
+    width: int = 80,
+) -> DataFrame:
+    """X15: snippet + title for the top-k only — broadcast the tiny result
+    set against the source table (the Msg20 per-result TitleRec fetch),
+    then pure column ops pick the first query-term window and bold it."""
+    plan = parse_query(query)
+    first_term = plan.groups[0].members[0].text.split(":")[-1]
+    joined = F.broadcast(results).join(
+        source_docs.withColumn(
+            "_doc_id",
+            F.xxhash64("repo", "path", "commit"),
+        ).select(F.col("_doc_id").alias("doc_id"), "content"),
+        "doc_id",
+    )
+    pos = F.locate(first_term, F.lower(F.col("content")))
+    snippet = F.when(
+        pos > 0,
+        F.substring(F.col("content"), F.greatest(pos - width // 2, F.lit(1)), width),
+    ).otherwise(F.substring(F.col("content"), 1, width))
+    return joined.select(
+        "doc_id",
+        "score",
+        "repo",
+        "path",
+        # title = the path's basename (code corpus: Title.cpp analog)
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("title"),
+        F.regexp_replace(
+            snippet, f"(?i)({first_term})", "**$1**"
+        ).alias("snippet"),
+    ).orderBy(F.desc("score"), F.asc("doc_id"))

@@ -66,13 +66,16 @@ def one_run(cores: int) -> dict:
         }
     finally:
         spark.stop()
+        shutil.rmtree("/dev/shm/spark-local", ignore_errors=True)
         time.sleep(2)
 
 
 def main() -> None:
     runs = []
     for t in range(TRIALS):
-        for cores in LEVELS:
+        # alternate level order per trial to cancel slow VM drift
+        order = LEVELS if t % 2 == 0 else tuple(reversed(LEVELS))
+        for cores in order:
             r = one_run(cores)
             r["trial"] = t
             runs.append(r)
