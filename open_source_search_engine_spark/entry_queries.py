@@ -405,6 +405,34 @@ FROM events GROUP BY 1, 2 ORDER BY minute, event_type
 """
 
 
+def q_json_flatten(spark, sf_dir):
+    """X11: JSON field flatten (CT_JSON hashJSONFields analog) — extract
+    props.k per event and aggregate per event_type."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_JSON_FLATTEN = """
+SELECT event_type, count(k) AS n, round(avg(k), 4) AS avg_k, max(k) AS max_k
+FROM (SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events)
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_total_hits(spark, sf_dir):
     """A6: total-hits estimate -> exact count."""
     return (
@@ -1006,6 +1034,7 @@ def build_registry() -> tuple[
         "boolean_or": q_boolean_or,
         "paging": q_paging,
         "metrics_rollup": q_metrics_rollup,
+        "json_flatten": q_json_flatten,
         "total_hits": q_total_hits,
         "set_ops": q_set_ops,
         "sortby_field": q_sortby_field,
@@ -1053,6 +1082,7 @@ def build_registry() -> tuple[
         "boolean_or": SQL_BOOLEAN_OR,
         "paging": SQL_PAGING,
         "metrics_rollup": SQL_METRICS_ROLLUP,
+        "json_flatten": SQL_JSON_FLATTEN,
         "total_hits": SQL_TOTAL_HITS,
         "set_ops": SQL_SET_OPS,
         "sortby_field": SQL_SORTBY_FIELD,
