@@ -248,6 +248,11 @@ def tokenize_to_postings(docs, code_aware: bool = True, field_terms: bool = True
             )
             boff = np.zeros(n + 1, dtype=np.int64)
             np.cumsum(pos_nb, out=boff[1:])
+            # int32 Arrow binary offsets: guard against silent wrap on a
+            # pathological >2 GiB position stream in one batch
+            assert boff[-1] < 2**31, (
+                f"pos stream {int(boff[-1])}B overflows int32 Arrow offsets"
+            )
             offs = np.empty(len(starts) + 1, dtype=np.int32)
             offs[:-1] = boff[starts]
             offs[-1] = boff[-1]

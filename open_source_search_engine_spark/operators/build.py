@@ -236,6 +236,14 @@ def _encode_sorted_postings(
     n_docs = (bends - bstarts).astype(np.int64)
 
     def bin_col(stream: np.ndarray, value_off: np.ndarray) -> pa.Array:
+        # pa.binary() carries int32 offsets: a >2 GiB encoded stream in one
+        # Arrow batch would wrap silently on the cast below.  Batches are
+        # sized well under this (maxRecordsPerBatch), so fail loudly rather
+        # than corrupt blocks if a pathological carry-run ever exceeds it.
+        assert stream.nbytes < 2**31, (
+            f"encoded stream {stream.nbytes}B overflows int32 Arrow offsets; "
+            "lower spark.sql.execution.arrow.maxRecordsPerBatch"
+        )
         offs = np.empty(len(bstarts) + 1, dtype=np.int32)
         offs[:-1] = value_off[bstarts]
         offs[-1] = value_off[bends[-1]] if len(bends) else 0

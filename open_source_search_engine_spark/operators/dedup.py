@@ -58,26 +58,45 @@ def exact_dedup_groups(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
+def _fold61(x: np.ndarray) -> np.ndarray:
+    """Partial reduction mod p = 2^61-1 via 2^61 ≡ 1: result < 2^61 + 8."""
+    return (x >> np.uint64(61)) + (x & np.uint64(_MERSENNE))
+
+
+def _mulmod_p(a: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Exact (a * h) mod p for p = 2^61-1, a,h < 2^61, pure uint64 numpy.
+
+    Both operands are split into 32-bit limbs so every partial product
+    stays below 2^64 (a single split of only `a` overflows: a_lo < 2^32
+    times h < 2^61 needs 93 bits).  With a = a_hi*2^32 + a_lo and
+    h = h_hi*2^32 + h_lo (a_hi, h_hi < 2^29):
+
+        a*h = a_hi*h_hi*2^64 + (a_hi*h_lo + a_lo*h_hi)*2^32 + a_lo*h_lo
+
+    reduced term-wise using 2^61 ≡ 1 (so 2^64 ≡ 8, and m*2^32 with
+    m = u*2^29 + v becomes u + v*2^32).  Returns partially reduced
+    values < 2^63; callers fold + conditional-subtract.
+    """
+    m32 = np.uint64(0xFFFFFFFF)
+    a_hi, a_lo = a >> np.uint64(32), a & m32
+    h_hi, h_lo = h >> np.uint64(32), h & m32
+    t1 = (a_hi * h_hi) << np.uint64(3)  # < 2^61, exact
+    mid = a_hi * h_lo + a_lo * h_hi  # < 2^62, exact
+    t2 = (mid >> np.uint64(29)) + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    t3 = _fold61(a_lo * h_lo)  # product < 2^64, exact in uint64
+    return t1 + t2 + t3  # < 2^63
+
+
 def _minhash_batch(hvals: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Min over ((a*h + b) mod p) for each of N_PERM permutations."""
+    """Min over ((a*h + b) mod p) for each of N_PERM permutations —
+    exact modular arithmetic (verified against big-int in
+    tests/test_dedup_kernels.py), so min-wise independence holds and
+    band-agreement counts are unbiased Jaccard estimates."""
     if hvals.size == 0:
         return np.full(N_PERM, _MERSENNE, dtype=np.uint64)
     h = hvals.astype(np.uint64) % _MERSENNE
-    # (N_PERM, n) via broadcasting; python ints avoid uint64 overflow by
-    # doing the mod-mul in object space? No — use 128-bit via two-step:
-    # split a*h into high/low using float is unsafe; do it with Python ints
-    # only per unique shingle set is too slow.  Instead use numpy uint64
-    # with Mersenne-prime modular trick: (x mod 2^61-1) fits 61 bits, and
-    # a < 2^61, so a*h needs 122 bits -> emulate with np.uint64 pairs.
-    lo = (a[:, None] & 0xFFFFFFFF) * h[None, :]
-    hi = (a[:, None] >> 32) * h[None, :]
-    # x = hi*2^32 + lo; reduce mod 2^61-1 using 2^61 ≡ 1:
-    # split into 61-bit chunks
-    def mod61(x):
-        return (x >> np.uint64(61)) + (x & np.uint64(_MERSENNE))
-
-    val = mod61(mod61(hi) * np.uint64((1 << 32) % _MERSENNE) + mod61(lo)) + b[:, None]
-    val = mod61(val)
+    val = _mulmod_p(a[:, None], h[None, :]) + b[:, None]  # < 2^63 + 2^61
+    val = _fold61(_fold61(val))
     val = np.where(val >= _MERSENNE, val - _MERSENNE, val)
     return val.min(axis=1)
 
@@ -114,10 +133,18 @@ def minhash_signatures(
 
 
 def minhash_lsh_pairs(
-    sigs: DataFrame, bands: int = 16, threshold_rows: int = 4
+    sigs: DataFrame, bands: int = 16, max_bucket_size: int = 10_000
 ) -> DataFrame:
     """Candidate near-dup pairs via banded LSH: equal band-slice -> bucket;
-    join within buckets only (a, b, n_bands_agree)."""
+    join within buckets only (a, b, n_bands_agree).
+
+    ``max_bucket_size`` caps the quadratic blowup of a degenerate hot
+    bucket (e.g. an empty-document band value shared by millions of rows
+    at 10^12 scale): buckets above the cap are dropped BEFORE the
+    self-join, bounding candidates at bands * max_bucket_size^2 / 2 per
+    bucket.  Members of an over-full bucket are near-identical to each
+    other by construction, so exact-dedup (one hash groupBy) already
+    collapses them — the standard LSH fallback."""
     rows_per_band = N_PERM // bands
     banded = sigs.select(
         "id",
@@ -130,8 +157,16 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # one extra shuffle on the same (band, bucket) key as the join —
+    # map-side combined, so the cost is a per-bucket count, not a sort
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
+    bounded = banded.join(
+        sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    left = bounded.alias("l")
+    right = bounded.alias("r")
     pairs = (
         left.join(
             right,
@@ -162,16 +197,28 @@ def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, hs in enumerate(pdf["hs"]):
-                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
-                if h.size == 0:
-                    out[i] = 0
-                    continue
-                bits = (h[:, None] >> bit_idx[None, :]) & np.uint64(1)
-                votes = bits.sum(axis=0).astype(np.int64) * 2 - h.size
-                sig = int(((votes > 0).astype(np.uint64) << bit_idx).sum(dtype=np.uint64))
-                out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+            n = len(pdf)
+            lens = np.fromiter((len(hs) for hs in pdf["hs"]), dtype=np.int64, count=n)
+            out = np.zeros(n, dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if len(nz):
+                # one (total_tokens, 64) bit matrix for the whole batch;
+                # per-row bit sums via segmented reduceat over the
+                # contiguous nonempty-row boundaries — no per-row loop
+                h_all = np.concatenate(
+                    [np.asarray(pdf["hs"].iloc[i], dtype=np.int64) for i in nz]
+                ).astype(np.uint64)
+                bits = ((h_all[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(
+                    np.int64
+                )
+                starts = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=starts[1:])
+                ones = np.add.reduceat(bits, starts, axis=0)
+                votes = ones * 2 - lens[nz][:, None]
+                sigs = ((votes > 0).astype(np.uint64) << bit_idx[None, :]).sum(
+                    axis=1, dtype=np.uint64
+                )
+                out[nz] = sigs.view(np.int64)  # two's-complement reinterpret
             yield pd.DataFrame({"id": pdf["id"], "simhash": out})
 
     return hashed.mapInPandas(kernel, "id long, simhash long")
@@ -183,12 +230,22 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     min_jaccard: float = 0.0,
+    max_shingle_df: int | None = 1000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard for all pairs sharing >=1 shingle.
+    """n-gram Jaccard for pairs sharing >=1 *discriminative* shingle.
 
-    The inverted-index join bounds candidates to docs sharing a shingle —
-    at 10^12 scale this runs *after* LSH restricts candidates; here it is
-    also the DuckDB-oracle-checkable exact formulation.
+    The inverted-index self-join bounds candidates to docs sharing a
+    shingle, but a hot shingle (language keyword skeleton) with df=d
+    produces d^2/2 pairs — quadratic at scale.  ``max_shingle_df`` drops
+    shingles whose document frequency exceeds the cutoff BEFORE the join
+    (the standard trick: a shingle present in >1000 docs carries no
+    near-dup signal), enforcing bounded candidates in code rather than by
+    docstring convention.  Intersection counts still use the FULL shingle
+    sets of the surviving pairs, so jaccard values are exact — only pairs
+    whose every common shingle is hot are missed (true near-dups always
+    share rare shingles unless the whole doc is boilerplate, which LSH +
+    exact dedup handle).  Pass ``max_shingle_df=None`` for the exact
+    all-pairs formulation (small corpora / oracle checks).
     Output: (a, b, jaccard) with a < b.
     """
     sh = docs.select(
@@ -197,16 +254,56 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.select("id", F.size("sh").alias("nsh"))
     inv = sh.select("id", F.explode("sh").alias("g"))
-    inter = (
-        inv.alias("l")
-        .join(inv.alias("r"), (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
+    cand_inv = inv
+    if max_shingle_df is not None:
+        rare = (
+            inv.groupBy("g")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .drop("_df")
+        )
+        cand_inv = inv.join(rare, "g", "left_semi")
+    if max_shingle_df is None:
+        # exact all-pairs formulation: count co-occurrences directly
+        inter = (
+            inv.alias("l")
+            .join(
+                inv.alias("r"),
+                (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")),
+            )
+            .groupBy(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .agg(F.count("*").alias("inter"))
+            .join(sizes.withColumnsRenamed({"id": "a", "nsh": "na"}), "a")
+            .join(sizes.withColumnsRenamed({"id": "b", "nsh": "nb"}), "b")
+        )
+    else:
+        # bounded candidate pairs from rare shingles only, then EXACT
+        # intersection per pair via array_intersect of the full shingle
+        # sets — the hot-shingle quadratic join never happens
+        cand = (
+            cand_inv.alias("l")
+            .join(
+                cand_inv.alias("r"),
+                (F.col("l.g") == F.col("r.g")) & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+            .distinct()
+        )
+        inter = (
+            cand.join(
+                sh.select(F.col("id").alias("a"), F.col("sh").alias("_sha")), "a"
+            )
+            .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("_shb")), "b")
+            .select(
+                "a",
+                "b",
+                F.size(F.array_intersect("_sha", "_shb")).alias("inter"),
+                F.size("_sha").alias("na"),
+                F.size("_shb").alias("nb"),
+            )
+        )
     return (
-        inter.join(sizes.withColumnsRenamed({"id": "a", "nsh": "na"}), "a")
-        .join(sizes.withColumnsRenamed({"id": "b", "nsh": "nb"}), "b")
-        .withColumn(
+        inter.withColumn(
             "jaccard",
             F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")),
         )

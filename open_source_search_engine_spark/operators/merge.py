@@ -103,6 +103,10 @@ def decode_to_postings(blocks: DataFrame) -> DataFrame:
                 np.concatenate(pos_chunks) if pos_chunks else np.empty(0, np.uint8)
             )
             lens_all = np.concatenate(row_pos_lens)
+            total_b = int(lens_all.sum())
+            assert total_b < 2**31, (
+                f"pos stream {total_b}B overflows int32 Arrow offsets"
+            )
             offs = np.zeros(len(lens_all) + 1, dtype=np.int32)
             np.cumsum(lens_all, out=offs[1:])
             pos_enc = pa.BinaryArray.from_buffers(

@@ -53,6 +53,25 @@ def brute_force_topk(
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 
+def _hyperplanes(n_planes: int, dim: int, seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def _bucket_expr(vec: Column, planes) -> Column:
+    """Sign-bit bucket id of ``vec`` under the given hyperplanes (pure
+    column expression, codegen'd)."""
+    out = F.lit(0)
+    for i in range(len(planes)):
+        out = out + F.when(
+            _dot(vec, F.array(*[F.lit(float(p)) for p in planes[i]])) >= 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+    return out
+
+
 def lsh_bucketed_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -61,37 +80,30 @@ def lsh_bucketed_topk(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: random-hyperplane LSH bucket of the query is
     scanned exactly; other buckets are pruned at the parquet scan
-    (partition/row-group pruning on the bucket column at scale)."""
+    (partition/row-group pruning on the bucket column at scale).
+
+    ``n_probes`` is the recall knob (multi-probe LSH): probe the query's
+    bucket plus its nearest neighbors in Hamming distance (1-bit flips
+    first), trading scan volume for recall without rebuilding buckets."""
     import numpy as np
 
-    dim = len(query_vec)
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-
-    def bucket_expr(vec: Column) -> Column:
-        bits = [
-            F.when(
-                _dot(vec, F.array(*[F.lit(float(p)) for p in planes[i]])) >= 0, 1 << i
-            ).otherwise(0)
-            for i in range(n_planes)
-        ]
-        out = F.lit(0)
-        for b in bits:
-            out = out + b
-        return out
-
-    v = vectors.withColumn("_bucket", bucket_expr(F.col(vec_col).cast("array<double>")))
-    qb = int(
-        sum(
-            (1 << i) if float(np.dot(planes[i], np.asarray(query_vec))) >= 0 else 0
-            for i in range(n_planes)
-        )
+    planes = _hyperplanes(n_planes, len(query_vec), seed)
+    v = vectors.withColumn(
+        "_bucket", _bucket_expr(F.col(vec_col).cast("array<double>"), planes)
     )
+    qv = np.asarray(query_vec)
+    qb = int(sum((1 << i) for i in range(n_planes) if float(planes[i] @ qv) >= 0.0))
+    # probe order: exact bucket, then 1-bit flips ranked by |margin| of the
+    # flipped plane (closest decision boundaries first — standard multi-probe)
+    margins = np.abs(planes @ qv)
+    flip_order = np.argsort(margins)
+    probes = [qb] + [qb ^ (1 << int(i)) for i in flip_order[: max(0, n_probes - 1)]]
     return brute_force_topk(
-        v.filter(F.col("_bucket") == qb), query_vec, id_col, vec_col, k
+        v.filter(F.col("_bucket").isin(probes)), query_vec, id_col, vec_col, k
     )
 
 
@@ -100,20 +112,57 @@ def pairwise_cosine_above(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 8,
+    bands: int = 4,
+    seed: int = 42,
+    max_bucket_size: int = 10_000,
 ) -> DataFrame:
-    """Embedding near-dup pairs (a < b, cosine >= threshold).  Exact; the
-    scale path first buckets by LSH signature then verifies within
-    buckets (same candidate-bound pattern as dedup.minhash_lsh_pairs)."""
+    """Embedding near-dup pairs (a < b, cosine >= threshold).
+
+    Candidates form ONLY inside an LSH bucket (``bands`` independent
+    hyperplane signatures OR'd together — two vectors are candidates if
+    they agree on all ``n_planes`` sign bits of at least one band), then
+    each candidate pair is scored exactly.  No cartesian product: the
+    join key is (band, bucket), candidate volume is bounded per bucket by
+    ``max_bucket_size`` (degenerate hot buckets dropped, as in
+    dedup.minhash_lsh_pairs).  Recall rises with ``bands`` and falls with
+    ``n_planes``; P(candidate) = 1 - (1 - (1 - θ/π)^n_planes)^bands for
+    angle θ."""
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
+    dim = int(v.select(F.size("v")).first()[0])
+    banded = None
+    for band in range(bands):
+        planes = _hyperplanes(n_planes, dim, seed + 1000 * band)
+        part = v.select(
+            "id", F.lit(band).alias("band"), _bucket_expr(F.col("v"), planes).alias("bucket")
+        )
+        banded = part if banded is None else banded.unionByName(part)
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
+    bounded = banded.join(
+        sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    cand = (
+        bounded.alias("l")
+        .join(
+            bounded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("a"), F.col("r.id").alias("b"))
+        .distinct()
+    )
     return (
-        v.alias("l")
-        .join(v.alias("r"), F.col("l.id") < F.col("r.id"))
+        cand.join(v.select(F.col("id").alias("a"), F.col("v").alias("_va")), "a")
+        .join(v.select(F.col("id").alias("b"), F.col("v").alias("_vb")), "b")
         .select(
-            F.col("l.id").alias("a"),
-            F.col("r.id").alias("b"),
-            F.round(cosine_col(F.col("l.v"), F.col("r.v")), 4).alias("cosine"),
+            "a",
+            "b",
+            F.round(cosine_col(F.col("_va"), F.col("_vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
