@@ -41,6 +41,15 @@ def main(argv: list[str] | None = None) -> None:
     s.add_argument("-q", "--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--engine", choices=["auto", "wand", "exhaustive"], default="auto")
+    s.add_argument("--synonyms", action="store_true", help="X5 OR-group expansion")
+    s.add_argument(
+        "--boolean", action="store_true",
+        help="treat -q as a nested boolean expression (parens/AND/OR/NOT)",
+    )
+    s.add_argument(
+        "--lang-boost", default=None, metavar="LANG:FACTOR",
+        help="F8 soft language preference, e.g. python:1.2",
+    )
 
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
@@ -94,15 +103,36 @@ def main(argv: list[str] | None = None) -> None:
         from .plans.query import parse_query
 
         idx = Index(args.index)
+        if args.boolean:
+            from .plans.boolean import search_boolean
+
+            t0 = time.time()
+            rows = search_boolean(spark, idx, args.query).collect()
+            ms = (time.time() - t0) * 1000
+            for r in rows:
+                print(json.dumps({"doc_id": r["doc_id"]}))
+            print(
+                json.dumps({"engine": "boolean", "latency_ms": round(ms, 1)}),
+                file=sys.stderr,
+            )
+            return
         plan = parse_query(args.query)
+        # WAND covers terms, OR-groups and negatives; phrases need the
+        # positional general plan
         use_wand = args.engine == "wand" or (
             args.engine == "auto"
-            and not plan.negatives
-            and all(len(g.members) == 1 and not g.members[0].phrase for g in plan.groups)
+            and not any(m.phrase for g in plan.groups for m in g.members)
         )
         fn = search_wand if use_wand else search
+        lb = None
+        if args.lang_boost:
+            lang, factor = args.lang_boost.rsplit(":", 1)
+            lb = (lang, float(factor))
         t0 = time.time()
-        rows = fn(spark, idx, args.query, k=args.k).collect()
+        rows = fn(
+            spark, idx, args.query, k=args.k,
+            synonyms=args.synonyms, lang_boost=lb,
+        ).collect()
         ms = (time.time() - t0) * 1000
         for r in rows:
             print(

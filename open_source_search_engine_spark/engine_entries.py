@@ -1,0 +1,469 @@
+"""Driver-oracle entries that exercise the STORED index engine end-to-end.
+
+Round-1 verdict finding #1: the oracle-checked ``bm25_*`` entries computed
+BM25 with an ad-hoc declarative plan over raw text, so the actual engine —
+build_index -> postings/termstats segments -> plans.exec.search /
+operators.topk.search_wand — was pytest-verified only.  These entries close
+that hole: each one builds (once, cached on disk + in-process) a real index
+over the driver ``documents`` fixture and answers through the stored-index
+query paths, while the DuckDB oracle recomputes the same math from raw
+text.  A green hash here certifies tokenizer, codec, block layout, salting,
+stats tables, WAND pruning and tombstones against an independent engine.
+
+Parity preconditions (checked against the fixture):
+- fixture text is single-space-joined ``[a-z0-9]+`` tokens, so the code
+  tokenizer (code_aware=False) and the oracle regex produce identical
+  token streams, and positional phrase match == padded string-contains;
+- the fixture's own ``doc_id`` is preserved by build_index (derive_ids
+  keeps a pre-existing doc_id column), so results join back without an
+  id-mapping table;
+- scores are rounded to 4 dp on both sides AFTER aggregation, and top-k
+  selection happens on the ROUNDED score (ties broken by doc_id) on both
+  sides: the engine returns k+10 by exact score, then re-ranks rounded.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.build import Index, build_index, decode_blocks
+from .operators.topk import search_wand
+from .plans.exec import _stats_cached, search
+
+TOKEN_RE = "[a-z0-9]+"
+
+# doc_ids tombstoned in the *_tomb index variant (merge-on-read entry)
+TOMBSTONED_DOC_IDS = [0, 1, 2]
+
+_CACHE: dict[tuple[str, str], Index] = {}
+_ENGINE_ROOT = "/tmp/osse_engine_idx"
+
+
+def _corpus_fingerprint(sf_dir: str) -> dict:
+    """Cheap identity of the fixture corpus (rebuild trigger on change)."""
+    import duckdb
+
+    con = duckdb.connect()
+    n, s = con.execute(
+        "SELECT count(*), coalesce(sum(doc_id), 0) FROM read_parquet(?)",
+        [f"{sf_dir}/documents.parquet"],
+    ).fetchone()
+    con.close()
+    return {"n": int(n), "sum_doc_id": int(s)}
+
+
+def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver fixture (doc_id, text, lang, source, ...) -> the engine's
+    north-rule corpus shape (repo, path, commit, lang, content), keeping
+    the fixture's doc_id as the index doc id."""
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+
+
+def engine_index(spark: SparkSession, sf_dir: str) -> Index:
+    """The shared stored index over ``sf_dir``'s documents fixture —
+    built once per corpus fingerprint, reused across entries/processes."""
+    key = os.path.abspath(sf_dir)
+    hit = _CACHE.get((key, "main"))
+    if hit is not None:
+        return hit
+    fp = _corpus_fingerprint(key)
+    root = os.path.join(
+        _ENGINE_ROOT, hashlib.md5(key.encode()).hexdigest()[:12]
+    )
+    meta_p = os.path.join(root, "_corpus_meta.json")
+    ok = False
+    if os.path.exists(meta_p):
+        try:
+            with open(meta_p) as f:
+                ok = json.load(f) == fp
+        except Exception:
+            ok = False
+    if not ok:
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+        build_index(
+            spark,
+            _docs_as_corpus(spark, key),
+            root,
+            n_shards=2,
+            code_aware=False,  # fixture text is plain lowercase tokens
+            field_terms=False,
+            block_size=256,
+        )
+        with open(meta_p, "w") as f:
+            json.dump(fp, f)
+    idx = Index(root)
+    _CACHE[(key, "main")] = idx
+    return idx
+
+
+def engine_index_tombstoned(spark: SparkSession, sf_dir: str) -> Index:
+    """Copy of the shared index with TOMBSTONED_DOC_IDS deleted
+    (merge-on-read: stats still include them, results must not)."""
+    key = os.path.abspath(sf_dir)
+    hit = _CACHE.get((key, "tomb"))
+    if hit is not None:
+        return hit
+    base = engine_index(spark, key)
+    root = base.root + "_tomb"
+    meta_p = os.path.join(root, "_tomb_meta.json")
+    fp = {"base": base.root, "deleted": TOMBSTONED_DOC_IDS}
+    ok = False
+    if os.path.exists(meta_p):
+        try:
+            with open(meta_p) as f:
+                ok = json.load(f) == fp
+        except Exception:
+            ok = False
+    if not ok:
+        from .operators.merge import delete_docs
+
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.copytree(base.root, root)
+        os.remove(os.path.join(root, "_corpus_meta.json"))
+        delete_docs(spark, Index(root), TOMBSTONED_DOC_IDS)
+        with open(meta_p, "w") as f:
+            json.dump(fp, f)
+    idx = Index(root)
+    _CACHE[(key, "tomb")] = idx
+    return idx
+
+
+def _round_topk(results: DataFrame, k: int) -> DataFrame:
+    """Re-rank by ROUNDED score (ties by doc_id) to mirror the oracle's
+    ``ORDER BY round(s,4) DESC, doc_id LIMIT k`` selection exactly."""
+    return (
+        results.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 through the WAND fast path (operators.topk.search_wand)
+# ---------------------------------------------------------------------------
+def q_engine_bm25_single(spark, sf_dir):
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "spark", k=20, enrich=False), 10)
+
+
+def q_engine_bm25_and2(spark, sf_dir):
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "spark join", k=20, enrich=False), 10)
+
+
+def q_engine_bm25_and3(spark, sf_dir):
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(
+        search_wand(spark, idx, "hash merge sort", k=20, enrich=False), 10
+    )
+
+
+def q_engine_bm25_neg(spark, sf_dir):
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "table -join", k=20, enrich=False), 10)
+
+
+# ---------------------------------------------------------------------------
+# BM25 through the general DataFrame plan (plans.exec.search)
+# ---------------------------------------------------------------------------
+def q_engine_bm25_or(spark, sf_dir):
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(
+        search(spark, idx, "vector OR stream", k=20, enrich=False), 10
+    )
+
+
+def q_engine_bm25_exhaustive(spark, sf_dir):
+    """Same query as engine_bm25_and2 via the exhaustive plan — the
+    driver-checked analog of test_wand_equals_exhaustive."""
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(search(spark, idx, "spark join", k=20, enrich=False), 10)
+
+
+def q_engine_phrase(spark, sf_dir):
+    """J4 through stored positions: quoted-phrase adjacency from the
+    per-doc delta+varint position streams."""
+    idx = engine_index(spark, sf_dir)
+    res = search(spark, idx, '"fast table"', k=10_000, enrich=False)
+    return res.select("doc_id").orderBy("doc_id")
+
+
+def q_engine_synonyms(spark, sf_dir):
+    """X5 through the WAND kernel: 'merge batch' with merge expanded to
+    the weighted OR-group {merge:1.0, join:0.9, sort:0.7} — synonym hits
+    score at a discount and can never beat the exact term in an equal
+    doc; the oracle replays the same expansion in SQL."""
+    idx = engine_index(spark, sf_dir)
+    table = {"merge": [("join", 0.9), ("sort", 0.7)]}
+    return _round_topk(
+        search_wand(spark, idx, "merge batch", k=20, enrich=False, synonyms=table),
+        10,
+    )
+
+
+SQL_ENGINE_SYNONYMS = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
+occ AS (SELECT doc_id, doclen, unnest(toks) AS term FROM dd),
+tf AS (
+  SELECT doc_id, term, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ WHERE term IN ('merge', 'join', 'sort', 'batch')
+  GROUP BY doc_id, term, doclen
+),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term,
+         (CASE tf.term WHEN 'join' THEN 0.9 WHEN 'sort' THEN 0.7 ELSE 1.0 END)
+         * ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         * tf.tf * 2.2
+         / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) AS c
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+),
+slot1 AS (
+  SELECT doc_id, max(c) AS s1 FROM contrib
+  WHERE term IN ('merge', 'join', 'sort') GROUP BY doc_id
+),
+slot2 AS (SELECT doc_id, max(c) AS s2 FROM contrib WHERE term = 'batch' GROUP BY doc_id)
+SELECT doc_id, round(s1 + s2, 4) AS score
+FROM slot1 JOIN slot2 USING (doc_id)
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_engine_latest_wins(spark, sf_dir):
+    """U4/R4: merge-on-read tombstones — deleted docs excluded from
+    results while stats (idf/avgdl) still reflect the pre-delete corpus,
+    exactly the LSM visibility rule between delete and compaction."""
+    idx = engine_index_tombstoned(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "table", k=20, enrich=False), 10)
+
+
+# ---------------------------------------------------------------------------
+# Index-backed aggregates / serp ops
+# ---------------------------------------------------------------------------
+def _matched_docs(spark, idx: Index, terms: list[str]) -> DataFrame:
+    """doc_ids matching ALL terms, straight from decoded postings."""
+    _n, _a, stats = _stats_cached(spark, idx, terms)
+    if len(stats) < len(terms):
+        return spark.createDataFrame([], "doc_id long")
+    ids = [stats[t][0] for t in terms]
+    rows = decode_blocks(
+        idx.postings.read(spark).filter(F.col("term_id").isin(ids))
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(F.countDistinct("term_id").alias("nt"))
+        .filter(F.col("nt") == len(set(ids)))
+        .select("doc_id")
+    )
+
+
+def q_engine_boolean(spark, sf_dir):
+    """U1 nested boolean over the index: parens + AND/OR/NOT evaluated
+    per doc from the postings presence sets (Expression::isTruth)."""
+    from .plans.boolean import search_boolean
+
+    idx = engine_index(spark, sf_dir)
+    return search_boolean(spark, idx, "(spark OR join) AND NOT (table AND fast)")
+
+
+SQL_ENGINE_BOOLEAN = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+)
+SELECT doc_id FROM d
+WHERE (list_contains(toks, 'spark') OR list_contains(toks, 'join'))
+  AND NOT (list_contains(toks, 'table') AND list_contains(toks, 'fast'))
+ORDER BY doc_id
+"""
+
+
+def q_engine_total_hits(spark, sf_dir):
+    """A6 from the index: exact hit count of a conjunctive query."""
+    idx = engine_index(spark, sf_dir)
+    return _matched_docs(spark, idx, ["spark", "join"]).agg(
+        F.count("*").alias("total_hits")
+    )
+
+
+def q_engine_facets(spark, sf_dir):
+    """A4 from the index: lang facet counts over ALL matches of 'join'
+    via plans.serp.facets_for_query (per-shard partials -> final agg)."""
+    from .plans.serp import facets_for_query
+
+    idx = engine_index(spark, sf_dir)
+    return facets_for_query(spark, idx, "join", fields=["lang"])
+
+
+
+
+def q_engine_gigabits(spark, sf_dir):
+    """A7 index-backed: related terms from a candidate sample — postings
+    pick the 50 lowest-doc_id matches of 'spark' (index seek, no corpus
+    scan), Msg20-style content fetch for just those docs, then term
+    counts (the reference computes gigabits from the top results'
+    summaries, not the whole corpus)."""
+    idx = engine_index(spark, sf_dir)
+    cand = _matched_docs(spark, idx, ["spark"]).orderBy("doc_id").limit(50)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").join(
+        F.broadcast(cand), "doc_id"
+    )
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_RE), F.lit(0))
+    return (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twins (DuckDB over the same parquet fixtures)
+# ---------------------------------------------------------------------------
+def _bm25_engine_oracle(
+    terms: list[str],
+    k: int = 10,
+    mode: str = "and",
+    neg_terms: list[str] | None = None,
+    exclude_doc_ids: list[int] | None = None,
+) -> str:
+    """BM25 recomputed from raw text with the engine's semantics: global
+    stats over ALL docs, idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75,
+    top-k on the ROUNDED score.  ``exclude_doc_ids`` models merge-on-read
+    tombstones: excluded from results, still inside the stats.
+
+    mode='or' replicates the engine's OR-GROUP semantics (Gigablast
+    QueryTermInfo synonym groups, U3): the terms share ONE slot scored as
+    the MAX member contribution, not a disjunctive sum — hence the agg
+    switches from sum to max."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    nt_pred = f"nt = {len(terms)}" if mode == "and" else "nt >= 1"
+    agg = "sum" if mode == "and" else "max"
+    neg = ""
+    if neg_terms:
+        nl = ", ".join(f"'{t}'" for t in neg_terms)
+        neg = (
+            f" AND doc_id NOT IN (SELECT DISTINCT doc_id FROM occ "
+            f"WHERE term IN ({nl}))"
+        )
+    excl = ""
+    if exclude_doc_ids:
+        el = ", ".join(str(i) for i in exclude_doc_ids)
+        excl = f" AND doc_id NOT IN ({el})"
+    return f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
+occ AS (SELECT doc_id, doclen, unnest(toks) AS term FROM dd),
+tf AS (
+  SELECT doc_id, term, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ WHERE term IN ({tl})
+  GROUP BY doc_id, term, doclen
+),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, count(*) AS nt,
+         {agg}( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+              * tf.tf * 2.2
+              / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored WHERE {nt_pred}{neg}{excl}
+ORDER BY score DESC, doc_id
+LIMIT {k}
+"""
+
+
+SQL_ENGINE_PHRASE = """
+SELECT doc_id FROM documents
+WHERE contains(' ' || lower(text) || ' ', ' fast table ')
+ORDER BY doc_id
+"""
+
+SQL_ENGINE_TOTAL_HITS = f"""
+SELECT count(*) AS total_hits FROM documents
+WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_RE}'), 'spark')
+  AND list_contains(regexp_extract_all(lower(text), '{TOKEN_RE}'), 'join')
+"""
+
+SQL_ENGINE_FACETS = f"""
+SELECT 'lang' AS field, lang AS value, count(*) AS n
+FROM documents
+WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_RE}'), 'join')
+GROUP BY lang ORDER BY field, n DESC, value
+"""
+
+SQL_ENGINE_GIGABITS = f"""
+WITH matched AS (
+  SELECT doc_id, text FROM documents
+  WHERE list_contains(regexp_extract_all(lower(text), '{TOKEN_RE}'), 'spark')
+  ORDER BY doc_id LIMIT 50
+)
+SELECT term, count(*) AS cnt
+FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+      FROM matched)
+GROUP BY term ORDER BY cnt DESC, term LIMIT 20
+"""
+
+
+def engine_registry() -> tuple[dict, dict]:
+    queries = {
+        "engine_bm25_single": q_engine_bm25_single,
+        "engine_bm25_and2": q_engine_bm25_and2,
+        "engine_bm25_and3": q_engine_bm25_and3,
+        "engine_bm25_neg": q_engine_bm25_neg,
+        "engine_bm25_or": q_engine_bm25_or,
+        "engine_bm25_exhaustive": q_engine_bm25_exhaustive,
+        "engine_phrase": q_engine_phrase,
+        "engine_synonyms": q_engine_synonyms,
+        "engine_boolean": q_engine_boolean,
+        "engine_latest_wins": q_engine_latest_wins,
+        "engine_total_hits": q_engine_total_hits,
+        "engine_facets": q_engine_facets,
+        # spell / termstats / tf / collstats / gigabits now run
+        # index-backed under their original entry names (entry_queries)
+        "engine_gigabits": q_engine_gigabits,
+    }
+    oracles = {
+        "engine_bm25_single": _bm25_engine_oracle(["spark"]),
+        "engine_bm25_and2": _bm25_engine_oracle(["spark", "join"]),
+        "engine_bm25_and3": _bm25_engine_oracle(["hash", "merge", "sort"]),
+        "engine_bm25_neg": _bm25_engine_oracle(["table"], neg_terms=["join"]),
+        "engine_bm25_or": _bm25_engine_oracle(["vector", "stream"], mode="or"),
+        "engine_bm25_exhaustive": _bm25_engine_oracle(["spark", "join"]),
+        "engine_phrase": SQL_ENGINE_PHRASE,
+        "engine_synonyms": SQL_ENGINE_SYNONYMS,
+        "engine_boolean": SQL_ENGINE_BOOLEAN,
+        "engine_latest_wins": _bm25_engine_oracle(
+            ["table"], exclude_doc_ids=TOMBSTONED_DOC_IDS
+        ),
+        "engine_total_hits": SQL_ENGINE_TOTAL_HITS,
+        "engine_facets": SQL_ENGINE_FACETS,
+        "engine_gigabits": SQL_ENGINE_GIGABITS,
+    }
+    return queries, oracles

@@ -481,15 +481,23 @@ FROM part ORDER BY p_size ASC, price DESC, p_partkey LIMIT 25
 # Search operators over the driver `documents` table
 # ---------------------------------------------------------------------------
 def q_tf(spark, sf_dir):
-    """A1: tf per (term, doc) for one term."""
-    docs = _t(spark, sf_dir, "documents")
-    occ = docs.select("doc_id", F.explode(_toks()).alias("term"))
-    return (
-        occ.filter(F.col("term") == "table")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("tf"))
-        .orderBy("doc_id")
+    """A1 from the STORED index: tf per (term, doc) for one term — a
+    pruned postings scan + Arrow block decode, not a corpus re-tokenize
+    (the oracle recomputes from raw text independently)."""
+    from .engine_entries import engine_index
+    from .operators.build import decode_blocks
+    from .plans.exec import _stats_cached
+
+    idx = engine_index(spark, sf_dir)
+    _n, _a, stats = _stats_cached(spark, idx, ["table"])
+    if "table" not in stats:
+        return spark.createDataFrame([], "doc_id long, tf long")
+    rows = decode_blocks(
+        idx.postings.read(spark).filter(F.col("term_id") == stats["table"][0])
     )
+    return rows.select(
+        "doc_id", F.col("tf").cast("long").alias("tf")
+    ).orderBy("doc_id")
 
 
 SQL_TF = f"""
@@ -501,15 +509,18 @@ WHERE term = 'table' GROUP BY doc_id ORDER BY doc_id
 
 
 def q_termstats(spark, sf_dir):
-    """A2: df/cf per term (exact getTermFreq)."""
-    docs = _t(spark, sf_dir, "documents")
-    occ = docs.select("doc_id", F.explode(_toks()).alias("term"))
+    """A2 from the STORED stats tables: df/cf per term (getTermFreq) —
+    reads the index's termstats snapshot, no corpus scan."""
+    from .engine_entries import engine_index
+
+    idx = engine_index(spark, sf_dir)
+    ts = idx.termstats.read(spark)
     return (
-        occ.filter(F.col("term").isin(["spark", "join", "table", "vector", "stream"]))
-        .groupBy("term")
-        .agg(
-            F.countDistinct("doc_id").alias("df"),
-            F.count("*").alias("cf"),
+        ts.filter(F.col("term").isin(["spark", "join", "table", "vector", "stream"]))
+        .select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
         )
         .orderBy("term")
     )
@@ -525,10 +536,13 @@ GROUP BY term ORDER BY term
 
 
 def q_collstats(spark, sf_dir):
-    """A3: N + avgdl."""
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(F.size(_toks()).cast("double").alias("doclen")).agg(
-        F.count("*").alias("n_docs"), F.round(F.avg("doclen"), 4).alias("avgdl")
+    """A3 from the STORED collstats snapshot: N + avgdl."""
+    from .engine_entries import engine_index
+
+    idx = engine_index(spark, sf_dir)
+    return idx.collstats.read(spark).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.round(F.col("avgdl"), 4).alias("avgdl"),
     )
 
 
@@ -583,13 +597,16 @@ ORDER BY doc_id
 
 
 def q_gigabits(spark, sf_dir):
-    """A7: gigabits/related-terms — top terms in docs matching 'spark'."""
-    docs = _t(spark, sf_dir, "documents")
-    matched = docs.filter(
-        F.arrays_overlap(_toks(), F.array(F.lit("spark")))
-    )
+    """A7 index-backed: related terms over docs matching 'spark' — the
+    match set comes from a pruned postings seek (no corpus-wide predicate
+    scan); only the matched docs' text is then fetched and tokenized."""
+    from .engine_entries import _matched_docs, engine_index
+
+    idx = engine_index(spark, sf_dir)
+    cand = _matched_docs(spark, idx, ["spark"])
+    docs = _t(spark, sf_dir, "documents").join(F.broadcast(cand), "doc_id")
     return (
-        matched.select(F.explode(_toks()).alias("term"))
+        docs.select(F.explode(_toks()).alias("term"))
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("term"))
@@ -787,6 +804,34 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+def q_ann_lsh(spark, sf_dir):
+    """LSH-bucketed ANN with FULL multi-probe (n_probes = 2^n_planes):
+    probing every bucket makes the approximate path exactly equal to
+    brute force, so the same DuckDB oracle certifies the bucket plumbing
+    (bucket assignment, probe-list pruning, per-bucket exact scoring);
+    recall-vs-probes behavior is covered in tests/test_dedup_kernels."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.lsh_bucketed_topk(
+        emb.filter(F.col("vec_id") != 0),
+        [float(x) for x in qv],
+        k=10,
+        n_planes=4,
+        n_probes=16,
+    )
+
+
+def q_pairwise_cosine(spark, sf_dir):
+    """Embedding near-dup pairs via banded hyperplane LSH buckets
+    (rows-only: candidate set depends on the LSH signatures)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return (
+        similarity.pairwise_cosine_above(emb, threshold=0.3, bands=4, n_planes=6)
+        .orderBy(F.desc("cosine"), F.asc("a"), F.asc("b"))
+        .limit(50)
+    )
+
+
 def q_embed_facets(spark, sf_dir):
     """facet counts over embedding labels + mean norm per label."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -894,16 +939,17 @@ ORDER BY doc_id
 
 
 def q_spell_suggest(spark, sf_dir):
-    """X16: 'did you mean' — closest vocabulary terms to the misspelling
-    'tabel' by edit distance (Speller.cpp analog over termstats)."""
-    docs = _t(spark, sf_dir, "documents")
-    vocab = docs.select(F.explode(_toks()).alias("term")).groupBy("term").agg(
-        F.count("*").alias("cf")
-    )
+    """X16 over the STORED term dictionary: 'did you mean' — closest
+    terms to the misspelling 'tabel' by edit distance then collection
+    frequency (Speller.cpp over termstats; no corpus re-tokenize)."""
+    from .engine_entries import engine_index
+
+    idx = engine_index(spark, sf_dir)
+    ts = idx.termstats.read(spark)
     return (
-        vocab.withColumn("dist", F.levenshtein(F.col("term"), F.lit("tabel")))
+        ts.withColumn("dist", F.levenshtein(F.col("term"), F.lit("tabel")))
         .filter(F.col("dist") <= 2)
-        .select("term", "cf", "dist")
+        .select("term", F.col("cf").cast("long").alias("cf"), "dist")
         .orderBy("dist", F.desc("cf"), "term")
         .limit(5)
     )
@@ -1020,6 +1066,9 @@ def q_simhash(spark, sf_dir):
 def build_registry() -> tuple[
     dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]
 ]:
+    from .engine_entries import engine_registry
+
+    eng_q, eng_o = engine_registry()
     queries = {
         # relational
         "agg_pricing": q_agg_pricing,
@@ -1065,10 +1114,14 @@ def build_registry() -> tuple[
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,
+        "pairwise_cosine": q_pairwise_cosine,
         "embed_facets": q_embed_facets,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
     }
+    # stored-index engine entries (build_index + search/search_wand paths)
+    queries.update(eng_q)
     oracles = {
         "agg_pricing": SQL_AGG_PRICING,
         "topk_orders": SQL_TOPK_ORDERS,
@@ -1111,7 +1164,10 @@ def build_registry() -> tuple[
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine": SQL_ANN_COSINE,
+        "ann_lsh": SQL_ANN_COSINE,  # full probe == exact brute force
+        # pairwise_cosine: intentionally rows-only (LSH-dependent candidates)
         "embed_facets": SQL_EMBED_FACETS,
         # minhash_lsh, simhash: intentionally no oracle (rows-only check)
     }
+    oracles.update(eng_o)
     return queries, oracles

@@ -53,7 +53,8 @@ K1 = 1.2
 B = 0.75
 
 BLOCK_SCHEMA = (
-    "term_id long, salt int, n_salts int, block_id int, n_docs int, min_doc_id long, "
+    "term_id long, salt int, n_salts int, block_id int, n_docs int, sum_tf long, "
+    "min_doc_id long, "
     "max_doc_id long, max_tf int, min_doclen int, doc_ids_enc binary, tfs_enc binary, "
     "doclens_enc binary, positions_enc binary"
 )
@@ -98,10 +99,16 @@ class Index:
 
 def derive_ids(docs: DataFrame) -> DataFrame:
     """documents -> + doc_id, content_sha256 (cheap JVM columns only —
-    computed BEFORE any shard filter so shard pruning costs nothing)."""
-    return docs.withColumn(
-        "doc_id", doc_id_col(F.col("repo"), F.col("path"), F.col("commit"))
-    ).withColumn("content_sha256", content_sha256(F.col("content")))
+    computed BEFORE any shard filter so shard pruning costs nothing).
+
+    A pre-existing ``doc_id`` column is preserved — external corpora with
+    their own stable ids (e.g. the driver fixture tables) index under
+    those ids, so query results join back without an id-mapping table."""
+    if "doc_id" not in docs.columns:
+        docs = docs.withColumn(
+            "doc_id", doc_id_col(F.col("repo"), F.col("path"), F.col("commit"))
+        )
+    return docs.withColumn("content_sha256", content_sha256(F.col("content")))
 
 
 def tokenize_docs(ids: DataFrame, code_aware: bool = True) -> DataFrame:
@@ -162,6 +169,7 @@ _BLOCK_COLS = [
     "n_salts",
     "block_id",
     "n_docs",
+    "sum_tf",
     "min_doc_id",
     "max_doc_id",
     "max_tf",
@@ -233,6 +241,7 @@ def _encode_sorted_postings(
     # bound idf*impact(max_tf, min_doclen) dominates every doc in a block.
     max_tf = np.maximum.reduceat(tfs, bstarts)
     min_dl = np.minimum.reduceat(doclens, bstarts)
+    sum_tf = np.add.reduceat(tfs, bstarts).astype(np.int64)  # -> cf (A2)
     n_docs = (bends - bstarts).astype(np.int64)
 
     def bin_col(stream: np.ndarray, value_off: np.ndarray) -> pa.Array:
@@ -260,6 +269,7 @@ def _encode_sorted_postings(
             pa.array(n_salts_arr[bstarts].astype(np.int32)),
             pa.array(block_id.astype(np.int32)),
             pa.array(n_docs.astype(np.int32)),
+            pa.array(sum_tf),
             pa.array(doc_ids[bstarts]),
             pa.array(doc_ids[bends - 1]),
             pa.array(max_tf.astype(np.int32)),
@@ -408,6 +418,28 @@ def build_index(
     run_id = run_id or uuid.uuid4().hex[:12]
     done = _completed_shards(spark, idx)
 
+    # Guard against appending a second full build into a non-empty root:
+    # re-used shard ids would mix blocks with different per-(shard,term)
+    # salt moduli and silently mis-route WAND candidate probes.  Legal
+    # paths into an existing root are (a) resume of THIS sharding (some
+    # checkpoints with matching n_shards exist) and (b) incremental
+    # add_documents, which allocates fresh shard ids.
+    existing = idx.postings.latest()
+    if existing is not None and existing.segments:
+        if not resume:
+            raise ValueError(
+                f"index root {index_root} already has postings; "
+                "build with resume=True to finish an interrupted run, use "
+                "streaming.incremental.add_documents to append, or start a "
+                "fresh root"
+            )
+        if not any(ns == n_shards for _s, ns in done):
+            raise ValueError(
+                f"index root {index_root} has postings from a different "
+                f"build configuration (no completed shards for n_shards="
+                f"{n_shards}); start a fresh root"
+            )
+
     # a small source parquet may expose fewer splits than cores, capping
     # the tokenizer stage's parallelism — round-robin repartition so every
     # core gets work regardless of the input's file layout
@@ -460,6 +492,7 @@ def build_index(
         po_seg = idx.postings.write_segment(blocks_sorted, label=f"shard{shard}")
         ts_partial = blocks.groupBy("term_id").agg(
             F.sum("n_docs").alias("df"),
+            F.sum("sum_tf").alias("cf"),
             F.count("*").alias("n_blocks"),
         )
         tsp_seg = idx.termstats_partial.write_segment(
@@ -495,7 +528,11 @@ def finalize_stats(spark: SparkSession, idx: Index, run_id: str) -> None:
     tdict = idx.termdict.read(spark).select("term_id", "term").distinct()
     termstats = (
         partials.groupBy("term_id")
-        .agg(F.sum("df").alias("df"), F.sum("n_blocks").alias("n_blocks"))
+        .agg(
+            F.sum("df").alias("df"),
+            F.sum("cf").alias("cf"),
+            F.sum("n_blocks").alias("n_blocks"),
+        )
         .join(tdict, "term_id")
     )
     # small stat tables coalesce to few files: cold-query latency is

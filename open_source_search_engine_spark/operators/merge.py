@@ -40,15 +40,31 @@ def delete_docs(spark: SparkSession, idx: Index, doc_ids: list[int]) -> None:
     t.commit(add=[seg], meta={"n": len(doc_ids)})
 
 
+# per-snapshot tombstone cache: the WAND kernel needs the dead set as a
+# driver-side array (it must exclude dead docs BEFORE the bounded heap so
+# survivors are true local top-k), but collecting it per query was a Spark
+# job on the hot path — cache keyed by the deletes snapshot version.
+_DEAD_CACHE: dict[tuple[str, int], np.ndarray] = {}
+
+
 def deleted_doc_ids(spark: SparkSession, idx: Index) -> np.ndarray:
-    """Sorted live tombstones (small between compactions by design)."""
+    """Sorted live tombstones (small between compactions by design),
+    cached per deletes-table snapshot version."""
     t = deletes_table(idx)
+    snap = t.latest()
+    key = (idx.root, snap.version if snap else -1)
+    hit = _DEAD_CACHE.get(key)
+    if hit is not None:
+        return hit
     df = t.read(spark)
     if df is None:
-        return np.empty(0, dtype=np.int64)
-    vals = np.array([r["doc_id"] for r in df.collect()], dtype=np.int64)
-    u = vals.astype(np.uint64) + np.uint64(1 << 63)
-    return vals[np.argsort(u)]
+        out = np.empty(0, dtype=np.int64)
+    else:
+        vals = np.array([r["doc_id"] for r in df.collect()], dtype=np.int64)
+        u = vals.astype(np.uint64) + np.uint64(1 << 63)
+        out = vals[np.argsort(u)]
+    _DEAD_CACHE[key] = out
+    return out
 
 
 def decode_to_postings(blocks: DataFrame) -> DataFrame:
@@ -169,7 +185,9 @@ def compact_postings(
     )
     seg = idx.postings.write_segment(merged_sorted, label="compacted")
     ts_partial = merged.groupBy("term_id").agg(
-        F.sum("n_docs").alias("df"), F.count("*").alias("n_blocks")
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.count("*").alias("n_blocks"),
     )
     tsp_seg = idx.termstats_partial.write_segment(ts_partial.coalesce(4), label="compacted")
     merged.unpersist()

@@ -97,11 +97,17 @@ def lsh_bucketed_topk(
     )
     qv = np.asarray(query_vec)
     qb = int(sum((1 << i) for i in range(n_planes) if float(planes[i] @ qv) >= 0.0))
-    # probe order: exact bucket, then 1-bit flips ranked by |margin| of the
-    # flipped plane (closest decision boundaries first — standard multi-probe)
+    n_probes = min(n_probes, 1 << n_planes)  # full probe == exact
+    # probe order: flip masks ranked by the TOTAL |margin| of flipped
+    # planes (closest decision boundaries first — standard multi-probe);
+    # enumerating 2^n_planes masks is fine for the small plane counts a
+    # bucket column uses (the bucket count, not the corpus, bounds this)
     margins = np.abs(planes @ qv)
-    flip_order = np.argsort(margins)
-    probes = [qb] + [qb ^ (1 << int(i)) for i in flip_order[: max(0, n_probes - 1)]]
+    masks = np.arange(1 << n_planes, dtype=np.int64)
+    bits = (masks[:, None] >> np.arange(n_planes)[None, :]) & 1
+    cost = bits @ margins
+    order = np.argsort(cost, kind="stable")  # mask 0 (cost 0) first
+    probes = [int(qb ^ masks[m]) for m in order[:n_probes].tolist()]
     return brute_force_topk(
         v.filter(F.col("_bucket").isin(probes)), query_vec, id_col, vec_col, k
     )

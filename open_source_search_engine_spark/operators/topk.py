@@ -49,135 +49,212 @@ def _impact(tf: np.ndarray | float, dl: np.ndarray | float, avgdl: float):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
 
 
+_U63 = np.uint64(1 << 63)
+
+
 def _wand_kernel(
     blocks: pa.Table,
     qmeta: dict,
     k: int,
 ) -> pa.Table:
-    """One doc-shard's DAAT intersection + block-max pruning."""
-    idf = qmeta["idf"]  # positive term_id -> idf
-    rarest = qmeta["rarest"]  # term_id with min df
+    """One doc-shard's DAAT intersection + block-max pruning.
+
+    Query shape: AND of slots; each slot is an OR-group of weighted
+    members {term_id: weight*idf} (a single term is a 1-member slot) —
+    the QueryTermInfo synonym-group structure (U3).  Slot score = max
+    member contribution; doc score = Σ slot scores; a doc must match
+    every slot.
+
+    Lazy decode: only the rarest slot's blocks are decoded as candidate
+    sources.  Other slots' blocks are indexed by their stored
+    [min_doc_id, max_doc_id] metadata and decoded ON DEMAND when a probe
+    routes candidates into their range (then memoized) — a frequent
+    second term no longer costs a full-termlist decode up front.
+    """
+    slots: list[dict[int, float]] = qmeta["slots"]
+    rarest_slot: int = qmeta["rarest_slot"]
     avgdl = qmeta["avgdl"]
     neg_ids = qmeta.get("neg_ids", [])
     dead = qmeta.get("dead", np.empty(0, dtype=np.int64))
+    # F8 soft lang preference: docs present in the boost term's (lang:xx
+    # field) postings score at boost_factor; block bounds scale by the
+    # factor so pruning stays sound (factor >= 1)
+    boost_tid = qmeta.get("boost_tid")
+    boost_factor = float(qmeta.get("boost_factor", 1.0))
     term_ids = blocks.column("term_id").to_numpy()
     salts = blocks.column("salt").to_numpy()
     n_salts_col = blocks.column("n_salts").to_numpy()
     n_docs_col = blocks.column("n_docs").to_numpy()
     max_tf = blocks.column("max_tf").to_numpy()
     min_dl = blocks.column("min_doclen").to_numpy()
+    min_doc = blocks.column("min_doc_id").to_numpy()
+    max_doc = blocks.column("max_doc_id").to_numpy()
     d_enc = blocks.column("doc_ids_enc")
     t_enc = blocks.column("tfs_enc")
     l_enc = blocks.column("doclens_enc")
 
-    # global per-term upper bounds over this shard
+    widf = {t: w for s in slots for t, w in s.items()}  # term -> weight*idf
+
+    # per-block upper bound (0 for negative-only terms: never candidates)
     ub_block = np.array(
         [
-            idf.get(t, 0.0) * _impact(float(mt), float(md), avgdl)
+            widf.get(t, 0.0) * _impact(float(mt), float(md), avgdl)
             for t, mt, md in zip(term_ids.tolist(), max_tf.tolist(), min_dl.tolist())
         ]
     )
-    other_terms = [t for t in idf if t != rarest]
-    lookup_terms = other_terms + [t for t in neg_ids]
-    global_ub_other = 0.0
-    for t in other_terms:
-        sel = term_ids == t
-        if not sel.any():  # term absent from this shard -> no AND match here
+    # slot upper bounds over this shard; a slot with no member present
+    # here kills the AND for the whole shard
+    slot_ub = np.zeros(len(slots))
+    for si, s in enumerate(slots):
+        sel = np.isin(term_ids, np.array(list(s), dtype=np.int64))
+        if not sel.any():
             return _empty_out()
-        global_ub_other += float(ub_block[sel].max())
+        slot_ub[si] = float(ub_block[sel].max())
+    ub_other = float(slot_ub.sum() - slot_ub[rarest_slot])
 
-    # ---- decode the non-rarest lists up front, organized per (term,salt).
-    # (Scale note: these decodes could also be lazied per overlapping
-    # range; candidate-side pruning below is where WAND wins.)
-    decoded: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-    # build-time salt modulus per term (stored in block metadata — the
-    # modulus is shard-local and NOT inferable from observed salt values:
-    # doc-sharding can restrict which residues appear in a shard)
+    # ---- lazy probe index: per (term, salt) -> block rows sorted by
+    # min_doc; blocks of ONE (term,salt) sub-list are doc-disjoint sorted
+    # ranges (one sorted run per segment; shard ids are per-segment), so a
+    # candidate's potential block is found by searchsorted on min_doc.
     n_salts: dict[int, int] = {}
-    for i in np.flatnonzero(np.isin(term_ids, np.array(lookup_terms or [0], dtype=np.int64))):
+    probe_blocks: dict[tuple[int, int], tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    lookup_terms = set(widf) | set(neg_ids)
+    if boost_tid is not None:
+        lookup_terms.add(boost_tid)
+    for i in np.flatnonzero(
+        np.isin(term_ids, np.array(list(lookup_terms) or [0], dtype=np.int64))
+    ):
         key = (int(term_ids[i]), int(salts[i]))
         n_salts[int(term_ids[i])] = int(n_salts_col[i])
-        d, t, _p, _b = codec.decode_postings_block(
-            d_enc[i].as_py(), t_enc[i].as_py(), b"", int(n_docs_col[i])
-        )
-        if key in decoded:
-            pd_, pt_ = decoded[key]
-            decoded[key] = (np.concatenate([pd_, d]), np.concatenate([pt_, t]))
-        else:
-            decoded[key] = (d, t)
-    # blocks arrive sorted by block_id per (term,salt) only if input was
-    # ordered; re-sort each sub-list to be safe (cheap: already nearly so)
-    for key, (d, t) in decoded.items():
-        if len(d) > 1 and not np.all(d[1:] >= d[:-1]):
-            o = np.argsort(d, kind="mergesort")
-            decoded[key] = (d[o], t[o])
+        probe_blocks.setdefault(key, []).append(i)  # type: ignore[arg-type]
+    for key, rows in list(probe_blocks.items()):
+        rows = np.asarray(rows, dtype=np.int64)
+        lo = min_doc[rows].astype(np.uint64) + _U63
+        hi = max_doc[rows].astype(np.uint64) + _U63
+        o = np.argsort(lo)
+        probe_blocks[key] = (lo[o], hi[o], rows[o])
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # block row -> (d,tf)
+    other_decodes = 0
 
-    # ---- rarest blocks in descending upper bound ----
-    r_idx = np.flatnonzero(term_ids == rarest)
+    def decode_row(i: int) -> tuple[np.ndarray, np.ndarray]:
+        hit = decoded.get(i)
+        if hit is None:
+            d, t, _p, _b = codec.decode_postings_block(
+                d_enc[i].as_py(), t_enc[i].as_py(), b"", int(n_docs_col[i])
+            )
+            hit = decoded[i] = (d.astype(np.uint64) + _U63, t)
+        return hit
+
+    # ---- candidate blocks: the rarest slot's members, desc upper bound
+    r_terms = np.array(list(slots[rarest_slot]), dtype=np.int64)
+    r_idx = np.flatnonzero(np.isin(term_ids, r_terms))
     order = r_idx[np.argsort(-ub_block[r_idx], kind="mergesort")]
-    heap: list[tuple[float, int]] = []  # (score, -?) min-heap of top-k
+    heap: list[tuple[float, int]] = []  # (score, -doc) min-heap of top-k
     scored_blocks = 0
     skipped_blocks = 0
     results: dict[int, float] = {}
 
+    def probe(t: int, cd: np.ndarray, cu: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(tf, present) of candidates in term t's salt sub-lists: the
+        sub-list holding a doc is pmod(doc, n_salts) — computed, not
+        searched — then the candidate's block is found via the stored
+        range metadata and decoded lazily."""
+        nonlocal other_decodes
+        ns = n_salts.get(t, 1)
+        tf_t = np.zeros(len(cd), dtype=np.float64)
+        present = np.zeros(len(cd), dtype=bool)
+        salt_of = np.mod(cd, ns)  # numpy mod is non-negative for ns>0
+        for s in np.unique(salt_of).tolist():
+            m = salt_of == s
+            meta = probe_blocks.get((t, int(s)))
+            if meta is None:
+                continue
+            lo, hi, rows = meta
+            cu_m = cu[m]
+            bpos = np.searchsorted(lo, cu_m, side="right") - 1
+            valid = (bpos >= 0) & (cu_m <= hi[np.clip(bpos, 0, len(hi) - 1)])
+            if not valid.any():
+                continue
+            midx = np.flatnonzero(m)
+            for b in np.unique(bpos[valid]).tolist():
+                row = int(rows[b])
+                was_new = row not in decoded
+                d_arr, t_arr = decode_row(row)
+                if was_new:
+                    other_decodes += 1
+                sel = valid & (bpos == b)
+                pos = np.searchsorted(d_arr, cu_m[sel])
+                pos_c = np.clip(pos, 0, len(d_arr) - 1)
+                found = d_arr[pos_c] == cu_m[sel]
+                idxs = midx[sel][found]
+                present[idxs] = True
+                tf_t[idxs] = t_arr[pos_c[found]]
+        return tf_t, present
+
     for i in order.tolist():
         theta = heap[0][0] if len(heap) >= k else -math.inf
         # strict <: a block whose bound ties θ could still win on doc_id
-        if ub_block[i] + global_ub_other < theta:
+        if (ub_block[i] + ub_other) * boost_factor < theta:
             skipped_blocks += 1
-            continue  # no doc in this block can reach the top-k
+            continue  # no doc first-found in this block can reach top-k
         scored_blocks += 1
         cd, ct, _p, _bnd = codec.decode_postings_block(
             d_enc[i].as_py(), t_enc[i].as_py(), b"", int(n_docs_col[i])
         )
         cl = codec.decode_varint(l_enc[i].as_py(), int(n_docs_col[i]))
-        score = idf[rarest] * _impact(ct.astype(np.float64), cl.astype(np.float64), avgdl)
+        cu = cd.astype(np.uint64) + _U63
+        this_term = int(term_ids[i])
         alive = np.ones(len(cd), dtype=bool)
         if len(dead):  # merge-on-read tombstones (U4)
-            du = dead.astype(np.uint64) + np.uint64(1 << 63)
-            cu = cd.astype(np.uint64) + np.uint64(1 << 63)
+            du = dead.astype(np.uint64) + _U63
             pos_d = np.clip(np.searchsorted(du, cu), 0, len(dead) - 1)
             alive &= dead[pos_d] != cd
+        # a doc already fully scored via an earlier block of a sibling
+        # OR-member must not be re-scored (it would duplicate heap entries)
+        if results and len(slots[rarest_slot]) > 1:
+            seen = np.fromiter(results.keys(), dtype=np.int64, count=len(results))
+            su = np.sort(seen.astype(np.uint64) + _U63)
+            pos_s = np.clip(np.searchsorted(su, cu), 0, len(su) - 1)
+            alive &= su[pos_s] != cu
 
-        def probe(t: int) -> tuple[np.ndarray, np.ndarray]:
-            """(tf, present) of candidates cd in term t's salt sub-lists:
-            the sub-list holding a doc is pmod(doc, n_salts) — computed,
-            not searched — then located by galloping searchsorted."""
-            ns = n_salts.get(t, 1)
-            tf_t = np.zeros(len(cd), dtype=np.float64)
-            present = np.zeros(len(cd), dtype=bool)
-            salt_of = np.mod(cd, ns)  # numpy mod is non-negative for ns>0
-            for s in range(ns):
-                m = salt_of == s
-                if not m.any():
-                    continue
-                arr = decoded.get((t, s))
-                if arr is None:
-                    continue
-                d_arr, t_arr = arr
-                pos = np.searchsorted(
-                    d_arr.astype(np.uint64) + np.uint64(1 << 63),
-                    cd[m].astype(np.uint64) + np.uint64(1 << 63),
+        # rarest-slot score: max over members (this block's tf for its own
+        # term; lazy probes for sibling members)
+        imp = _impact(ct.astype(np.float64), cl.astype(np.float64), avgdl)
+        score = widf[this_term] * imp
+        for t, w in slots[rarest_slot].items():
+            if t == this_term:
+                continue
+            tf_t, present = probe(t, cd, cu)
+            contrib = np.where(
+                present, w * _impact(tf_t, cl.astype(np.float64), avgdl), 0.0
+            )
+            score = np.maximum(score, contrib)
+
+        for si, s in enumerate(slots):
+            if si == rarest_slot:
+                continue
+            slot_score = np.zeros(len(cd))
+            slot_present = np.zeros(len(cd), dtype=bool)
+            for t, w in s.items():
+                tf_t, present = probe(t, cd, cu)
+                slot_present |= present
+                slot_score = np.maximum(
+                    slot_score,
+                    np.where(
+                        present, w * _impact(tf_t, cl.astype(np.float64), avgdl), 0.0
+                    ),
                 )
-                pos_c = np.clip(pos, 0, len(d_arr) - 1)
-                found = d_arr[pos_c] == cd[m]
-                idxs = np.flatnonzero(m)[found]
-                present[idxs] = True
-                tf_t[idxs] = t_arr[pos_c[found]]
-            return tf_t, present
-
-        for t in other_terms:
-            tf_t, present = probe(t)
-            alive &= present
+            alive &= slot_present
             if not alive.any():
                 break
-            score += idf[t] * np.where(
-                alive, _impact(tf_t, cl.astype(np.float64), avgdl), 0.0
-            )
+            score += np.where(alive, slot_score, 0.0)
         for t in neg_ids:  # F3: drop docs present in any negative list
             if alive.any():
-                _tf, present = probe(t)
+                _tf, present = probe(t, cd, cu)
                 alive &= ~present
+        if boost_tid is not None and alive.any():
+            _tf, present = probe(boost_tid, cd, cu)
+            score = np.where(present, score * boost_factor, score)
         # push survivors into the heap; entry (score, -doc) makes heap[0]
         # the WORST by the canonical (score desc, doc asc) order
         for doc, sc in zip(cd[alive].tolist(), score[alive].tolist()):
@@ -199,8 +276,15 @@ def _wand_kernel(
             pa.array(scores),
             pa.array(np.full(len(docs), scored_blocks, dtype=np.int32)),
             pa.array(np.full(len(docs), skipped_blocks, dtype=np.int32)),
+            pa.array(np.full(len(docs), other_decodes, dtype=np.int32)),
         ],
-        names=["doc_id", "score", "blocks_scored", "blocks_skipped"],
+        names=[
+            "doc_id",
+            "score",
+            "blocks_scored",
+            "blocks_skipped",
+            "other_blocks_decoded",
+        ],
     )
 
 
@@ -211,67 +295,103 @@ def _empty_out() -> pa.Table:
             pa.array([], type=pa.float64()),
             pa.array([], type=pa.int32()),
             pa.array([], type=pa.int32()),
+            pa.array([], type=pa.int32()),
         ],
-        names=["doc_id", "score", "blocks_scored", "blocks_skipped"],
+        names=[
+            "doc_id",
+            "score",
+            "blocks_scored",
+            "blocks_skipped",
+            "other_blocks_decoded",
+        ],
     )
 
 
 def search_wand(
     spark: SparkSession,
     index: Index,
-    query: str,
+    query,
     k: int = 10,
     enrich: bool = True,
     with_prune_stats: bool = False,
+    synonyms: bool | dict = False,
+    lang_boost: tuple[str, float] | None = None,
 ) -> DataFrame:
-    """Conjunctive BM25 top-k via per-shard block-max WAND.
+    """BM25 top-k via per-shard block-max WAND.
 
-    Supports plain AND queries incl. fielded terms and ``-neg`` terms
-    (anti-joined after the WAND pass); OR-groups and phrases take the
+    Supports AND queries of terms AND of OR-groups (slot-max member
+    scoring, incl. weighted synonym members — U3), fielded terms, and
+    ``-neg`` terms (excluded inside the kernel); quoted phrases take the
     general plan in plans.exec.search.
     """
-    from ..plans.exec import _collstats_cached, _termstats_cached
+    from ..plans.exec import _stats_cached
     from ..plans.query import parse_query
 
-    plan = parse_query(query)
-    if any(len(g.members) > 1 or g.members[0].phrase for g in plan.groups):
-        raise ValueError("search_wand handles conjunctive term queries only")
-    terms = [g.members[0].text for g in plan.groups]
-    if not terms:
+    plan = parse_query(query) if isinstance(query, str) else query
+    if synonyms:
+        from ..functions.synonyms import expand_plan
+
+        plan = expand_plan(plan, None if synonyms is True else synonyms)
+    if any(m.phrase for g in plan.groups for m in g.members):
+        raise ValueError("search_wand handles term/OR-group queries only")
+    all_pos = [m.text for g in plan.groups for m in g.members]
+    if not all_pos:
         raise ValueError("query has no positive terms")
     neg_terms = [t.text for t in plan.negatives]
+    boost_term = f"lang:{lang_boost[0].lower()}" if lang_boost else None
 
-    n_docs, avgdl = _collstats_cached(spark, index)
-    stats = _termstats_cached(spark, index, terms + neg_terms)
-    if any(t not in stats for t in terms):
-        return _empty_result(spark, enrich, with_prune_stats)
+    n_docs, avgdl, stats = _stats_cached(
+        spark, index, all_pos + neg_terms + ([boost_term] if boost_term else [])
+    )
 
-    idf = {
-        stats[t][0]: math.log(1.0 + (n_docs - stats[t][1] + 0.5) / (stats[t][1] + 0.5))
-        for t in terms
-    }
-    rarest = stats[min(terms, key=lambda t: stats[t][1])][0]
+    # slots: {term_id: weight*idf}; an OR-group survives if ANY member is
+    # present, a 1-member slot (plain AND term) must be present
+    slots: list[dict[int, float]] = []
+    slot_dfs: list[int] = []
+    for g in plan.groups:
+        slot: dict[int, float] = {}
+        df_sum = 0
+        for m in g.members:
+            st = stats.get(m.text)
+            if st is None:
+                continue
+            w = getattr(m, "weight", 1.0)
+            idf = math.log(1.0 + (n_docs - st[1] + 0.5) / (st[1] + 0.5))
+            slot[st[0]] = max(slot.get(st[0], 0.0), w * idf)
+            df_sum += st[1]
+        if not slot:
+            return _empty_result(spark, enrich, with_prune_stats)
+        slots.append(slot)
+        slot_dfs.append(df_sum)
+
+    rarest_slot = int(min(range(len(slots)), key=lambda i: slot_dfs[i]))
     neg_ids = [stats[t][0] for t in neg_terms if t in stats]
     from .merge import deleted_doc_ids
 
     qmeta = {
-        "idf": idf,
-        "rarest": rarest,
+        "slots": slots,
+        "rarest_slot": rarest_slot,
         "avgdl": avgdl,
         "neg_ids": neg_ids,
         "dead": deleted_doc_ids(spark, index),
     }
-    pos_ids = list(idf.keys())
+    extra_ids: list[int] = []
+    if boost_term is not None and boost_term in stats and lang_boost is not None:
+        qmeta["boost_tid"] = stats[boost_term][0]
+        qmeta["boost_factor"] = float(lang_boost[1])
+        extra_ids.append(stats[boost_term][0])
+    pos_ids = sorted({t for s in slots for t in s})
 
     blocks = index.postings.read(spark).filter(
-        F.col("term_id").isin(pos_ids + neg_ids)
+        F.col("term_id").isin(pos_ids + neg_ids + extra_ids)
     )
 
     def kernel(tbl: pa.Table) -> pa.Table:
         return _wand_kernel(tbl, qmeta, k)
 
     out_schema = (
-        "doc_id long, score double, blocks_scored int, blocks_skipped int"
+        "doc_id long, score double, blocks_scored int, blocks_skipped int, "
+        "other_blocks_decoded int"
     )
     per_shard = blocks.groupBy("shard").applyInArrow(
         lambda _key, tbl: kernel(tbl), out_schema
@@ -286,7 +406,9 @@ def search_wand(
         return topk
     docmeta = index.docstats.read(spark).select("doc_id", "repo", "path", "lang")
     cols = ["doc_id", "score", "repo", "path", "lang"] + (
-        ["blocks_scored", "blocks_skipped"] if with_prune_stats else []
+        ["blocks_scored", "blocks_skipped", "other_blocks_decoded"]
+        if with_prune_stats
+        else []
     )
     return (
         F.broadcast(topk)
@@ -299,7 +421,7 @@ def search_wand(
 def _empty_result(spark: SparkSession, enrich: bool, with_prune_stats: bool) -> DataFrame:
     base = "doc_id long, score double"
     if with_prune_stats:
-        base += ", blocks_scored int, blocks_skipped int"
+        base += ", blocks_scored int, blocks_skipped int, other_blocks_decoded int"
     if enrich:
         base += ", repo string, path string, lang string"
     return spark.createDataFrame([], base)

@@ -52,18 +52,40 @@ def search(
     query: str | QueryPlan,
     k: int = 10,
     enrich: bool = True,
+    synonyms: bool | dict = False,
+    lang_boost: tuple[str, float] | None = None,
+    proximity_bonus: float = 0.0,
 ) -> DataFrame:
-    """Top-k BM25 search against a built index."""
+    """Top-k BM25 search against a built index.
+
+    ``synonyms``: True expands each positive term into its weighted
+    OR-group from the default table (X5); pass a dict table to override.
+
+    ``lang_boost=(lang, factor)``: soft language preference (F8, the
+    Msg39/PosdbTable langWeight analog) — docs in ``lang`` score at
+    ``factor``x; unlike the hard ``lang:xx`` restriction, other docs
+    still rank.  Off by default so BM25-parity entries are unaffected.
+
+    ``proximity_bonus=w > 0``: two-phase proximity re-rank (W4, the
+    evalSlidingWindow analog): the top k*10 base-score candidates get a
+    multiplicative bonus 1 + w/(1 + minspan - (n_terms-1)) where minspan
+    is the smallest token window containing every query slot; adjacent
+    terms get the full 1+w.  Runs only over candidates (reference
+    semantics: proximity is scored for TopTree contenders, not the whole
+    match set)."""
     plan = parse_query(query) if isinstance(query, str) else query
+    if synonyms:
+        from ..functions.synonyms import expand_plan
+
+        plan = expand_plan(plan, None if synonyms is True else synonyms)
     if not plan.groups:
         raise ValueError("query has no positive terms")
-
-    n_docs, avgdl = _collstats_cached(spark, index)
 
     # term table: slot id per AND-group, member terms OR'd within a slot.
     # Phrase members are expanded to ordinary AND slots + a positional
     # adjacency filter (J4) applied before aggregation.
-    member_rows: list[tuple[str, int, int, int]] = []  # term, slot, phrase_id, seq
+    # (term, slot, phrase_id, seq, weight)
+    member_rows: list[tuple[str, int, int, int, float]] = []
     phrase_specs: list[tuple[int, int]] = []  # (phrase_id, n_members)
     slot = 0
     phrase_id = 0
@@ -71,19 +93,21 @@ def search(
         if len(g.members) == 1 and g.members[0].phrase:
             toks = g.members[0].phrase
             for seq, t in enumerate(toks):
-                member_rows.append((t, slot + seq, phrase_id, seq))
+                member_rows.append((t, slot + seq, phrase_id, seq, 1.0))
             phrase_specs.append((phrase_id, len(toks)))
             slot += len(toks)
             phrase_id += 1
         else:
             for m in g.members:
-                member_rows.append((m.text, slot, -1, 0))
+                member_rows.append(
+                    (m.text, slot, -1, 0, getattr(m, "weight", 1.0))
+                )
             slot += 1
     n_slots = slot
     neg_terms = [t.text for t in plan.negatives]
 
     all_terms = sorted({r[0] for r in member_rows} | set(neg_terms))
-    df_by_term = _termstats_cached(spark, index, all_terms)
+    n_docs, avgdl, df_by_term = _stats_cached(spark, index, all_terms)
 
     present_members = [r for r in member_rows if r[0] in df_by_term]
     # any required (non-OR-group) term absent from the corpus => empty result.
@@ -99,17 +123,19 @@ def search(
             s,
             pid,
             seq,
-            float(_py_idf(df_by_term[t][1], n_docs)),
+            # member weight scales idf (synonym weights, X5): slot-max of
+            # weighted contribs == the kernel's weighted slot scoring
+            float(w) * float(_py_idf(df_by_term[t][1], n_docs)),
         )
-        for (t, s, pid, seq) in present_members
+        for (t, s, pid, seq, w) in present_members
     ]
-    need_positions = bool(phrase_specs)
+    need_positions = bool(phrase_specs) or proximity_bonus > 0
     qterms = spark.createDataFrame(
         qt_rows, "term_id long, slot int, phrase_id int, seq int, idf double"
     )
 
     blocks = index.postings.read(spark)
-    pos_ids = [df_by_term[t][0] for (t, _s, _p, _q) in present_members]
+    pos_ids = [df_by_term[t][0] for (t, _s, _p, _q, _w) in present_members]
     cand = decode_blocks(
         blocks.filter(F.col("term_id").isin(pos_ids)), with_positions=need_positions
     ).join(F.broadcast(qterms), "term_id")
@@ -145,15 +171,38 @@ def search(
             ).select("doc_id").distinct()
             scored = scored.join(neg_docs, "doc_id", "left_anti")  # F3/J3
 
-    # merge-on-read tombstones (U4): exclude deleted docs until compaction
-    from ..operators.merge import deleted_doc_ids
+    # merge-on-read tombstones (U4): exclude deleted docs until compaction.
+    # Pure DataFrame anti-join against the deletes table — nothing collects
+    # to the driver, so a large delete batch stays distributed (AQE picks
+    # broadcast when the table is small, shuffle when it isn't).
+    from ..operators.merge import deletes_table
 
-    dead = deleted_doc_ids(spark, index)
-    if len(dead):
-        dead_df = F.broadcast(
-            spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
+    ddf = deletes_table(index).read(spark)
+    if ddf is not None:
+        scored = scored.join(
+            ddf.select("doc_id").distinct(), "doc_id", "left_anti"
         )
-        scored = scored.join(dead_df, "doc_id", "left_anti")
+
+    if lang_boost is not None:
+        # F8 soft language preference: a score multiplier, not a filter —
+        # doc_id-keyed join against docstats (both sides doc-partitioned)
+        blang, factor = lang_boost
+        langs = index.docstats.read(spark).select("doc_id", "lang")
+        scored = (
+            scored.join(langs, "doc_id", "left")
+            .withColumn(
+                "score",
+                F.when(
+                    F.col("lang") == blang, F.col("score") * F.lit(float(factor))
+                ).otherwise(F.col("score")),
+            )
+            .drop("lang")
+        )
+
+    if proximity_bonus > 0 and len(required_slots) > 1:
+        scored = _proximity_rerank(
+            scored, cand, len(required_slots), proximity_bonus, k
+        )
 
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not enrich:
@@ -168,6 +217,76 @@ def search(
     )
 
 
+def _proximity_rerank(
+    scored: DataFrame,
+    cand: DataFrame,
+    n_slots: int,
+    w: float,
+    k: int,
+) -> DataFrame:
+    """W4 two-phase proximity: bonus-multiply the top k*10 base-score
+    candidates by 1 + w/(1 + minspan - (n_slots-1)), where minspan is the
+    smallest token window containing >=1 occurrence of every slot
+    (PosdbTable::evalSlidingWindow, run over TopTree contenders only).
+
+    The candidate set is tiny (<= k*10 docs), so the span computation is
+    a driver-adjacent applyInPandas over a broadcast-joined position
+    table — cost independent of corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    n_cand = max(10 * k, 100)
+    base = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_cand)
+    posx = cand.join(F.broadcast(base.select("doc_id")), "doc_id").select(
+        "doc_id", "slot", F.explode("positions").alias("pos")
+    )
+
+    def minspan_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        doc = pdf["doc_id"].iloc[0]
+        pos = pdf["pos"].to_numpy()
+        slots = pdf["slot"].to_numpy()
+        order = np.argsort(pos, kind="mergesort")
+        pos, slots = pos[order], slots[order]
+        uniq = np.unique(slots)
+        need = len(uniq)
+        remap = {int(s): i for i, s in enumerate(uniq.tolist())}
+        cnt = np.zeros(need, dtype=np.int64)
+        have = 0
+        best = None
+        left = 0
+        for right in range(len(pos)):  # classic two-pointer smallest window
+            s = remap[int(slots[right])]
+            cnt[s] += 1
+            if cnt[s] == 1:
+                have += 1
+            while have == need:
+                span = int(pos[right] - pos[left])
+                if best is None or span < best:
+                    best = span
+                sl = remap[int(slots[left])]
+                cnt[sl] -= 1
+                if cnt[sl] == 0:
+                    have -= 1
+                left += 1
+        return pd.DataFrame(
+            {"doc_id": [doc], "minspan": [best if best is not None else 1_000_000]}
+        )
+
+    spans = posx.groupBy("doc_id").applyInPandas(
+        minspan_fn, "doc_id long, minspan long"
+    )
+    bonus = F.lit(1.0) + F.lit(float(w)) / (
+        F.lit(1.0)
+        + F.coalesce(F.col("minspan"), F.lit(1_000_000)).cast("double")
+        - F.lit(float(n_slots - 1))
+    )
+    return (
+        base.join(spans, "doc_id", "left")
+        .withColumn("score", F.col("score") * bonus)
+        .select("doc_id", "score")
+    )
+
+
 def _py_idf(df_: int, n_docs: float) -> float:
     import math
 
@@ -175,40 +294,79 @@ def _py_idf(df_: int, n_docs: float) -> float:
 
 
 # -- per-snapshot driver-side stat caches (Msg2's termlist-cache analog):
-# collection stats and per-term (term_id, df) are tiny and immutable per
-# snapshot version; re-collecting them cost a Spark job per query.
+# collection stats and per-term (term_id, df, cf) are tiny and immutable
+# per snapshot version; re-collecting them cost a Spark job per query.
+# _stats_cached batches the collstats row and all missing terms into ONE
+# Spark job (a unioned scan of the two tiny stat tables), so a cold query
+# pays one dispatch for stats, not two.
 _COLL_CACHE: dict[tuple[str, int], tuple[float, float]] = {}
-_TERM_CACHE: dict[tuple[str, int], dict[str, tuple[int, int]]] = {}
+_TERM_CACHE: dict[tuple[str, int], dict[str, tuple[int, int, int]]] = {}
+
+
+def _stats_cached(
+    spark: SparkSession, index: Index, terms: list[str]
+) -> tuple[float, float, dict[str, tuple[int, int, int]]]:
+    """(n_docs, avgdl, {term: (term_id, df, cf)}) — single job when cold."""
+    csnap = index.collstats.latest()
+    ckey = (index.root, csnap.version if csnap else -1)
+    tsnap = index.termstats.latest()
+    tkey = (index.root, tsnap.version if tsnap else -1)
+    cache = _TERM_CACHE.setdefault(tkey, {})
+    missing = [t for t in terms if t not in cache]
+    need_coll = ckey not in _COLL_CACHE
+    if missing or need_coll:
+        parts = []
+        if missing:
+            ts = index.termstats.read(spark)
+            if ts is not None:
+                cf_col = F.col("cf") if "cf" in ts.columns else F.lit(0)
+                parts.append(
+                    ts.filter(F.col("term").isin(missing)).select(
+                        F.lit("t").alias("kind"),
+                        "term",
+                        F.col("term_id").cast("long").alias("v1"),
+                        F.col("df").cast("double").alias("v2"),
+                        cf_col.cast("double").alias("v3"),
+                    )
+                )
+        if need_coll:
+            cs = index.collstats.read(spark)
+            parts.append(
+                cs.select(
+                    F.lit("c").alias("kind"),
+                    F.lit(None).cast("string").alias("term"),
+                    F.lit(0).cast("long").alias("v1"),
+                    F.col("n_docs").cast("double").alias("v2"),
+                    F.col("avgdl").cast("double").alias("v3"),
+                )
+            )
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            for r in df.collect():
+                if r["kind"] == "c":
+                    _COLL_CACHE[ckey] = (float(r["v2"]), float(r["v3"]))
+                else:
+                    cache[r["term"]] = (int(r["v1"]), int(r["v2"]), int(r["v3"]))
+        for t in missing:  # negative-cache absent terms
+            cache.setdefault(t, (0, 0, 0))
+    n_docs, avgdl = _COLL_CACHE.get(ckey, (0.0, 0.0))
+    return n_docs, avgdl, {
+        t: cache[t] for t in terms if cache.get(t, (0, 0, 0))[1] > 0
+    }
 
 
 def _collstats_cached(spark: SparkSession, index: Index) -> tuple[float, float]:
-    snap = index.collstats.latest()
-    key = (index.root, snap.version if snap else -1)
-    if key not in _COLL_CACHE:
-        row = index.collstats.read(spark).collect()[0]
-        _COLL_CACHE[key] = (float(row["n_docs"]), float(row["avgdl"]))
-    return _COLL_CACHE[key]
+    n_docs, avgdl, _ = _stats_cached(spark, index, [])
+    return n_docs, avgdl
 
 
 def _termstats_cached(
     spark: SparkSession, index: Index, terms: list[str]
-) -> dict[str, tuple[int, int]]:
-    snap = index.termstats.latest()
-    key = (index.root, snap.version if snap else -1)
-    cache = _TERM_CACHE.setdefault(key, {})
-    missing = [t for t in terms if t not in cache]
-    if missing:
-        rows = (
-            index.termstats.read(spark)
-            .filter(F.col("term").isin(missing))
-            .select("term", "term_id", "df")
-            .collect()
-        )
-        for r in rows:
-            cache[r["term"]] = (int(r["term_id"]), int(r["df"]))
-        for t in missing:  # negative-cache absent terms
-            cache.setdefault(t, (0, 0))
-    return {t: cache[t] for t in terms if cache.get(t, (0, 0))[1] > 0}
+) -> dict[str, tuple[int, int, int]]:
+    _n, _a, stats = _stats_cached(spark, index, terms)
+    return stats
 
 
 def _apply_phrase_filter(cand: DataFrame, phrase_specs: list[tuple[int, int]]) -> DataFrame:
@@ -226,6 +384,12 @@ def _apply_phrase_filter(cand: DataFrame, phrase_specs: list[tuple[int, int]]) -
     shifted = ph.withColumn(
         "shifted", F.transform(F.col("positions"), lambda p: p - F.col("seq"))
     )
+    # explicit completeness guard: a doc must contain EVERY member of the
+    # phrase (n_present == n_members) — the shifted-set intersection alone
+    # would pass a doc holding only one member (its own set is non-empty)
+    spec_map = F.create_map(
+        *[F.lit(x) for pid, n in phrase_specs for x in (pid, n)]
+    )
     ok = (
         shifted.groupBy("doc_id", "phrase_id")
         .agg(
@@ -236,13 +400,14 @@ def _apply_phrase_filter(cand: DataFrame, phrase_specs: list[tuple[int, int]]) -
             ).alias("common"),
             F.count("*").alias("n_present"),
         )
-        .filter(F.size(F.col("common")) > 0)
-        .select("doc_id", "phrase_id", "n_present")
+        .filter(
+            (F.size(F.col("common")) > 0)
+            & (F.col("n_present") == F.element_at(spec_map, F.col("phrase_id")))
+        )
+        .select("doc_id", "phrase_id")
     )
-    ph_ok = ph.join(ok.select("doc_id", "phrase_id"), ["doc_id", "phrase_id"], "left_semi")
+    ph_ok = ph.join(ok, ["doc_id", "phrase_id"], "left_semi")
     return non_phrase.unionByName(ph_ok)
-
-
 def _empty_result(spark: SparkSession, enrich: bool) -> DataFrame:
     if enrich:
         return spark.createDataFrame(

@@ -27,6 +27,9 @@ FIELD_PREFIXES = ("lang", "repo", "path", "site", "url", "intitle")
 class Term:
     text: str  # normalized token, possibly "lang:python" fielded form
     phrase: tuple[str, ...] = ()  # >1 tokens => positional phrase
+    # member weight inside an OR-group (1.0 for user terms; <1 for
+    # synonym-expanded members — Synonyms.cpp m_weights analog, X5)
+    weight: float = 1.0
 
 
 @dataclass

@@ -58,6 +58,13 @@ def facets_for_query(
         .filter(F.col("nt") == len(set(ids)))
         .select("doc_id")
     )
+    # merge-on-read tombstones: facet counts must match search results'
+    # doc visibility between delete_docs and compaction (ADVICE_r01)
+    from ..operators.merge import deletes_table
+
+    ddf = deletes_table(index).read(spark)
+    if ddf is not None:
+        matched = matched.join(ddf.select("doc_id").distinct(), "doc_id", "left_anti")
     docs = index.docstats.read(spark).join(matched, "doc_id")
     out = None
     for f in fields:

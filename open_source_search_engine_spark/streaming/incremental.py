@@ -89,21 +89,38 @@ def add_documents(
     )
     po_seg = idx.postings.write_segment(blocks_sorted, label=f"delta{shard_id}")
     ts_partial = blocks.groupBy("term_id").agg(
-        F.sum("n_docs").alias("df"), F.count("*").alias("n_blocks")
+        F.sum("n_docs").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.count("*").alias("n_blocks"),
     )
     tsp_seg = idx.termstats_partial.write_segment(
         ts_partial.coalesce(4), label=f"delta{shard_id}"
     )
     blocks.unpersist()
     posts.unpersist()
+    # postings commit LAST: its run_id marks the batch durably committed,
+    # so replay detection (committed_run_ids) never observes a half-added
+    # batch as done — commits before it are idempotent-safe to redo
     idx.docstats.commit(add=[ds_seg], meta={"run_id": run_id})
     idx.termdict.commit(add=[td_seg])
+    idx.termstats_partial.commit(add=[tsp_seg])
     idx.postings.commit(
         add=[po_seg], meta={"run_id": run_id, "max_shard": shard_id}
     )
-    idx.termstats_partial.commit(add=[tsp_seg])
     if refresh_stats:
         finalize_stats(spark, idx, run_id)
+
+
+def committed_run_ids(idx: Index) -> set[str]:
+    """run_ids whose postings commit landed — the replay-detection ledger
+    (R6).  Driver-side JSON reads only; no Spark job."""
+    t = idx.postings
+    out: set[str] = set()
+    for v in t.history():
+        rid = t.at(v).meta.get("run_id")
+        if rid:
+            out.add(rid)
+    return out
 
 
 def update_documents(
@@ -131,16 +148,20 @@ def stream_documents(
     """Wire a streaming documents source into the index via foreachBatch.
 
     Structured Streaming's checkpoint gives at-least-once batch delivery;
-    deterministic doc_ids + append-only segments make replays detectable
-    (same doc_id set) and compaction idempotent — the Msg4-ACK analog R6.
+    the snapshot log upgrades that to exactly-once at the segment level:
+    each micro-batch commits under run_id ``stream-<batch_id>`` and a
+    replayed batch whose run_id already appears in the postings snapshot
+    history is skipped BEFORE writing anything — no duplicate delta
+    segment, no double-counted df/cf — the Msg4-ACK analog R6.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        add_documents(
-            spark, idx, batch_df, run_id=f"stream-{batch_id}", **add_kwargs
-        )
+        run_id = f"stream-{batch_id}"
+        if run_id in committed_run_ids(idx):
+            return  # replayed micro-batch: already durably committed
+        add_documents(spark, idx, batch_df, run_id=run_id, **add_kwargs)
 
     writer = stream.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir

@@ -125,3 +125,63 @@ def test_streaming_ingest(spark, inc_index, tmp_path):
     )
     q.awaitTermination(120)
     assert _paths(spark, inc_index, "freshdoc") == {"d.py"}
+
+
+def test_replayed_batch_not_double_counted(spark, inc_index):
+    """R6 exactly-once: re-delivering a committed micro-batch (same
+    batch_id -> same run_id) must be a no-op — no duplicate delta
+    segment, no double-counted df/cf, no duplicate result rows."""
+    from open_source_search_engine_spark.streaming.incremental import (
+        committed_run_ids,
+    )
+
+    batch = spark.createDataFrame(DOC_NEW, SCHEMA)
+
+    def simulate_sink(batch_df, batch_id):
+        run_id = f"stream-{batch_id}"
+        if run_id in committed_run_ids(inc_index):
+            return False
+        add_documents(spark, inc_index, batch_df, run_id=run_id, code_aware=False)
+        return True
+
+    assert simulate_sink(batch, 7) is True
+    segs_after_first = list(inc_index.postings.latest().segments)
+    df_first = {
+        r["term"]: r["df"]
+        for r in inc_index.termstats.read(spark)
+        .filter(F.col("term") == "freshdoc")
+        .collect()
+    }
+    # replay of the SAME batch id: skipped entirely
+    assert simulate_sink(batch, 7) is False
+    assert list(inc_index.postings.latest().segments) == segs_after_first
+    df_second = {
+        r["term"]: r["df"]
+        for r in inc_index.termstats.read(spark)
+        .filter(F.col("term") == "freshdoc")
+        .collect()
+    }
+    assert df_first == df_second == {"freshdoc": 1}
+    # and exactly one result row for the doc
+    rows = search(spark, inc_index, "freshdoc", k=10).collect()
+    assert len(rows) == 1
+
+
+def test_build_index_append_guard(spark, inc_index, tmp_path):
+    """A second full build into a non-empty root must fail loudly (it
+    would re-use shard ids and mix per-(shard,term) salt moduli)."""
+    docs = spark.createDataFrame(DOCS_V1, SCHEMA)
+    with pytest.raises(ValueError, match="already has postings"):
+        build_index(
+            spark, docs, inc_index.root, n_shards=1, resume=False, code_aware=False
+        )
+    with pytest.raises(ValueError, match="different build configuration"):
+        build_index(
+            spark, docs, inc_index.root, n_shards=3, resume=True, code_aware=False
+        )
+    # resume with the SAME sharding is the legal path: all shards done -> no-op
+    before = inc_index.postings.latest().version
+    build_index(
+        spark, docs, inc_index.root, n_shards=1, resume=True, code_aware=False
+    )
+    assert inc_index.postings.latest().version == before

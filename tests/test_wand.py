@@ -32,6 +32,11 @@ QUERIES = [
     "def return lang:python",
     "def -return",
     "import class self",
+    # OR-groups: slot-max member scoring inside the kernel (U3)
+    "fn OR func",
+    "def return OR static",
+    "quasarneedle OR xylophonequery",
+    "fn OR func OR def -return",
 ]
 
 
@@ -48,9 +53,9 @@ def test_wand_equals_exhaustive(spark, wand_index, q):
     assert wnd == exh
 
 
-def test_wand_rejects_or_groups(spark, wand_index):
+def test_wand_rejects_phrases(spark, wand_index):
     with pytest.raises(ValueError):
-        search_wand(spark, wand_index, "a OR b")
+        search_wand(spark, wand_index, '"def return"')
 
 
 def _mk_block(term_id, salt, n_salts, bid, doc_ids, tfs, doclens):
@@ -59,10 +64,19 @@ def _mk_block(term_id, salt, n_salts, bid, doc_ids, tfs, doclens):
     t_enc = codec.encode_varint(np.asarray(tfs, dtype=np.uint64))
     l_enc = codec.encode_varint(np.asarray(doclens, dtype=np.uint64))
     return (
-        term_id, salt, n_salts, bid, len(doc_ids), int(doc_ids[0]),
+        term_id, salt, n_salts, bid, len(doc_ids), int(sum(tfs)),
+        int(doc_ids[0]),
         int(doc_ids[-1]), int(max(tfs)), int(min(doclens)),
         d_enc, t_enc, l_enc, b"",
     )
+
+
+_BLOCK_NAMES = [
+    "term_id", "salt", "n_salts", "block_id", "n_docs", "sum_tf",
+    "min_doc_id",
+    "max_doc_id", "max_tf", "min_doclen", "doc_ids_enc", "tfs_enc",
+    "doclens_enc", "positions_enc",
+]
 
 
 def test_kernel_prunes_blocks():
@@ -78,15 +92,10 @@ def test_kernel_prunes_blocks():
             _mk_block(7, 0, 1, b, [1000 * b + i for i in range(4)], [1] * 4, [5000] * 4)
         )
     cols = list(zip(*rows))
-    names = [
-        "term_id", "salt", "n_salts", "block_id", "n_docs", "min_doc_id",
-        "max_doc_id", "max_tf", "min_doclen", "doc_ids_enc", "tfs_enc",
-        "doclens_enc", "positions_enc",
-    ]
     tbl = pa.Table.from_arrays(
-        [pa.array(list(c)) for c in cols], names=names
+        [pa.array(list(c)) for c in cols], names=_BLOCK_NAMES
     )
-    qmeta = {"idf": {7: 1.0}, "rarest": 7, "avgdl": 100.0, "neg_ids": []}
+    qmeta = {"slots": [{7: 1.0}], "rarest_slot": 0, "avgdl": 100.0, "neg_ids": []}
     out = T._wand_kernel(tbl, qmeta, k=3)
     assert out.num_rows == 3
     assert set(out.column("doc_id").to_pylist()) == {10, 20, 30}
@@ -104,3 +113,52 @@ def test_kernel_bound_is_safe():
         bound = T._impact(float(tfs.max()), float(dls.min()), 500.0)
         true = T._impact(tfs.astype(float), dls.astype(float), 500.0)
         assert bound >= true.max() - 1e-12
+
+
+def test_kernel_lazy_decodes_other_terms():
+    """Lazy other-term decode: term 9's list has 20 blocks, but the
+    candidates (term 7, rare) all live in ONE of term 9's doc ranges —
+    the kernel must decode exactly that one block, not the whole list."""
+    rows = [_mk_block(7, 0, 1, 0, [5000, 5001, 5002], [5, 5, 5], [100, 100, 100])]
+    for b in range(20):
+        rows.append(
+            _mk_block(
+                9, 0, 1, b,
+                [1000 * b + i for i in range(5)],  # block b covers [1000b, 1000b+4]
+                [2] * 5, [100] * 5,
+            )
+        )
+    # put the candidates inside term 9's block 5 range
+    rows[6] = _mk_block(9, 0, 1, 5, [5000, 5001, 5002, 5003, 5004], [2] * 5, [100] * 5)
+    cols = list(zip(*rows))
+    tbl = pa.Table.from_arrays([pa.array(list(c)) for c in cols], names=_BLOCK_NAMES)
+    qmeta = {
+        "slots": [{7: 1.0}, {9: 1.0}],
+        "rarest_slot": 0,
+        "avgdl": 100.0,
+        "neg_ids": [],
+    }
+    out = T._wand_kernel(tbl, qmeta, k=3)
+    assert out.num_rows == 3
+    assert set(out.column("doc_id").to_pylist()) == {5000, 5001, 5002}
+    assert out.column("other_blocks_decoded")[0].as_py() == 1
+
+
+def test_wand_or_group_weighted_members(spark, wand_index):
+    """Weighted OR-group members (synonym weights): kernel slot-max must
+    match the weighted exhaustive computation."""
+    from open_source_search_engine_spark.plans.query import Group, QueryPlan, Term
+
+    plan = QueryPlan(
+        groups=[Group([Term("def"), Term("static", weight=0.5)]), Group([Term("return")])],
+        raw="def OR static~0.5 return",
+    )
+    wnd = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_wand(spark, wand_index, plan, k=7, enrich=False).collect()
+    ]
+    exh = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(spark, wand_index, plan, k=7, enrich=False).collect()
+    ]
+    assert wnd == exh
