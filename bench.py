@@ -24,12 +24,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Since round 2 the BM25 headline queries run through the STORED index
+# (engine_* = build_index -> WAND / exhaustive search), per the round-1
+# verdict: the ad-hoc full-scan bm25_* plans remain as oracle entries but
+# are not the engine's latency story.  The index build itself is timed
+# separately (build_docs_per_sec) and primed untimed in run_headline.
 HEADLINE = [
-    "bm25_single",
-    "bm25_and2",
-    "bm25_and3",
-    "bm25_or",
-    "bm25_neg",
+    "engine_bm25_single",
+    "engine_bm25_and2",
+    "engine_bm25_and3",
+    "engine_bm25_or",
+    "engine_bm25_neg",
+    "engine_phrase",
     "agg_pricing",
     "join_enrich",
     "window_top2",
@@ -48,8 +54,9 @@ def run_headline(spark, sf_dir: str) -> dict[str, float]:
     from open_source_search_engine_spark.entry_queries import build_registry
 
     qs, _ = build_registry()
-    # untimed warmup: session/codegen/parquet-footer costs land here, not
-    # on the first timed query (round-1 verdict: bm25_single ate warmup)
+    # untimed warmup: session/codegen/parquet-footer costs AND the cached
+    # engine-index build land here, not on the first timed query
+    qs["engine_bm25_single"](spark, sf_dir).collect()
     qs["bm25_single"](spark, sf_dir).collect()
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -10,6 +10,8 @@ fewer probed buckets instead of cost growing with corpus size.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -134,17 +136,31 @@ def pairwise_cosine_above(
     dedup.minhash_lsh_pairs).  Recall rises with ``bands`` and falls with
     ``n_planes``; P(candidate) = 1 - (1 - (1 - θ/π)^n_planes)^bands for
     angle θ."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     dim = int(v.select(F.size("v")).first()[0])
-    banded = None
-    for band in range(bands):
-        planes = _hyperplanes(n_planes, dim, seed + 1000 * band)
-        part = v.select(
-            "id", F.lit(band).alias("band"), _bucket_expr(F.col("v"), planes).alias("bucket")
-        )
-        banded = part if banded is None else banded.unionByName(part)
+    # all bands' sign-buckets in ONE vectorized Arrow kernel (numpy matmul
+    # against the stacked (bands*n_planes, dim) plane matrix) — a
+    # per-plane Catalyst fold expression was interpreter-bound here, and
+    # unlike the query-time probe path there is no pushdown to preserve:
+    # every row needs its buckets
+    P = np.concatenate(
+        [_hyperplanes(n_planes, dim, seed + 1000 * b) for b in range(bands)]
+    )
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def all_buckets(col: pd.Series) -> pd.Series:
+        M = np.array(col.tolist(), dtype=np.float64)
+        S = ((M @ P.T) >= 0).reshape(len(M), bands, n_planes)
+        return pd.Series(list((S * weights).sum(axis=2).astype(np.int32)))
+
+    banded = v.select(
+        "id", F.posexplode(all_buckets(F.col("v"))).alias("band", "bucket")
+    )
     sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
     bounded = banded.join(
         sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),

@@ -382,8 +382,12 @@ def search_wand(
         extra_ids.append(stats[boost_term][0])
     pos_ids = sorted({t for s in slots for t in s})
 
-    blocks = index.postings.read(spark).filter(
-        F.col("term_id").isin(pos_ids + neg_ids + extra_ids)
+    # prune positions_enc (the largest column — unused by the kernel) so
+    # the parquet scan reads only scoring columns
+    blocks = (
+        index.postings.read(spark)
+        .filter(F.col("term_id").isin(pos_ids + neg_ids + extra_ids))
+        .drop("positions_enc")
     )
 
     def kernel(tbl: pa.Table) -> pa.Table:
