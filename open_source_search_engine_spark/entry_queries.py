@@ -1000,6 +1000,83 @@ ORDER BY cnt DESC, bigram LIMIT 15
 """
 
 
+def q_serp_dedup(spark, sf_dir):
+    """W3 beyond exact-groupBy: QUERY-TIME result dedup (Msg40
+    dedupResultsByDefault) — top-50 'table' results from the stored
+    index, then lower-ranked results with identical content dropped
+    (percent-similar simhash mode covered in test_serp.py; exact mode is
+    the oracle-expressible reference default)."""
+    from .engine_entries import _round_topk, engine_index
+    from .operators.topk import search_wand
+    from .plans.serp import dedup_results
+
+    idx = engine_index(spark, sf_dir)
+    top = _round_topk(search_wand(spark, idx, "table", k=70, enrich=False), 50)
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return dedup_results(top, docs, mode="exact").select("doc_id", "score")
+
+
+SQL_SERP_DEDUP = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
+occ AS (SELECT doc_id, doclen, unnest(toks) AS term FROM dd),
+tf AS (
+  SELECT doc_id, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ WHERE term = 'table' GROUP BY doc_id, doclen
+),
+dfx AS (SELECT CAST(count(*) AS DOUBLE) AS df FROM tf),
+top AS (
+  SELECT tf.doc_id,
+         round( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+                * tf.tf * 2.2
+                / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)), 4) AS score
+  FROM tf CROSS JOIN dfx CROSS JOIN stats
+  ORDER BY score DESC, doc_id LIMIT 50
+),
+ranked AS (
+  SELECT t.doc_id, t.score, md5(doc.text) AS sig,
+         row_number() OVER (ORDER BY t.score DESC, t.doc_id) AS rk
+  FROM top t JOIN documents doc USING (doc_id)
+),
+best AS (SELECT sig, min(rk) AS best FROM ranked GROUP BY sig)
+SELECT doc_id, score FROM ranked JOIN best
+  ON ranked.sig = best.sig AND ranked.rk = best.best
+ORDER BY score DESC, doc_id
+"""
+
+
+def q_facet_ranges(spark, sf_dir):
+    """A4 numeric-range facets (gbfacetint range buckets): bucketed
+    counts + per-bucket min/max over a numeric column."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / 50000).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_FACET_RANGES = """
+SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+       count(*) AS n,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders GROUP BY 1 ORDER BY bucket
+"""
+
+
 def q_rollup(spark, sf_dir):
     """A4+: hierarchical facet rollup (free in Spark/DuckDB, absent in the
     reference — noted as an extension in SURVEY §2.4)."""
@@ -1102,6 +1179,8 @@ def build_registry() -> tuple[
         "search_facets": q_search_facets,
         "site_cluster": q_site_cluster,
         "snippet": q_snippet,
+        "serp_dedup": q_serp_dedup,
+        "facet_ranges": q_facet_ranges,
         "spell_suggest": q_spell_suggest,
         "bigrams": q_bigrams,
         "rollup": q_rollup,
@@ -1153,6 +1232,8 @@ def build_registry() -> tuple[
         "search_facets": SQL_SEARCH_FACETS,
         "site_cluster": SQL_SITE_CLUSTER,
         "snippet": SQL_SNIPPET,
+        "serp_dedup": SQL_SERP_DEDUP,
+        "facet_ranges": SQL_FACET_RANGES,
         "spell_suggest": SQL_SPELL_SUGGEST,
         "bigrams": SQL_BIGRAMS,
         "rollup": SQL_ROLLUP,

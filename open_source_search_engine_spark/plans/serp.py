@@ -75,6 +75,74 @@ def facets_for_query(
     return out.orderBy("field", F.desc("n"), "value")
 
 
+def dedup_results(
+    results: DataFrame,
+    source_docs: DataFrame,
+    mode: str = "exact",
+    simhash_bits: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """W3: query-time result dedup (Msg40 dedupResultsByDefault /
+    percentSimilarDedupResult): among near-identical results keep only
+    the best-ranked one.
+
+    mode='exact'   — identical content (md5), the reference's default;
+    mode='simhash' — near-dup: drop a result whose simhash is within
+                     ``simhash_bits`` hamming distance of a better-ranked
+                     result (percent-similar analog).
+
+    Physical shape: the result set is tiny (top-k), so this is a
+    broadcast join against the doc blobs (the Msg20 fetch the reference
+    performs anyway) + an O(k^2) self-join on k rows — corpus-size
+    independent."""
+    joined = F.broadcast(results).join(
+        source_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_txt")),
+        "doc_id",
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = joined.withColumn("_rank", F.row_number().over(w))
+    if mode == "exact":
+        keyed = ranked.withColumn("_sig", F.md5(F.col("_txt")))
+        keep = (
+            keyed.withColumn(
+                "_best", F.min("_rank").over(Window.partitionBy("_sig"))
+            )
+            .filter(F.col("_rank") == F.col("_best"))
+            .drop("_sig", "_best", "_rank", "_txt")
+        )
+        return keep.orderBy(F.desc("score"), F.asc("doc_id"))
+    if mode != "simhash":
+        raise ValueError(f"unknown dedup mode {mode!r}")
+    from ..operators.dedup import simhash_signatures
+
+    sigs = simhash_signatures(
+        ranked.select("doc_id", "_txt"), "doc_id", "_txt"
+    ).withColumnRenamed("id", "doc_id")
+    r = ranked.join(sigs, "doc_id").drop("_txt")
+    l_, r_ = r.alias("l"), r.alias("r")
+    # pairs (better rank l, worse rank r) within the hamming threshold
+    close = (
+        l_.join(
+            r_,
+            (F.col("l._rank") < F.col("r._rank"))
+            & (
+                F.bit_count(
+                    F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                )
+                <= simhash_bits
+            ),
+        )
+        .select(F.col("r.doc_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        r.join(close, "doc_id", "left_anti")
+        .drop("_rank", "simhash")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def snippets(
     spark: SparkSession,
     index: Index,

@@ -54,3 +54,32 @@ def test_snippets(spark, serp_setup):
         assert r["title"] == r["path"].split("/")[-1]
         assert "**" in r["snippet"].lower()
         assert "binarysearchtree" in r["snippet"].lower().replace("**", "")
+
+
+def test_dedup_results_exact_and_simhash(spark, micro_index, micro_docs):
+    """W3 query-time dedup: exact mode drops identical content; simhash
+    mode drops near-identical content, always keeping the better rank."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.plans.exec import search
+    from open_source_search_engine_spark.plans.serp import dedup_results
+
+    res = search(spark, micro_index, "binary", k=10, enrich=False)
+    base = {r["doc_id"] for r in res.collect()}
+    docs = micro_index.docstats.read(spark).select("doc_id", "path").join(
+        micro_docs.withColumn(
+            "doc_id", F.xxhash64("repo", "path", "commit")
+        ).select("doc_id", "content"),
+        "doc_id",
+    )
+    # no duplicates in the micro corpus -> exact dedup is the identity
+    kept = dedup_results(res, docs, mode="exact")
+    assert {r["doc_id"] for r in kept.collect()} == base
+    # simhash with a huge threshold collapses everything to the top-1
+    kept1 = dedup_results(res, docs, mode="simhash", simhash_bits=64).collect()
+    assert len(kept1) == 1
+    top = res.orderBy(F.desc("score"), F.asc("doc_id")).first()
+    assert kept1[0]["doc_id"] == top["doc_id"]
+    # threshold 0 keeps all distinct-signature docs
+    kept0 = dedup_results(res, docs, mode="simhash", simhash_bits=0)
+    assert {r["doc_id"] for r in kept0.collect()} == base
