@@ -92,19 +92,29 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
         except Exception:
             ok = False
     if not ok:
-        shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(root, exist_ok=True)
+        # build into a private dir, then atomically rename into place so
+        # concurrent driver processes can't observe (or double-build into)
+        # a half-written index; the loser of the rename race adopts the
+        # winner's completed index.
+        tmp = f"{root}.building-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
         build_index(
             spark,
             _docs_as_corpus(spark, key),
-            root,
+            tmp,
             n_shards=2,
             code_aware=False,  # fixture text is plain lowercase tokens
             field_terms=False,
             block_size=256,
         )
-        with open(meta_p, "w") as f:
+        with open(os.path.join(tmp, "_corpus_meta.json"), "w") as f:
             json.dump(fp, f)
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
     idx = Index(root)
     _CACHE[(key, "main")] = idx
     return idx

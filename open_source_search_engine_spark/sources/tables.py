@@ -53,6 +53,17 @@ class SnapshotTable:
         df.write.mode("errorifexists").parquet(path)
         return path
 
+    def _rel(self, path: str) -> str:
+        """Store segment paths RELATIVE to the table dir so an index
+        directory can be renamed/copied/moved atomically (absolute paths
+        froze the tree in place).  Paths outside the table dir stay
+        absolute."""
+        rel = os.path.relpath(path, self.dir)
+        return path if rel.startswith("..") else rel
+
+    def _abs(self, path: str) -> str:
+        return path if os.path.isabs(path) else os.path.join(self.dir, path)
+
     def commit(
         self,
         add: list[str] | None = None,
@@ -81,11 +92,12 @@ class SnapshotTable:
         operation: str,
         meta: dict | None,
     ) -> Snapshot:
-        cur = self.latest()
+        cur = self._latest_raw()
         segs = list(cur.segments) if cur else []
         for r in remove or []:
-            segs.remove(r)
-        segs.extend(add or [])
+            r = self._rel(r)
+            segs.remove(r if r in segs else self._abs(r))
+        segs.extend(self._rel(a) for a in add or [])
         version = (cur.version + 1) if cur else 0
         snap = Snapshot(version, segs, operation, meta or {})
         path = os.path.join(self.snap_dir, f"v{version}.json")
@@ -108,15 +120,35 @@ class SnapshotTable:
 
     # -- read side ----------------------------------------------------------
     def latest(self) -> Snapshot | None:
+        snap = self._latest_raw()
+        if snap is None:
+            return None
+        return Snapshot(
+            snap.version,
+            [self._abs(s) for s in snap.segments],
+            snap.operation,
+            snap.meta,
+        )
+
+    def _latest_raw(self) -> Snapshot | None:
         head = os.path.join(self.snap_dir, "HEAD")
         if not os.path.exists(head):
             return None
         with open(head) as f:
             version = int(f.read().strip())
-        return self.at(version)
+        return self._at_raw(version)
 
     def at(self, version: int) -> Snapshot:
-        """Time travel to snapshot ``version``."""
+        """Time travel to snapshot ``version`` (segment paths resolved)."""
+        snap = self._at_raw(version)
+        return Snapshot(
+            snap.version,
+            [self._abs(s) for s in snap.segments],
+            snap.operation,
+            snap.meta,
+        )
+
+    def _at_raw(self, version: int) -> Snapshot:
         with open(os.path.join(self.snap_dir, f"v{version}.json")) as f:
             d = json.load(f)
         return Snapshot(d["version"], d["segments"], d["operation"], d.get("meta", {}))
