@@ -152,6 +152,105 @@ def engine_index_tombstoned(spark: SparkSession, sf_dir: str) -> Index:
     return idx
 
 
+def engine_index_compacted(spark: SparkSession, sf_dir: str) -> Index:
+    """Copy of the shared index with TOMBSTONED_DOC_IDS deleted and then
+    COMPACTED: tombstones physically annihilated, blocks decoded and
+    re-encoded into one merged sorted segment, stats rebuilt over the
+    live docs only (R3/R4 — the oracle recomputes from the corpus with
+    the deleted docs excluded entirely, stats included)."""
+    key = os.path.abspath(sf_dir)
+    hit = _CACHE.get((key, "compact"))
+    if hit is not None:
+        return hit
+    base = engine_index(spark, key)
+    root = base.root + "_compact"
+    meta_p = os.path.join(root, "_compact_meta.json")
+    fp = {"base": base.root, "deleted": TOMBSTONED_DOC_IDS, "op": "compact"}
+    ok = False
+    if os.path.exists(meta_p):
+        try:
+            with open(meta_p) as f:
+                ok = json.load(f) == fp
+        except Exception:
+            ok = False
+    if not ok:
+        from .operators.merge import compact_postings, delete_docs
+
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.copytree(base.root, root)
+        os.remove(os.path.join(root, "_corpus_meta.json"))
+        idx = Index(root)
+        delete_docs(spark, idx, TOMBSTONED_DOC_IDS)
+        compact_postings(spark, idx, salt_target=200, block_size=128)
+        with open(meta_p, "w") as f:
+            json.dump(fp, f)
+    idx = Index(root)
+    _CACHE[(key, "compact")] = idx
+    return idx
+
+
+def engine_index_incremental(spark: SparkSession, sf_dir: str) -> Index:
+    """The same corpus indexed through the INCREMENTAL path: two
+    add_documents delta batches (no full build) with an aggressive
+    salt_target so heavy terms split into salted sub-lists — query
+    results must be identical to the one-shot build (the oracle doesn't
+    know how the index was constructed)."""
+    key = os.path.abspath(sf_dir)
+    hit = _CACHE.get((key, "incr"))
+    if hit is not None:
+        return hit
+    fp = _corpus_fingerprint(key)
+    fp["path"] = "incremental-2batch-salted"
+    root = os.path.join(
+        _ENGINE_ROOT, hashlib.md5(key.encode()).hexdigest()[:12] + "_incr"
+    )
+    meta_p = os.path.join(root, "_corpus_meta.json")
+    ok = False
+    if os.path.exists(meta_p):
+        try:
+            with open(meta_p) as f:
+                ok = json.load(f) == fp
+        except Exception:
+            ok = False
+    if not ok:
+        from .streaming.incremental import add_documents
+
+        tmp = f"{root}.building-{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp, exist_ok=True)
+        idx = Index(tmp)
+        corpus = _docs_as_corpus(spark, key)
+        add_documents(
+            spark,
+            idx,
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
+            code_aware=False,
+            field_terms=False,
+            salt_target=50,
+            block_size=64,
+            refresh_stats=False,
+        )
+        add_documents(
+            spark,
+            idx,
+            corpus.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1),
+            code_aware=False,
+            field_terms=False,
+            salt_target=50,
+            block_size=64,
+        )
+        with open(os.path.join(tmp, "_corpus_meta.json"), "w") as f:
+            json.dump(fp, f)
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            os.rename(tmp, root)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    idx = Index(root)
+    _CACHE[(key, "incr")] = idx
+    return idx
+
+
 def _round_topk(results: DataFrame, k: int) -> DataFrame:
     """Re-rank by ROUNDED score (ties by doc_id) to mirror the oracle's
     ``ORDER BY round(s,4) DESC, doc_id LIMIT k`` selection exactly."""
@@ -187,14 +286,18 @@ def q_engine_bm25_neg(spark, sf_dir):
     return _round_topk(search_wand(spark, idx, "table -join", k=20, enrich=False), 10)
 
 
+def q_engine_bm25_or(spark, sf_dir):
+    """OR-group through the WAND kernel (slot-max member scoring, U3);
+    the general plan covers the same query class via engine_bm25_exhaustive."""
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(
+        search_wand(spark, idx, "vector OR stream", k=20, enrich=False), 10
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 through the general DataFrame plan (plans.exec.search)
 # ---------------------------------------------------------------------------
-def q_engine_bm25_or(spark, sf_dir):
-    idx = engine_index(spark, sf_dir)
-    return _round_topk(
-        search(spark, idx, "vector OR stream", k=20, enrich=False), 10
-    )
 
 
 def q_engine_bm25_exhaustive(spark, sf_dir):
@@ -286,6 +389,23 @@ def _matched_docs(spark, idx: Index, terms: list[str]) -> DataFrame:
     )
 
 
+def q_engine_compacted(spark, sf_dir):
+    """R3/R4 under the oracle: delete + compact, then query — blocks
+    decoded/re-merged/re-encoded, tombstones physically gone, stats
+    rebuilt; the oracle recomputes from the corpus minus the deleted
+    docs (stats and all)."""
+    idx = engine_index_compacted(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "table", k=20, enrich=False), 10)
+
+
+def q_engine_incremental(spark, sf_dir):
+    """R1/S3 under the oracle: the corpus indexed as two add_documents
+    delta batches with aggressive salting (salt_target=50) — results
+    must equal the one-shot build's (same oracle SQL)."""
+    idx = engine_index_incremental(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "spark join", k=20, enrich=False), 10)
+
+
 def q_engine_boolean(spark, sf_dir):
     """U1 nested boolean over the index: parens + AND/OR/NOT evaluated
     per doc from the postings presence sets (Expression::isTruth)."""
@@ -356,6 +476,7 @@ def _bm25_engine_oracle(
     mode: str = "and",
     neg_terms: list[str] | None = None,
     exclude_doc_ids: list[int] | None = None,
+    exclude_from_corpus: list[int] | None = None,
 ) -> str:
     """BM25 recomputed from raw text with the engine's semantics: global
     stats over ALL docs, idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75,
@@ -365,8 +486,16 @@ def _bm25_engine_oracle(
     mode='or' replicates the engine's OR-GROUP semantics (Gigablast
     QueryTermInfo synonym groups, U3): the terms share ONE slot scored as
     the MAX member contribution, not a disjunctive sum — hence the agg
-    switches from sum to max."""
+    switches from sum to max.
+
+    ``exclude_from_corpus`` removes docs from the corpus ENTIRELY
+    (stats included) — post-compaction semantics, vs the merge-on-read
+    ``exclude_doc_ids``."""
     tl = ", ".join(f"'{t}'" for t in terms)
+    corpus_where = ""
+    if exclude_from_corpus:
+        cl = ", ".join(str(i) for i in exclude_from_corpus)
+        corpus_where = f"WHERE doc_id NOT IN ({cl})"
     nt_pred = f"nt = {len(terms)}" if mode == "and" else "nt >= 1"
     agg = "sum" if mode == "and" else "max"
     neg = ""
@@ -383,7 +512,7 @@ def _bm25_engine_oracle(
     return f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
-  FROM documents
+  FROM documents {corpus_where}
 ),
 dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
 stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
@@ -453,6 +582,8 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_synonyms": q_engine_synonyms,
         "engine_boolean": q_engine_boolean,
         "engine_latest_wins": q_engine_latest_wins,
+        "engine_compacted": q_engine_compacted,
+        "engine_incremental": q_engine_incremental,
         "engine_total_hits": q_engine_total_hits,
         "engine_facets": q_engine_facets,
         # spell / termstats / tf / collstats / gigabits now run
@@ -472,6 +603,10 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_latest_wins": _bm25_engine_oracle(
             ["table"], exclude_doc_ids=TOMBSTONED_DOC_IDS
         ),
+        "engine_compacted": _bm25_engine_oracle(
+            ["table"], exclude_from_corpus=TOMBSTONED_DOC_IDS
+        ),
+        "engine_incremental": _bm25_engine_oracle(["spark", "join"]),
         "engine_total_hits": SQL_ENGINE_TOTAL_HITS,
         "engine_facets": SQL_ENGINE_FACETS,
         "engine_gigabits": SQL_ENGINE_GIGABITS,

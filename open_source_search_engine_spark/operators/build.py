@@ -96,6 +96,10 @@ class Index:
     def metrics(self) -> SnapshotTable:
         return SnapshotTable(self.root, "metrics")
 
+    @property
+    def lineage(self) -> SnapshotTable:
+        return SnapshotTable(self.root, "lineage")
+
 
 def derive_ids(docs: DataFrame) -> DataFrame:
     """documents -> + doc_id, content_sha256 (cheap JVM columns only —
@@ -613,6 +617,27 @@ def _checkpoint(
     )
     mseg = _write_tiny_segment(idx.metrics, mt, f"m{shard}")
     idx.metrics.commit(add=[mseg])
+    # lineage: which snapshot of each output table this shard's commit
+    # produced, from which logical input (north rule: per-partition
+    # lineage; Repair.cpp's rebuild bookkeeping analog)
+    rows = []
+    for tname in ("postings", "docstats", "termdict", "termstats_partial"):
+        t = getattr(idx, tname)
+        snap = t.latest()
+        rows.append(
+            {
+                "run_id": run_id,
+                "output_table": tname,
+                "input_table": "documents",
+                "input_snapshot": f"shard={shard}/{n_shards}",
+                "transform": "build_shard",
+                "ts": now,
+            }
+        )
+        rows[-1]["output_snapshot"] = str(snap.version if snap else -1)
+    ln = pd.DataFrame(rows)
+    lseg = _write_tiny_segment(idx.lineage, ln, f"l{shard}")
+    idx.lineage.commit(add=[lseg], meta={"run_id": run_id, "shard": shard})
 
 
 def decode_blocks(blocks: DataFrame, with_positions: bool = False) -> DataFrame:

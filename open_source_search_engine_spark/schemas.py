@@ -17,7 +17,7 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
 # ---------------------------------------------------------------------------
@@ -91,6 +91,7 @@ POSTINGS_BLOCKS = StructType(
         StructField("n_salts", IntegerType(), False),
         StructField("block_id", IntegerType(), False),
         StructField("n_docs", IntegerType(), False),
+        StructField("sum_tf", LongType(), False),  # -> cf (getTermFreq)
         StructField("min_doc_id", LongType(), False),
         StructField("max_doc_id", LongType(), False),
         StructField("max_tf", IntegerType(), False),
@@ -120,6 +121,7 @@ TERMSTATS = StructType(
     [
         StructField("term_id", LongType(), False),
         StructField("df", LongType(), False),
+        StructField("cf", LongType(), False),
         StructField("n_blocks", LongType(), False),
         StructField("term", StringType(), False),
     ]
@@ -143,7 +145,7 @@ CHECKPOINTS = StructType(
         StructField("partition_id", IntegerType(), False),
         StructField("status", StringType(), False),
         StructField("rows_out", LongType(), False),
-        StructField("ts", TimestampType(), False),
+        StructField("ts", TimestampNTZType(), False),
     ]
 )
 
@@ -153,7 +155,7 @@ METRICS = StructType(
         StructField("stage", StringType(), False),
         StructField("metric", StringType(), False),
         StructField("value", DoubleType(), False),
-        StructField("ts", TimestampType(), False),
+        StructField("ts", TimestampNTZType(), False),
     ]
 )
 
@@ -164,6 +166,7 @@ LINEAGE = StructType(
         StructField("input_table", StringType(), False),
         StructField("input_snapshot", StringType(), False),
         StructField("transform", StringType(), False),
-        StructField("ts", TimestampType(), False),
+        StructField("ts", TimestampNTZType(), False),
+        StructField("output_snapshot", StringType(), False),
     ]
 )

@@ -1,0 +1,52 @@
+"""schemas.py is the Posdb.h/Titledb.h analog — the declared record
+formats must match what the build actually writes (names + types; the
+stored parquet is nullable-relaxed, so nullability is not compared)."""
+
+from open_source_search_engine_spark import schemas
+
+
+def _shape(st):
+    return [(f.name, f.dataType.simpleString()) for f in st.fields]
+
+
+def test_stored_tables_match_declared_schemas(spark, micro_index):
+    idx = micro_index
+    got_blocks = _shape(idx.postings.read(spark).schema)
+    assert got_blocks == _shape(schemas.POSTINGS_BLOCKS)
+
+    got_ts = _shape(idx.termstats.read(spark).schema)
+    # termstats is written df,cf,n_blocks,term joined after term_id
+    assert sorted(got_ts) == sorted(_shape(schemas.TERMSTATS))
+
+    assert sorted(_shape(idx.docstats.read(spark).schema)) == sorted(
+        _shape(schemas.DOCSTATS)
+    )
+    assert sorted(_shape(idx.collstats.read(spark).schema)) == sorted(
+        _shape(schemas.COLLSTATS)
+    )
+    assert sorted(_shape(idx.termdict.read(spark).schema)) == sorted(
+        _shape(schemas.TERMDICT)
+    )
+    assert sorted(_shape(idx.checkpoints.read(spark).schema)) == sorted(
+        _shape(schemas.CHECKPOINTS)
+    )
+    assert sorted(_shape(idx.metrics.read(spark).schema)) == sorted(
+        _shape(schemas.METRICS)
+    )
+    assert sorted(_shape(idx.lineage.read(spark).schema)) == sorted(
+        _shape(schemas.LINEAGE)
+    )
+
+
+def test_lineage_rows_per_shard(spark, micro_index):
+    ln = micro_index.lineage.read(spark)
+    rows = ln.collect()
+    # one build shard x 4 output tables
+    assert {r["output_table"] for r in rows} == {
+        "postings",
+        "docstats",
+        "termdict",
+        "termstats_partial",
+    }
+    assert all(r["transform"] == "build_shard" for r in rows)
+    assert all(r["input_snapshot"].startswith("shard=") for r in rows)
