@@ -1118,6 +1118,58 @@ ORDER BY o_custkey
 """
 
 
+def _as_media(spark, sf_dir):
+    """documents.text as an opaque binary payload — the multimodal
+    column contract exercised on driver data (real decoders are
+    container-stubbed; the Spark plumbing is the deliverable)."""
+    from .operators.multimodal import MEDIA_SCHEMA  # noqa: F401  (contract)
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(0).alias("width"),
+            F.lit(0).alias("height"),
+            F.lit(0).alias("sample_rate"),
+            F.lit(1).alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Multimodal metadata pass (scan-speed column ops over binary
+    payloads): size + content digest per media row."""
+    from .operators import multimodal
+
+    return (
+        multimodal.media_metadata(_as_media(spark, sf_dir))
+        .select("media_id", "n_bytes", "payload_sha256")
+        .orderBy("media_id")
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       octet_length(encode(text)) AS n_bytes,
+       sha256(text) AS payload_sha256
+FROM documents ORDER BY media_id
+"""
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Arrow feature-extraction kernel over binary payloads (rows-only:
+    the deterministic fake decoder isn't SQL-expressible)."""
+    from .operators import multimodal
+
+    return (
+        multimodal.extract_features(_as_media(spark, sf_dir))
+        .select("media_id", F.round(F.element_at("features", 1), 6).alias("f0"))
+        .orderBy("media_id")
+    )
+
+
 # Spark-only (no SQL-expressible oracle; driver records rows-only check)
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates (rows-only check: not SQL-expressible)."""
@@ -1198,6 +1250,8 @@ def build_registry() -> tuple[
         "embed_facets": q_embed_facets,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -1248,7 +1302,9 @@ def build_registry() -> tuple[
         "ann_lsh": SQL_ANN_COSINE,  # full probe == exact brute force
         # pairwise_cosine: intentionally rows-only (LSH-dependent candidates)
         "embed_facets": SQL_EMBED_FACETS,
-        # minhash_lsh, simhash: intentionally no oracle (rows-only check)
+        "multimodal_meta": SQL_MULTIMODAL_META,
+        # minhash_lsh, simhash, pairwise_cosine, multimodal_features:
+        # intentionally no oracle (rows-only check)
     }
     oracles.update(eng_o)
     return queries, oracles

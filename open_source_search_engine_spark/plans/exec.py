@@ -148,20 +148,39 @@ def search(
     if phrase_specs:
         cand = _apply_phrase_filter(cand, phrase_specs)
 
-    # DAAT intersection as two-level agg: best member per (doc, slot), then
-    # docs matching every slot (U2/U3/J1/J2).
-    per_slot = cand.groupBy("doc_id", "slot").agg(
-        F.max("contrib").alias("slot_score"), F.first("doclen").alias("doclen")
-    )
-    scored = (
-        per_slot.groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_matched"),
-            F.sum("slot_score").alias("score"),
+    # DAAT intersection (U2/U3/J1/J2).  Without phrases the slot count is
+    # known up front, so the two-level agg (groupBy(doc,slot) then
+    # groupBy(doc) — TWO exchanges) collapses into ONE groupBy(doc_id)
+    # with a pivoted max-per-slot column set: slot-max scoring and the
+    # all-slots-present check both read off the pivoted row.
+    if not phrase_specs:
+        slot_cols = [
+            F.max(F.when(F.col("slot") == s, F.col("contrib"))).alias(f"_s{s}")
+            for s in required_slots
+        ]
+        g = cand.groupBy("doc_id").agg(*slot_cols)
+        present = None
+        for s in required_slots:
+            c = F.col(f"_s{s}").isNotNull()
+            present = c if present is None else (present & c)
+        total = None
+        for s in required_slots:
+            c = F.col(f"_s{s}")
+            total = c if total is None else (total + c)
+        scored = g.filter(present).select("doc_id", total.alias("score"))
+    else:
+        per_slot = cand.groupBy("doc_id", "slot").agg(
+            F.max("contrib").alias("slot_score"), F.first("doclen").alias("doclen")
         )
-        .filter(F.col("n_matched") == len(required_slots))
-        .drop("n_matched")
-    )
+        scored = (
+            per_slot.groupBy("doc_id")
+            .agg(
+                F.count("*").alias("n_matched"),
+                F.sum("slot_score").alias("score"),
+            )
+            .filter(F.col("n_matched") == len(required_slots))
+            .drop("n_matched")
+        )
 
     if neg_terms:
         neg_ids = [df_by_term[t][0] for t in neg_terms if t in df_by_term]
