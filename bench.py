@@ -106,8 +106,18 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
             t0 = time.time()
             search(spark, idx, q, k=10).collect()
             lat["exhaustive"].append((time.time() - t0) * 1000)
+    # serp result cache (Msg17 analog): repeated-query latency
+    for q in queries:
+        search_wand(spark, idx, q, k=10, use_cache=True).collect()
+    lat_c = []
+    for _ in range(3):
+        for q in queries:
+            t0 = time.time()
+            search_wand(spark, idx, q, k=10, use_cache=True).collect()
+            lat_c.append((time.time() - t0) * 1000)
     both = sorted(lat["wand"] + lat["exhaustive"])
     return {
+        "cached_p50_ms": round(statistics.median(lat_c), 1),
         "build_secs": round(build_secs, 2),
         "docs_per_sec": round(n_docs / build_secs, 2),
         "query_p50_ms": round(statistics.median(both), 1),
@@ -154,6 +164,7 @@ def main():
         "query_p95_ms": build["query_p95_ms"],
         "wand_p50_ms": build["wand_p50_ms"],
         "exhaustive_p50_ms": build["exhaustive_p50_ms"],
+        "cached_p50_ms": build["cached_p50_ms"],
         "cores": cores,
     }
     # attach the latest interleaved scaling measurement if one exists

@@ -50,6 +50,10 @@ def main(argv: list[str] | None = None) -> None:
         "--lang-boost", default=None, metavar="LANG:FACTOR",
         help="F8 soft language preference, e.g. python:1.2",
     )
+    s.add_argument(
+        "--cache", action="store_true",
+        help="serp result cache (Msg17 analog; invalidated by snapshot version)",
+    )
 
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
@@ -131,7 +135,7 @@ def main(argv: list[str] | None = None) -> None:
         t0 = time.time()
         rows = fn(
             spark, idx, args.query, k=args.k,
-            synonyms=args.synonyms, lang_boost=lb,
+            synonyms=args.synonyms, lang_boost=lb, use_cache=args.cache,
         ).collect()
         ms = (time.time() - t0) * 1000
         for r in rows:

@@ -316,6 +316,7 @@ def search_wand(
     with_prune_stats: bool = False,
     synonyms: bool | dict = False,
     lang_boost: tuple[str, float] | None = None,
+    use_cache: bool = False,
 ) -> DataFrame:
     """BM25 top-k via per-shard block-max WAND.
 
@@ -334,6 +335,21 @@ def search_wand(
         plan = expand_plan(plan, None if synonyms is True else synonyms)
     if any(m.phrase for g in plan.groups for m in g.members):
         raise ValueError("search_wand handles term/OR-group queries only")
+    if use_cache:
+        from ..plans.exec import cached_result
+        from ..plans.query import plan_key
+
+        extra = (plan_key(plan), k, enrich, with_prune_stats, lang_boost)
+        return cached_result(
+            spark,
+            index,
+            "wand",
+            extra,
+            lambda: search_wand(
+                spark, index, plan, k=k, enrich=enrich,
+                with_prune_stats=with_prune_stats, lang_boost=lang_boost,
+            ),
+        )
     all_pos = [m.text for g in plan.groups for m in g.members]
     if not all_pos:
         raise ValueError("query has no positive terms")

@@ -55,6 +55,7 @@ def search(
     synonyms: bool | dict = False,
     lang_boost: tuple[str, float] | None = None,
     proximity_bonus: float = 0.0,
+    use_cache: bool = False,
 ) -> DataFrame:
     """Top-k BM25 search against a built index.
 
@@ -80,6 +81,20 @@ def search(
         plan = expand_plan(plan, None if synonyms is True else synonyms)
     if not plan.groups:
         raise ValueError("query has no positive terms")
+    if use_cache:
+        from .query import plan_key
+
+        extra = (plan_key(plan), k, enrich, lang_boost, proximity_bonus)
+        return cached_result(
+            spark,
+            index,
+            "search",
+            extra,
+            lambda: search(
+                spark, index, plan, k=k, enrich=enrich,
+                lang_boost=lang_boost, proximity_bonus=proximity_bonus,
+            ),
+        )
 
     # term table: slot id per AND-group, member terms OR'd within a slot.
     # Phrase members are expanded to ordinary AND slots + a positional
@@ -304,6 +319,41 @@ def _proximity_rerank(
         .withColumn("score", F.col("score") * bonus)
         .select("doc_id", "score")
     )
+
+
+# -- serp result cache (Msg17 analog): completed top-k result sets keyed
+# by (index root, postings version, deletes version, query surface).  A
+# mutation commits a new snapshot version, so stale entries can never be
+# served; entries hold k collected rows (tiny).
+_RESULT_CACHE: dict[tuple, tuple[list, object]] = {}
+
+
+def _result_cache_key(index: Index, tag: str, extra: tuple) -> tuple:
+    from ..operators.merge import deletes_table
+
+    psnap = index.postings.latest()
+    dsnap = deletes_table(index).latest()
+    return (
+        index.root,
+        psnap.version if psnap else -1,
+        dsnap.version if dsnap else -1,
+        tag,
+        extra,
+    )
+
+
+def cached_result(
+    spark: SparkSession, index: Index, tag: str, extra: tuple, compute
+) -> DataFrame:
+    """Return a DataFrame for (tag, extra), serving repeated queries from
+    the collected-row cache (the reference's serp cache, Msg17)."""
+    key = _result_cache_key(index, tag, extra)
+    hit = _RESULT_CACHE.get(key)
+    if hit is None:
+        df = compute()
+        hit = _RESULT_CACHE[key] = (df.collect(), df.schema)
+    rows, schema = hit
+    return spark.createDataFrame(rows, schema)
 
 
 def _py_idf(df_: int, n_docs: float) -> float:

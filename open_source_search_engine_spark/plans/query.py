@@ -53,6 +53,17 @@ class QueryPlan:
 _TOKEN_RE = re.compile(r'"[^"]*"|\S+')
 
 
+def plan_key(plan: QueryPlan) -> tuple:
+    """Hashable identity of a parsed plan (serp-cache key component)."""
+    return (
+        tuple(
+            tuple((m.text, m.phrase, m.weight) for m in g.members)
+            for g in plan.groups
+        ),
+        tuple(t.text for t in plan.negatives),
+    )
+
+
 def _norm_unit(unit: str) -> Term | None:
     """One query word/phrase -> Term (tokenized same as the index side)."""
     if unit.startswith('"') and unit.endswith('"'):

@@ -185,3 +185,41 @@ def test_build_index_append_guard(spark, inc_index, tmp_path):
         spark, docs, inc_index.root, n_shards=1, resume=True, code_aware=False
     )
     assert inc_index.postings.latest().version == before
+
+
+def test_serp_result_cache_invalidates_on_mutation(spark, inc_index):
+    """Msg17-analog result cache: repeated query served from collected
+    rows; ANY index mutation (new snapshot version) invalidates."""
+    import time as _t
+
+    from open_source_search_engine_spark.plans.exec import _RESULT_CACHE
+
+    _RESULT_CACHE.clear()
+    r1 = {
+        (r["path"], round(r["score"], 9))
+        for r in search(spark, inc_index, "alpha", k=10, use_cache=True).collect()
+    }
+    assert len(_RESULT_CACHE) == 1
+    t0 = _t.time()
+    r2 = {
+        (r["path"], round(r["score"], 9))
+        for r in search(spark, inc_index, "alpha", k=10, use_cache=True).collect()
+    }
+    cached_secs = _t.time() - t0
+    assert r2 == r1
+    assert cached_secs < 1.0  # no Spark job beyond createDataFrame+collect
+    # WAND path has its own tag but shares the cache map
+    w = {
+        (r["path"], round(r["score"], 9))
+        for r in search_wand(spark, inc_index, "alpha", k=10, use_cache=True).collect()
+    }
+    assert w == r1
+    # mutation -> new snapshot version -> fresh results
+    add_documents(
+        spark, inc_index, spark.createDataFrame(DOC_NEW, SCHEMA), code_aware=False
+    )
+    r3 = {
+        r["path"]
+        for r in search(spark, inc_index, "alpha", k=10, use_cache=True).collect()
+    }
+    assert "d.py" in r3
