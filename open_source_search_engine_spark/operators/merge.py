@@ -67,20 +67,24 @@ def deleted_doc_ids(spark: SparkSession, idx: Index) -> np.ndarray:
     return out
 
 
-def decode_to_postings(blocks: DataFrame) -> DataFrame:
-    """Stored blocks -> posting rows (term_id, doc_id, doclen, tf,
-    pos_enc) — the exact inverse of the encode kernel, so a compaction
-    round-trips through the same fast Arrow path.
+def decode_to_postings(blocks: DataFrame, with_positions: bool = True) -> DataFrame:
+    """Stored blocks -> posting rows (term_id, doc_id, doclen, tf
+    [, pos_enc]) — the exact inverse of the encode kernel, so a
+    compaction round-trips through the same fast Arrow path.
 
     The per-doc position streams are NOT decoded: the wire format is
     per-doc self-contained inside a block, so each doc's byte range is
     recovered from varint continuation bits + tf counts and re-sliced
-    zero-copy."""
+    zero-copy.  ``with_positions=False`` skips the positions column
+    entirely (never read from parquet, never scanned for continuation
+    bits) — the scoring paths use this mode."""
     import pyarrow as pa
 
     from ..functions import codec
 
-    cols = ["term_id", "n_docs", "doc_ids_enc", "tfs_enc", "doclens_enc", "positions_enc"]
+    cols = ["term_id", "n_docs", "doc_ids_enc", "tfs_enc", "doclens_enc"]
+    if with_positions:
+        cols.append("positions_enc")
 
     def decode(batches):
         for batch in batches:
@@ -94,56 +98,60 @@ def decode_to_postings(blocks: DataFrame) -> DataFrame:
                     c["doc_ids_enc"][i].as_py(), c["tfs_enc"][i].as_py(), b"", nd
                 )
                 dl = codec.decode_varint(c["doclens_enc"][i].as_py(), nd)
-                raw = np.frombuffer(c["positions_enc"][i].as_py(), dtype=np.uint8)
-                # per-value byte length from continuation bits -> per-doc
-                # byte lengths by summing tf consecutive value lengths
-                if raw.size:
-                    vends = np.flatnonzero((raw & 0x80) == 0) + 1
-                    tfcum = np.cumsum(tf)
-                    doc_byte_end = vends[tfcum - 1]
-                    doc_byte_start = np.empty(nd, dtype=np.int64)
-                    doc_byte_start[0] = 0
-                    doc_byte_start[1:] = doc_byte_end[:-1]
-                    lens = doc_byte_end - doc_byte_start
-                else:
-                    lens = np.zeros(nd, dtype=np.int64)
+                if with_positions:
+                    raw = np.frombuffer(c["positions_enc"][i].as_py(), dtype=np.uint8)
+                    # per-value byte length from continuation bits -> per-doc
+                    # byte lengths by summing tf consecutive value lengths
+                    if raw.size:
+                        vends = np.flatnonzero((raw & 0x80) == 0) + 1
+                        tfcum = np.cumsum(tf)
+                        doc_byte_end = vends[tfcum - 1]
+                        doc_byte_start = np.empty(nd, dtype=np.int64)
+                        doc_byte_start[0] = 0
+                        doc_byte_start[1:] = doc_byte_end[:-1]
+                        lens = doc_byte_end - doc_byte_start
+                    else:
+                        lens = np.zeros(nd, dtype=np.int64)
+                    pos_chunks.append(raw)
+                    row_pos_lens.append(lens)
                 t_out.append(np.full(nd, c["term_id"][i].as_py(), dtype=np.int64))
                 d_out.append(d)
                 l_out.append(dl.astype(np.int32))
                 f_out.append(tf.astype(np.int32))
-                pos_chunks.append(raw)
-                row_pos_lens.append(lens)
             if not t_out:
                 continue
-            values = (
-                np.concatenate(pos_chunks) if pos_chunks else np.empty(0, np.uint8)
-            )
-            lens_all = np.concatenate(row_pos_lens)
-            total_b = int(lens_all.sum())
-            assert total_b < 2**31, (
-                f"pos stream {total_b}B overflows int32 Arrow offsets"
-            )
-            offs = np.zeros(len(lens_all) + 1, dtype=np.int32)
-            np.cumsum(lens_all, out=offs[1:])
-            pos_enc = pa.BinaryArray.from_buffers(
-                pa.binary(),
-                len(lens_all),
-                [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(values.tobytes())],
-            )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.concatenate(t_out)),
-                    pa.array(np.concatenate(d_out)),
-                    pa.array(np.concatenate(l_out)),
-                    pa.array(np.concatenate(f_out)),
-                    pos_enc,
-                ],
-                names=["term_id", "doc_id", "doclen", "tf", "pos_enc"],
-            )
+            arrays = [
+                pa.array(np.concatenate(t_out)),
+                pa.array(np.concatenate(d_out)),
+                pa.array(np.concatenate(l_out)),
+                pa.array(np.concatenate(f_out)),
+            ]
+            names = ["term_id", "doc_id", "doclen", "tf"]
+            if with_positions:
+                values = (
+                    np.concatenate(pos_chunks) if pos_chunks else np.empty(0, np.uint8)
+                )
+                lens_all = np.concatenate(row_pos_lens)
+                total_b = int(lens_all.sum())
+                assert total_b < 2**31, (
+                    f"pos stream {total_b}B overflows int32 Arrow offsets"
+                )
+                offs = np.zeros(len(lens_all) + 1, dtype=np.int32)
+                np.cumsum(lens_all, out=offs[1:])
+                arrays.append(
+                    pa.BinaryArray.from_buffers(
+                        pa.binary(),
+                        len(lens_all),
+                        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(values.tobytes())],
+                    )
+                )
+                names.append("pos_enc")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    return blocks.select(*cols).mapInArrow(
-        decode, "term_id long, doc_id long, doclen int, tf int, pos_enc binary"
-    )
+    schema = "term_id long, doc_id long, doclen int, tf int"
+    if with_positions:
+        schema += ", pos_enc binary"
+    return blocks.select(*cols).mapInArrow(decode, schema)
 
 
 def compact_postings(

@@ -144,58 +144,70 @@ def search(
         )
         for (t, s, pid, seq, w) in present_members
     ]
-    need_positions = bool(phrase_specs) or proximity_bonus > 0
+    # phrase adjacency rides a dedicated Arrow pass over encoded bytes;
+    # only the proximity re-rank consumes decoded position arrays (over
+    # the tiny candidate set)
+    need_positions = proximity_bonus > 0 or proximity_bonus > 0
     qterms = spark.createDataFrame(
         qt_rows, "term_id long, slot int, phrase_id int, seq int, idf double"
     )
 
     blocks = index.postings.read(spark)
     pos_ids = [df_by_term[t][0] for (t, _s, _p, _q, _w) in present_members]
-    cand = decode_blocks(
-        blocks.filter(F.col("term_id").isin(pos_ids)), with_positions=need_positions
-    ).join(F.broadcast(qterms), "term_id")
+    if need_positions:
+        # proximity re-rank needs decoded position arrays
+        cand = decode_blocks(
+            blocks.filter(F.col("term_id").isin(pos_ids)), with_positions=True
+        ).join(F.broadcast(qterms), "term_id")
+    else:
+        # vectorized Arrow decode WITHOUT positions: the scoring path
+        # never reads the positions column from parquet at all
+        from ..operators.merge import decode_to_postings
+
+        cand = decode_to_postings(
+            blocks.filter(F.col("term_id").isin(pos_ids)), with_positions=False
+        ).join(F.broadcast(qterms), "term_id")
 
     cand = cand.withColumn(
         "contrib",
         F.col("idf") * impact_col(F.col("tf"), F.col("doclen"), F.lit(avgdl)),
     )
 
-    if phrase_specs:
-        cand = _apply_phrase_filter(cand, phrase_specs)
+    # DAAT intersection (U2/U3/J1/J2) as ONE groupBy(doc_id) with a
+    # pivoted max-per-slot column set: slot-max scoring and the
+    # all-slots-present check both read off the pivoted row (a two-level
+    # agg cost a second exchange).
+    slot_cols = [
+        F.max(F.when(F.col("slot") == s, F.col("contrib"))).alias(f"_s{s}")
+        for s in required_slots
+    ]
+    g = cand.groupBy("doc_id").agg(*slot_cols)
+    present = None
+    for s in required_slots:
+        c = F.col(f"_s{s}").isNotNull()
+        present = c if present is None else (present & c)
+    total = None
+    for s in required_slots:
+        c = F.col(f"_s{s}")
+        total = c if total is None else (total + c)
+    scored = g.filter(present).select("doc_id", total.alias("score"))
 
-    # DAAT intersection (U2/U3/J1/J2).  Without phrases the slot count is
-    # known up front, so the two-level agg (groupBy(doc,slot) then
-    # groupBy(doc) — TWO exchanges) collapses into ONE groupBy(doc_id)
-    # with a pivoted max-per-slot column set: slot-max scoring and the
-    # all-slots-present check both read off the pivoted row.
-    if not phrase_specs:
-        slot_cols = [
-            F.max(F.when(F.col("slot") == s, F.col("contrib"))).alias(f"_s{s}")
-            for s in required_slots
-        ]
-        g = cand.groupBy("doc_id").agg(*slot_cols)
-        present = None
-        for s in required_slots:
-            c = F.col(f"_s{s}").isNotNull()
-            present = c if present is None else (present & c)
-        total = None
-        for s in required_slots:
-            c = F.col(f"_s{s}")
-            total = c if total is None else (total + c)
-        scored = g.filter(present).select("doc_id", total.alias("score"))
-    else:
-        per_slot = cand.groupBy("doc_id", "slot").agg(
-            F.max("contrib").alias("slot_score"), F.first("doclen").alias("doclen")
+    if phrase_specs:
+        # J4: a doc additionally needs positional adjacency for every
+        # quoted phrase — checked by the Arrow kernel over the still-
+        # encoded per-doc position streams (no array materialization)
+        member_rows_meta: dict[int, list[tuple[int, int]]] = {}
+        for (t, _s, pid, seq, _w) in present_members:
+            if pid >= 0:
+                member_rows_meta.setdefault(df_by_term[t][0], []).append((pid, seq))
+        ok = _phrase_ok_docs(blocks, member_rows_meta, phrase_specs)
+        ok_all = (
+            ok.groupBy("doc_id")
+            .agg(F.count_distinct("phrase_id").alias("_np"))
+            .filter(F.col("_np") == len(phrase_specs))
+            .select("doc_id")
         )
-        scored = (
-            per_slot.groupBy("doc_id")
-            .agg(
-                F.count("*").alias("n_matched"),
-                F.sum("slot_score").alias("score"),
-            )
-            .filter(F.col("n_matched") == len(required_slots))
-            .drop("n_matched")
-        )
+        scored = scored.join(ok_all, "doc_id", "left_semi")
 
     if neg_terms:
         neg_ids = [df_by_term[t][0] for t in neg_terms if t in df_by_term]
@@ -438,45 +450,70 @@ def _termstats_cached(
     return stats
 
 
-def _apply_phrase_filter(cand: DataFrame, phrase_specs: list[tuple[int, int]]) -> DataFrame:
-    """Positional adjacency for quoted phrases (J4/W4 analog).
+def _phrase_ok_docs(
+    blocks: DataFrame,
+    member_meta: dict[int, list[tuple[int, int]]],
+    phrase_specs: list[tuple[int, int]],
+) -> DataFrame:
+    """(doc_id, phrase_id) pairs satisfying positional adjacency (J4).
 
-    A doc survives a phrase iff for some p: p in pos(tok_0), p+1 in
-    pos(tok_1), ...  Checked with built-in array ops — per-doc arrays are
-    small, so arrays_overlap of shifted position sets does the sliding
-    window without Python.
+    A doc matches phrase p iff the intersection of each member's
+    positions shifted back by its sequence index is non-empty AND every
+    member is present.  Positions stay delta+varint encoded until the
+    per-doc Arrow kernel — no array<int> columns ever materialize in the
+    plan (the object-array decode path was the phrase hot spot and dies
+    at 100-TB position volumes).  Positional decode runs ONLY over the
+    phrase members' blocks (pruned scan).
     """
-    non_phrase = cand.filter(F.col("phrase_id") == -1)
-    ph = cand.filter(F.col("phrase_id") >= 0)
-    # shift each member's positions back by seq: phrase matches iff the
-    # intersection of shifted sets is non-empty for every member.
-    shifted = ph.withColumn(
-        "shifted", F.transform(F.col("positions"), lambda p: p - F.col("seq"))
-    )
-    # explicit completeness guard: a doc must contain EVERY member of the
-    # phrase (n_present == n_members) — the shifted-set intersection alone
-    # would pass a doc holding only one member (its own set is non-empty)
-    spec_map = F.create_map(
-        *[F.lit(x) for pid, n in phrase_specs for x in (pid, n)]
-    )
-    ok = (
-        shifted.groupBy("doc_id", "phrase_id")
-        .agg(
-            F.aggregate(
-                F.collect_list("shifted"),
-                F.lit(None).cast("array<int>"),
-                lambda acc, x: F.when(acc.isNull(), x).otherwise(F.array_intersect(acc, x)),
-            ).alias("common"),
-            F.count("*").alias("n_present"),
+    import numpy as np
+    import pyarrow as pa
+
+    from ..functions import codec
+    from ..operators.merge import decode_to_postings
+
+    ids = list(member_meta)
+    rows = decode_to_postings(
+        blocks.filter(F.col("term_id").isin(ids)), with_positions=True
+    ).select("doc_id", "term_id", "tf", "pos_enc")
+
+    specs = dict(phrase_specs)  # phrase_id -> n_members
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        doc = tbl.column("doc_id")[0].as_py()
+        tids = tbl.column("term_id").to_pylist()
+        tfs = tbl.column("tf").to_pylist()
+        encs = tbl.column("pos_enc")
+        # shifted position sets per (phrase, seq)
+        by_phrase: dict[int, dict[int, np.ndarray]] = {}
+        for i, tid in enumerate(tids):
+            deltas = codec.decode_varint(encs[i].as_py(), int(tfs[i]))
+            pos = np.cumsum(deltas.astype(np.int64))
+            for pid, seq in member_meta[tid]:
+                by_phrase.setdefault(pid, {})[seq] = pos - seq
+        out = []
+        for pid, n_members in specs.items():
+            sets = by_phrase.get(pid, {})
+            if len(sets) < n_members:
+                continue  # some member absent from this doc
+            it = iter(sets.values())
+            common = next(it)
+            for s in it:
+                common = np.intersect1d(common, s, assume_unique=False)
+                if not len(common):
+                    break
+            if len(common):
+                out.append(pid)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.full(len(out), doc, dtype=np.int64)),
+                pa.array(np.asarray(out, dtype=np.int32)),
+            ],
+            names=["doc_id", "phrase_id"],
         )
-        .filter(
-            (F.size(F.col("common")) > 0)
-            & (F.col("n_present") == F.element_at(spec_map, F.col("phrase_id")))
-        )
-        .select("doc_id", "phrase_id")
+
+    return rows.groupBy("doc_id").applyInArrow(
+        lambda _k, t: kernel(t), "doc_id long, phrase_id int"
     )
-    ph_ok = ph.join(ok, ["doc_id", "phrase_id"], "left_semi")
-    return non_phrase.unionByName(ph_ok)
 def _empty_result(spark: SparkSession, enrich: bool) -> DataFrame:
     if enrich:
         return spark.createDataFrame(
