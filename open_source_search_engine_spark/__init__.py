@@ -16,4 +16,26 @@ this package re-expresses them as DataFrame programs:
 - ``streaming`` — incremental index maintenance via Structured Streaming.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# primary user surface, importable from the package root
+from .operators.build import Index, build_index  # noqa: E402,F401
+from .operators.merge import compact_postings, delete_docs  # noqa: E402,F401
+from .operators.topk import search_wand  # noqa: E402,F401
+from .plans.boolean import search_boolean  # noqa: E402,F401
+from .plans.exec import search  # noqa: E402,F401
+from .session import get_spark  # noqa: E402,F401
+from .streaming.incremental import add_documents, stream_documents  # noqa: E402,F401
+
+__all__ = [
+    "Index",
+    "build_index",
+    "search",
+    "search_wand",
+    "search_boolean",
+    "compact_postings",
+    "delete_docs",
+    "add_documents",
+    "stream_documents",
+    "get_spark",
+]
