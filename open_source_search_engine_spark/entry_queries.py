@@ -700,6 +700,75 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    """BPE-ish token counting (the training-data budget proxy): GPT-2
+    style pre-tokens + distinct count per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = textstats.bpe_tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe"),
+        F.size(F.array_distinct(toks)).alias("n_bpe_distinct"),
+    ).orderBy("doc_id")
+
+
+_BPE_SQL = textstats.BPE_TOKEN_RE.replace("'", "''")  # escape for SQL literal
+SQL_TOKEN_STATS_BPE = rf"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_SQL}')) AS n_bpe,
+       len(list_distinct(regexp_extract_all(text, '{_BPE_SQL}')))
+         AS n_bpe_distinct
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_full(spark, sf_dir):
+    """Fuller quality-signal battery: composite score, punctuation ratio,
+    mean token length (length/punct/stopword family, X13/X14 analogs)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _toks()
+    return docs.select(
+        "doc_id",
+        textstats.quality_score(toks).alias("quality"),
+        F.round(textstats.punct_ratio(F.col("text")), 4).alias("punct_ratio"),
+        F.round(textstats.avg_token_len(toks), 4).alias("avg_token_len"),
+    ).orderBy("doc_id")
+
+
+_SW = ", ".join(f"'{w}'" for w in textstats.EN_STOPWORDS)
+SQL_QUALITY_FULL = rf"""
+WITH d AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, t -> t IN ({_SW}))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS swr,
+         CASE WHEN len(toks) > 0 THEN
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS rep
+  FROM d
+)
+SELECT doc_id,
+       round(0.4 * (CASE WHEN n BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+             + 0.4 * (1.0 - rep)
+             + 0.2 * (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.0 END), 4) AS quality,
+       round(CASE WHEN length(regexp_replace(text, '\s+', '', 'g')) > 0 THEN
+         CAST(length(regexp_replace(text, '\s+', '', 'g'))
+              - length(regexp_replace(text, '[^a-zA-Z0-9]+', '', 'g')) AS DOUBLE)
+         / length(regexp_replace(text, '\s+', '', 'g')) ELSE 0.0 END, 4)
+         AS punct_ratio,
+       round(CASE WHEN n > 0 THEN
+         CAST(list_reduce(list_prepend(0, list_transform(toks, t -> length(t))),
+                          (a, x) -> a + x) AS DOUBLE) / n ELSE 0.0 END, 4)
+         AS avg_token_len
+FROM m ORDER BY doc_id
+"""
+
+
 def q_quality(spark, sf_dir):
     """quality scoring: stopword ratio + repetition + avg token length."""
     docs = _t(spark, sf_dir, "documents")
@@ -1241,7 +1310,9 @@ def build_registry() -> tuple[
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "token_stats": q_token_stats,
+        "token_stats_bpe": q_token_stats_bpe,
         "quality": q_quality,
+        "quality_full": q_quality_full,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
@@ -1295,7 +1366,9 @@ def build_registry() -> tuple[
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "token_stats": SQL_TOKEN_STATS,
+        "token_stats_bpe": SQL_TOKEN_STATS_BPE,
         "quality": SQL_QUALITY,
+        "quality_full": SQL_QUALITY_FULL,
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine": SQL_ANN_COSINE,

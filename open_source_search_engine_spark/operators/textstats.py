@@ -82,3 +82,24 @@ def fingerprint(tokens: Column) -> Column:
         F.lit(0).cast("long"),
         lambda h, t: (h * 31 + F.length(t) * 7 + F.ascii(t)) % p,
     )
+
+
+# GPT-2-style pre-tokenizer pattern (BPE-ish), restricted to constructs
+# Java regex and RE2 evaluate identically (no lookahead): contractions,
+# optionally space-prefixed letter runs, digit runs, symbol runs.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pre-tokens of raw text (NOT lowercased — BPE vocabularies
+    are case-sensitive); the token-count proxy a training-data pipeline
+    budgets documents with."""
+    return F.regexp_extract_all(col, F.lit(BPE_TOKEN_RE), F.lit(0))
+
+
+def punct_ratio(col: Column) -> Column:
+    """fraction of non-space characters that are not letters/digits —
+    a boilerplate/markup quality signal."""
+    nonspace = F.length(F.regexp_replace(col, r"\s+", ""))
+    alnum = F.length(F.regexp_replace(col, r"[^\p{L}\p{N}]+", ""))
+    return F.when(nonspace > 0, (nonspace - alnum) / nonspace).otherwise(F.lit(0.0))
