@@ -466,7 +466,7 @@ def _phrase_ok_docs(
     phrase members' blocks (pruned scan).
     """
     import numpy as np
-    import pyarrow as pa
+    import pandas as pd
 
     from ..functions import codec
     from ..operators.merge import decode_to_postings
@@ -478,42 +478,45 @@ def _phrase_ok_docs(
 
     specs = dict(phrase_specs)  # phrase_id -> n_members
 
-    def kernel(tbl: pa.Table) -> pa.Table:
-        doc = tbl.column("doc_id")[0].as_py()
-        tids = tbl.column("term_id").to_pylist()
-        tfs = tbl.column("tf").to_pylist()
-        encs = tbl.column("pos_enc")
-        # shifted position sets per (phrase, seq)
-        by_phrase: dict[int, dict[int, np.ndarray]] = {}
-        for i, tid in enumerate(tids):
-            deltas = codec.decode_varint(encs[i].as_py(), int(tfs[i]))
-            pos = np.cumsum(deltas.astype(np.int64))
-            for pid, seq in member_meta[tid]:
-                by_phrase.setdefault(pid, {})[seq] = pos - seq
-        out = []
-        for pid, n_members in specs.items():
-            sets = by_phrase.get(pid, {})
-            if len(sets) < n_members:
-                continue  # some member absent from this doc
-            it = iter(sets.values())
-            common = next(it)
-            for s in it:
-                common = np.intersect1d(common, s, assume_unique=False)
-                if not len(common):
-                    break
-            if len(common):
-                out.append(pid)
-        return pa.Table.from_arrays(
-            [
-                pa.array(np.full(len(out), doc, dtype=np.int64)),
-                pa.array(np.asarray(out, dtype=np.int32)),
-            ],
-            names=["doc_id", "phrase_id"],
-        )
-
-    return rows.groupBy("doc_id").applyInArrow(
-        lambda _k, t: kernel(t), "doc_id long, phrase_id int"
+    # co-locate each doc's member streams with ONE shuffle, then check
+    # adjacency for a whole Arrow batch of docs per Python call (a
+    # per-doc grouped-UDF call cost ~1 ms of overhead per doc)
+    grouped = rows.groupBy("doc_id").agg(
+        F.collect_list(F.struct("term_id", "tf", "pos_enc")).alias("members")
     )
+
+    def kernel(batches):
+        for pdf in batches:
+            out_docs: list[int] = []
+            out_pids: list[int] = []
+            for doc, members in zip(pdf["doc_id"], pdf["members"]):
+                by_phrase: dict[int, dict[int, np.ndarray]] = {}
+                for m in members:
+                    deltas = codec.decode_varint(m["pos_enc"], int(m["tf"]))
+                    pos = np.cumsum(deltas.astype(np.int64))
+                    for pid, seq in member_meta[int(m["term_id"])]:
+                        by_phrase.setdefault(pid, {})[seq] = pos - seq
+                for pid, n_members in specs.items():
+                    sets = by_phrase.get(pid, {})
+                    if len(sets) < n_members:
+                        continue  # some member absent from this doc
+                    it = iter(sets.values())
+                    common = next(it)
+                    for s in it:
+                        common = np.intersect1d(common, s, assume_unique=False)
+                        if not len(common):
+                            break
+                    if len(common):
+                        out_docs.append(doc)
+                        out_pids.append(pid)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.asarray(out_docs, dtype=np.int64),
+                    "phrase_id": np.asarray(out_pids, dtype=np.int32),
+                }
+            )
+
+    return grouped.mapInPandas(kernel, "doc_id long, phrase_id int")
 def _empty_result(spark: SparkSession, enrich: bool) -> DataFrame:
     if enrich:
         return spark.createDataFrame(
