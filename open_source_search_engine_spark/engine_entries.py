@@ -32,7 +32,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.build import Index, build_index, decode_blocks
+from .operators.build import Index, build_index
 from .operators.topk import search_wand
 from .plans.exec import _stats_cached, search
 
@@ -374,12 +374,15 @@ def q_engine_latest_wins(spark, sf_dir):
 # ---------------------------------------------------------------------------
 def _matched_docs(spark, idx: Index, terms: list[str]) -> DataFrame:
     """doc_ids matching ALL terms, straight from decoded postings."""
+    from .operators.merge import decode_to_postings
+
     _n, _a, stats = _stats_cached(spark, idx, terms)
     if len(stats) < len(terms):
         return spark.createDataFrame([], "doc_id long")
     ids = [stats[t][0] for t in terms]
-    rows = decode_blocks(
-        idx.postings.read(spark).filter(F.col("term_id").isin(ids))
+    rows = decode_to_postings(
+        idx.postings.read(spark).filter(F.col("term_id").isin(ids)),
+        with_positions=False,
     )
     return (
         rows.groupBy("doc_id")

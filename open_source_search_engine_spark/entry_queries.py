@@ -485,15 +485,16 @@ def q_tf(spark, sf_dir):
     pruned postings scan + Arrow block decode, not a corpus re-tokenize
     (the oracle recomputes from raw text independently)."""
     from .engine_entries import engine_index
-    from .operators.build import decode_blocks
+    from .operators.merge import decode_to_postings
     from .plans.exec import _stats_cached
 
     idx = engine_index(spark, sf_dir)
     _n, _a, stats = _stats_cached(spark, idx, ["table"])
     if "table" not in stats:
         return spark.createDataFrame([], "doc_id long, tf long")
-    rows = decode_blocks(
-        idx.postings.read(spark).filter(F.col("term_id") == stats["table"][0])
+    rows = decode_to_postings(
+        idx.postings.read(spark).filter(F.col("term_id") == stats["table"][0]),
+        with_positions=False,
     )
     return rows.select(
         "doc_id", F.col("tf").cast("long").alias("tf")

@@ -30,7 +30,8 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.tokenize import _tokenize_one
-from ..operators.build import Index, decode_blocks
+from ..operators.build import Index
+from ..operators.merge import decode_to_postings
 
 
 @dataclass(frozen=True)
@@ -170,10 +171,11 @@ def search_boolean(
     ids = {t: stats[t][0] for t in leaves if t in stats}
     if not ids:
         return spark.createDataFrame([], "doc_id long")
-    rows = decode_blocks(
+    rows = decode_to_postings(
         index.postings.read(spark).filter(
             F.col("term_id").isin(list(ids.values()))
-        )
+        ),
+        with_positions=False,
     )
     per_doc = (
         rows.select("doc_id", "term_id")

@@ -212,8 +212,11 @@ def search(
     if neg_terms:
         neg_ids = [df_by_term[t][0] for t in neg_terms if t in df_by_term]
         if neg_ids:
-            neg_docs = decode_blocks(
-                blocks.filter(F.col("term_id").isin(neg_ids))
+            from ..operators.merge import decode_to_postings as _dtp
+
+            neg_docs = _dtp(
+                blocks.filter(F.col("term_id").isin(neg_ids)),
+                with_positions=False,
             ).select("doc_id").distinct()
             scored = scored.join(neg_docs, "doc_id", "left_anti")  # F3/J3
 

@@ -14,7 +14,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..operators.build import Index, decode_blocks
+from ..operators.build import Index
 from .exec import _termstats_cached
 from .query import parse_query
 
@@ -51,7 +51,12 @@ def facets_for_query(
     if not stats or any(t not in stats for t in terms):
         return spark.createDataFrame([], "field string, value string, n long")
     ids = [stats[t][0] for t in terms]
-    rows = decode_blocks(index.postings.read(spark).filter(F.col("term_id").isin(ids)))
+    from ..operators.merge import decode_to_postings
+
+    rows = decode_to_postings(
+        index.postings.read(spark).filter(F.col("term_id").isin(ids)),
+        with_positions=False,
+    )
     matched = (
         rows.groupBy("doc_id")
         .agg(F.countDistinct("term_id").alias("nt"))
