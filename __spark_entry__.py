@@ -22,13 +22,14 @@ if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
 
 from open_source_search_engine_spark.entry_queries import (  # noqa: E402
-    bm25_adhoc,
     build_registry,
 )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query: BM25 top-10 conjunctive search on sf0.001."""
+    """Flagship query: BM25 top-10 conjunctive search on sf0.001 through
+    the STORED index (build_index -> block-max WAND), the engine's real
+    query path."""
     # keep this session usable even if the driver built it without our
     # tuned confs (the ICU case-mapping path hangs on this VM)
     try:
@@ -36,7 +37,9 @@ def entry(spark: SparkSession) -> DataFrame:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass
-    return bm25_adhoc(spark, "/root/testdata/sf0.001", ["spark", "join"], k=10)
+    from open_source_search_engine_spark.engine_entries import q_engine_bm25_and2
+
+    return q_engine_bm25_and2(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
