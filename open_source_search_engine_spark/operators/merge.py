@@ -56,6 +56,9 @@ def deleted_doc_ids(spark: SparkSession, idx: Index) -> np.ndarray:
     hit = _DEAD_CACHE.get(key)
     if hit is not None:
         return hit
+    # versions only move forward: evict this root's stale-version entries
+    for k in [k for k in _DEAD_CACHE if k[0] == idx.root and k != key]:
+        del _DEAD_CACHE[k]
     df = t.read(spark)
     if df is None:
         out = np.empty(0, dtype=np.int64)

@@ -141,20 +141,24 @@ def pairwise_cosine_above(
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
-    dim = int(v.select(F.size("v")).first()[0])
     # all bands' sign-buckets in ONE vectorized Arrow kernel (numpy matmul
     # against the stacked (bands*n_planes, dim) plane matrix) — a
     # per-plane Catalyst fold expression was interpreter-bound here, and
     # unlike the query-time probe path there is no pushdown to preserve:
-    # every row needs its buckets
-    P = np.concatenate(
-        [_hyperplanes(n_planes, dim, seed + 1000 * b) for b in range(bands)]
-    )
+    # every row needs its buckets.  dim is inferred from the first Arrow
+    # batch inside the kernel (the planes depend only on seed/dim, so
+    # every task regenerates the identical matrix — no driver-side job
+    # just to read the dimension).
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     @F.pandas_udf(ArrayType(IntegerType()))
     def all_buckets(col: pd.Series) -> pd.Series:
+        if not len(col):
+            return pd.Series([], dtype=object)
         M = np.array(col.tolist(), dtype=np.float64)
+        P = np.concatenate(
+            [_hyperplanes(n_planes, M.shape[1], seed + 1000 * b) for b in range(bands)]
+        )
         S = ((M @ P.T) >= 0).reshape(len(M), bands, n_planes)
         return pd.Series(list((S * weights).sum(axis=2).astype(np.int32)))
 

@@ -44,6 +44,10 @@ from .build import Index
 K1 = 1.2
 B = 0.75
 
+# tombstone count above which search_wand stops shipping the dead set
+# inside qmeta and falls back to the exhaustive plan's anti-join
+MAX_DEAD_INLINE = 100_000
+
 
 def _impact(tf: np.ndarray | float, dl: np.ndarray | float, avgdl: float):
     return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
@@ -324,8 +328,21 @@ def search_wand(
     scoring, incl. weighted synonym members — U3), fielded terms, and
     ``-neg`` terms (excluded inside the kernel); quoted phrases take the
     general plan in plans.exec.search.
+
+    ``lang_boost`` factors must be >= 1.0 on this path: the block prune
+    bound scales by the factor, which is only an upper bound for
+    factor >= 1 (a factor < 1 shrinks the bound and silently drops valid
+    top-k docs).  Factors < 1 fall back to the exhaustive plan, which
+    applies the multiplier after scoring and has no such constraint.
+
+    Tombstone bound: the kernel excludes merge-on-read deletes from a
+    driver-collected array shipped in qmeta — fine between compactions,
+    wrong for a huge delete batch.  Above ``MAX_DEAD_INLINE`` tombstones
+    the query falls back to the exhaustive plan's distributed anti-join
+    (or compact the index).
     """
     from ..plans.exec import _stats_cached
+    from ..plans.exec import search as _exhaustive_search
     from ..plans.query import parse_query
 
     plan = parse_query(query) if isinstance(query, str) else query
@@ -335,6 +352,15 @@ def search_wand(
         plan = expand_plan(plan, None if synonyms is True else synonyms)
     if any(m.phrase for g in plan.groups for m in g.members):
         raise ValueError("search_wand handles term/OR-group queries only")
+    if lang_boost is not None and float(lang_boost[1]) < 1.0:
+        if with_prune_stats:
+            raise ValueError(
+                "lang_boost factor < 1.0 is unsound for the WAND prune "
+                "bound; use plans.exec.search for de-boosting"
+            )
+        return _exhaustive_search(
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+        )
     if use_cache:
         from ..plans.exec import cached_result
         from ..plans.query import plan_key
@@ -384,12 +410,20 @@ def search_wand(
     neg_ids = [stats[t][0] for t in neg_terms if t in stats]
     from .merge import deleted_doc_ids
 
+    dead = deleted_doc_ids(spark, index)
+    if len(dead) > MAX_DEAD_INLINE and not with_prune_stats:
+        # too many tombstones to ship per-task: the exhaustive plan's
+        # distributed anti-join handles any delete volume (R3's compaction
+        # is the real fix; this keeps queries correct until it runs)
+        return _exhaustive_search(
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+        )
     qmeta = {
         "slots": slots,
         "rarest_slot": rarest_slot,
         "avgdl": avgdl,
         "neg_ids": neg_ids,
-        "dead": deleted_doc_ids(spark, index),
+        "dead": dead,
     }
     extra_ids: list[int] = []
     if boost_term is not None and boost_term in stats and lang_boost is not None:

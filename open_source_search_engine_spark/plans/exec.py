@@ -147,7 +147,7 @@ def search(
     # phrase adjacency rides a dedicated Arrow pass over encoded bytes;
     # only the proximity re-rank consumes decoded position arrays (over
     # the tiny candidate set)
-    need_positions = proximity_bonus > 0 or proximity_bonus > 0
+    need_positions = proximity_bonus > 0
     qterms = spark.createDataFrame(
         qt_rows, "term_id long, slot int, phrase_id int, seq int, idf double"
     )
@@ -339,8 +339,20 @@ def _proximity_rerank(
 # -- serp result cache (Msg17 analog): completed top-k result sets keyed
 # by (index root, postings version, deletes version, query surface).  A
 # mutation commits a new snapshot version, so stale entries can never be
-# served; entries hold k collected rows (tiny).
+# served; entries hold k collected rows (tiny).  Stale-version entries for
+# the same index root are evicted on insert (a long-lived driver serving a
+# continuously updated index otherwise accumulates dead versions forever),
+# and a hard size bound backstops many-root sessions.
 _RESULT_CACHE: dict[tuple, tuple[list, object]] = {}
+_RESULT_CACHE_MAX = 512
+
+
+def _evict_versions(cache: dict, root: str, live_key: tuple) -> None:
+    """Drop entries keyed (root, version, ...) whose version tuple differs
+    from the live one — snapshot versions only move forward, so any other
+    version for the same root is unreachable."""
+    for k in [k for k in cache if k[0] == root and k[: len(live_key)] != live_key]:
+        del cache[k]
 
 
 def _result_cache_key(index: Index, tag: str, extra: tuple) -> tuple:
@@ -366,6 +378,9 @@ def cached_result(
     hit = _RESULT_CACHE.get(key)
     if hit is None:
         df = compute()
+        _evict_versions(_RESULT_CACHE, index.root, key[:3])
+        if len(_RESULT_CACHE) >= _RESULT_CACHE_MAX:  # FIFO backstop
+            _RESULT_CACHE.pop(next(iter(_RESULT_CACHE)))
         hit = _RESULT_CACHE[key] = (df.collect(), df.schema)
     rows, schema = hit
     return spark.createDataFrame(rows, schema)
@@ -390,11 +405,24 @@ _TERM_CACHE: dict[tuple[str, int], dict[str, tuple[int, int, int]]] = {}
 def _stats_cached(
     spark: SparkSession, index: Index, terms: list[str]
 ) -> tuple[float, float, dict[str, tuple[int, int, int]]]:
-    """(n_docs, avgdl, {term: (term_id, df, cf)}) — single job when cold."""
+    """(n_docs, avgdl, {term: (term_id, df, cf)}) — single job when cold.
+
+    Raises if the termstats/collstats snapshots are absent: querying an
+    index before ``finalize_stats`` has run is a caller error, not an
+    empty result (a missing snapshot would otherwise negative-cache every
+    term and silently return nothing)."""
     csnap = index.collstats.latest()
-    ckey = (index.root, csnap.version if csnap else -1)
     tsnap = index.termstats.latest()
-    tkey = (index.root, tsnap.version if tsnap else -1)
+    if csnap is None or not csnap.segments or tsnap is None or not tsnap.segments:
+        raise RuntimeError(
+            f"index at {index.root} has no finalized stats snapshot — "
+            "run operators.build.finalize_stats (build_index and "
+            "add_documents with refresh_stats=True do this) before querying"
+        )
+    ckey = (index.root, csnap.version)
+    tkey = (index.root, tsnap.version)
+    _evict_versions(_COLL_CACHE, index.root, ckey)
+    _evict_versions(_TERM_CACHE, index.root, tkey)
     cache = _TERM_CACHE.setdefault(tkey, {})
     missing = [t for t in terms if t not in cache]
     need_coll = ckey not in _COLL_CACHE
@@ -402,17 +430,16 @@ def _stats_cached(
         parts = []
         if missing:
             ts = index.termstats.read(spark)
-            if ts is not None:
-                cf_col = F.col("cf") if "cf" in ts.columns else F.lit(0)
-                parts.append(
-                    ts.filter(F.col("term").isin(missing)).select(
-                        F.lit("t").alias("kind"),
-                        "term",
-                        F.col("term_id").cast("long").alias("v1"),
-                        F.col("df").cast("double").alias("v2"),
-                        cf_col.cast("double").alias("v3"),
-                    )
+            cf_col = F.col("cf") if "cf" in ts.columns else F.lit(0)
+            parts.append(
+                ts.filter(F.col("term").isin(missing)).select(
+                    F.lit("t").alias("kind"),
+                    "term",
+                    F.col("term_id").cast("long").alias("v1"),
+                    F.col("df").cast("double").alias("v2"),
+                    cf_col.cast("double").alias("v3"),
                 )
+            )
         if need_coll:
             cs = index.collstats.read(spark)
             parts.append(
