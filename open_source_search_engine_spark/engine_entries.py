@@ -55,7 +55,9 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
         [f"{sf_dir}/documents.parquet"],
     ).fetchone()
     con.close()
-    return {"n": int(n), "sum_doc_id": int(s)}
+    # "cfg" busts the on-disk cache when the build configuration changes
+    # (r3: bigram pair termlists added for the phrase fast path)
+    return {"n": int(n), "sum_doc_id": int(s), "cfg": "bigrams-r3"}
 
 
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,6 +108,7 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
             n_shards=2,
             code_aware=False,  # fixture text is plain lowercase tokens
             field_terms=False,
+            bigram_terms=True,  # X3: phrase pair-termlist fast path
             block_size=256,
         )
         with open(os.path.join(tmp, "_corpus_meta.json"), "w") as f:
@@ -226,6 +229,7 @@ def engine_index_incremental(spark: SparkSession, sf_dir: str) -> Index:
             corpus.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0),
             code_aware=False,
             field_terms=False,
+            bigram_terms=True,  # second batch inherits the feature marker
             salt_target=50,
             block_size=64,
             refresh_stats=False,

@@ -1016,6 +1016,9 @@ def q_spell_suggest(spark, sf_dir):
 
     idx = engine_index(spark, sf_dir)
     ts = idx.termstats.read(spark)
+    # word terms only: the dictionary also holds bigram pair terms
+    # ("a b") and field terms ("lang:x"), which are not spell candidates
+    ts = ts.filter(~F.col("term").contains(" ") & ~F.col("term").contains(":"))
     return (
         ts.withColumn("dist", F.levenshtein(F.col("term"), F.lit("tabel")))
         .filter(F.col("dist") <= 2)

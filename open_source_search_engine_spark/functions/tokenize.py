@@ -165,7 +165,12 @@ def tokenize_to_occurrences(
     )
 
 
-def tokenize_to_postings(docs, code_aware: bool = True, field_terms: bool = True):
+def tokenize_to_postings(
+    docs,
+    code_aware: bool = True,
+    field_terms: bool = True,
+    bigram_terms: bool = False,
+):
     """documents(+doc_id) -> POSTING rows in one mapInArrow pass:
     (term_id, doc_id, doclen, tf, pos_enc, term) — the (term,doc)
     aggregation AND the per-doc position delta+varint encoding both happen
@@ -174,6 +179,14 @@ def tokenize_to_postings(docs, code_aware: bool = True, field_terms: bool = True
     format is per-doc self-contained: first position absolute, rest
     deltas).  ``term`` is non-null only on a term's first posting per
     partition (feeds the dictionary table).
+
+    ``bigram_terms``: additionally index every adjacent token pair as its
+    own term ``"t0 t1"`` at the position of its first member (Phrases.cpp
+    X3 — quoted phrases then intersect pair termlists instead of
+    positional-scanning every member termlist; SURVEY §2.3 J4 fast path).
+    Pair strings contain a space, so they can never collide with word
+    tokens ([A-Za-z0-9_]+) or field terms (``lang:x``).  Bigram postings
+    carry the doc's normal doclen and do not contribute to it.
     """
     import numpy as np
     import pyarrow as pa
@@ -205,8 +218,15 @@ def tokenize_to_postings(docs, code_aware: bool = True, field_terms: bool = True
             doclens = np.empty(len(contents), dtype=np.int64)
             for i, content in enumerate(contents):
                 toks = _tokenize_one(content or "", code_aware)
-                doclens[i] = len(toks)
+                n_content = len(toks)
+                doclens[i] = n_content
                 hs = [hash_tok(t, news) for t in toks]
+                if bigram_terms and n_content >= 2:
+                    hs.extend(
+                        hash_tok(f"{toks[j]} {toks[j + 1]}", news)
+                        for j in range(n_content - 1)
+                    )
+                n_positional = len(hs)  # content tokens + bigram pairs
                 if field_terms:
                     ft = {
                         f"lang:{(langs[i] or '').lower()}",
@@ -214,12 +234,11 @@ def tokenize_to_postings(docs, code_aware: bool = True, field_terms: bool = True
                     }
                     for ptok in _WORD_RE.findall((paths[i] or "").lower()):
                         ft.add(f"path:{ptok}")
-                    n_content = len(hs)
                     hs.extend(hash_tok(t, news) for t in sorted(ft))
-                    p = np.zeros(len(hs), dtype=np.int64)
-                    p[:n_content] = np.arange(n_content)
-                else:
-                    p = np.arange(len(hs), dtype=np.int64)
+                p = np.zeros(len(hs), dtype=np.int64)
+                p[:n_content] = np.arange(n_content)
+                # bigram position = first member's token position
+                p[n_content:n_positional] = np.arange(n_positional - n_content)
                 H_parts.append(np.asarray(hs, dtype=np.int64))
                 P_parts.append(p)
                 D_parts.append(np.full(len(hs), i, dtype=np.int64))

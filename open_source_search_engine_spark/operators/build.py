@@ -64,6 +64,28 @@ BLOCK_SCHEMA = (
 class Index:
     root: str
 
+    def features(self) -> dict:
+        """Index-level format flags (e.g. {"bigrams": true}) — written at
+        build time, consulted by query planning (a query can't know
+        whether pair termlists exist without it)."""
+        import json
+
+        try:
+            with open(os.path.join(self.root, "_features.json")) as f:
+                return json.load(f)
+        except (OSError, ValueError):
+            return {}
+
+    def write_features(self, **kv) -> None:
+        import json
+
+        d = {**self.features(), **kv}
+        os.makedirs(self.root, exist_ok=True)
+        tmp = os.path.join(self.root, f".features.{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, os.path.join(self.root, "_features.json"))
+
     @property
     def postings(self) -> SnapshotTable:
         return SnapshotTable(self.root, "postings")
@@ -403,6 +425,7 @@ def build_index(
     n_shards: int = 4,
     code_aware: bool = True,
     field_terms: bool = True,
+    bigram_terms: bool = False,
     salt_target: int = 50_000,
     block_size: int = 4096,
     resume: bool = True,
@@ -443,6 +466,15 @@ def build_index(
                 f"build configuration (no completed shards for n_shards="
                 f"{n_shards}); start a fresh root"
             )
+        if idx.features().get("bigrams", False) != bigram_terms:
+            raise ValueError(
+                f"index root {index_root} was built with bigram_terms="
+                f"{idx.features().get('bigrams', False)}; a resume must "
+                "use the same setting (mixed segments would make phrase "
+                "pair-termlist lookups incomplete)"
+            )
+    else:
+        idx.write_features(bigrams=bigram_terms)
 
     # a small source parquet may expose fewer splits than cores, capping
     # the tokenizer stage's parallelism — round-robin repartition so every
@@ -464,7 +496,10 @@ def build_index(
         # the RdbTree memtable analog, one shard's worth, spills to disk.
         d = ids.filter(F.col("shard") == shard)
         posts = tokenize_to_postings(
-            d, code_aware=code_aware, field_terms=field_terms
+            d,
+            code_aware=code_aware,
+            field_terms=field_terms,
+            bigram_terms=bigram_terms,
         ).persist(StorageLevel.MEMORY_AND_DISK)
         dict_df = (
             posts.filter(F.col("term").isNotNull())
@@ -504,13 +539,24 @@ def build_index(
         )
         blocks.unpersist()
         posts.unpersist()
-        idx.docstats.commit(add=[ds_seg], meta={"shard": shard, "run_id": run_id})
-        idx.termdict.commit(add=[td_seg], meta={"shard": shard})
-        idx.postings.commit(add=[po_seg], meta={"shard": shard, "run_id": run_id})
-        idx.termstats_partial.commit(add=[tsp_seg], meta={"shard": shard})
+        # meta carries (shard, n_shards) so a crash BETWEEN these commits
+        # and the checkpoint leaves identifiable orphans: resume removes
+        # them before re-running the shard (see _drop_orphan_shard_commits)
+        tag = {"shard": shard, "n_shards": n_shards, "run_id": run_id}
+        idx.docstats.commit(add=[ds_seg], meta=tag)
+        idx.termdict.commit(add=[td_seg], meta=tag)
+        idx.postings.commit(add=[po_seg], meta=tag)
+        idx.termstats_partial.commit(add=[tsp_seg], meta=tag)
         _checkpoint(spark, idx, run_id, shard, n_shards, time.time() - t0)
 
     todo = [s for s in range(n_shards) if not (resume and (s, n_shards) in done)]
+    if resume and existing is not None and existing.segments:
+        # Crash-window repair: a shard whose table commits landed but whose
+        # checkpoint didn't would re-run and APPEND duplicate segments
+        # (doubled postings/df/cf).  Remove any live segments tagged with
+        # this (shard, n_shards) before re-running the shard.
+        for shard in todo:
+            _drop_orphan_shard_commits(idx, shard, n_shards)
     if fail_after_shard is not None or shard_parallelism <= 1 or len(todo) <= 1:
         for shard in todo:
             build_shard(shard)
@@ -578,6 +624,35 @@ def _write_tiny_segment(table, pdf: pd.DataFrame, label: str) -> str:
         allow_truncated_timestamps=True,
     )
     return path
+
+
+def _drop_orphan_shard_commits(idx: Index, shard: int, n_shards: int) -> None:
+    """Remove live segments committed by an interrupted run of ``shard``
+    (commits tagged (shard, n_shards) whose checkpoint never landed) from
+    every per-shard table — the shard build becomes idempotent under
+    resume.  Driver-side JSON walks only; no Spark job."""
+    for tname in ("postings", "docstats", "termdict", "termstats_partial"):
+        t = getattr(idx, tname)
+        latest = t.latest()
+        if latest is None:
+            continue
+        live = set(latest.segments)
+        orphans: list[str] = []
+        prev: set[str] = set()
+        for v in t.history():
+            snap = t.at(v)
+            cur = set(snap.segments)
+            m = snap.meta or {}
+            if m.get("shard") == shard and m.get("n_shards") == n_shards:
+                orphans.extend(cur - prev)
+            prev = cur
+        orphans = [s for s in orphans if s in live]
+        if orphans:
+            t.commit(
+                remove=orphans,
+                operation="orphan-cleanup",
+                meta={"cleanup_shard": shard},
+            )
 
 
 def _completed_shards(spark: SparkSession, idx: Index) -> set[tuple[int, int]]:

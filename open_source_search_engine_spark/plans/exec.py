@@ -102,6 +102,7 @@ def search(
     # (term, slot, phrase_id, seq, weight)
     member_rows: list[tuple[str, int, int, int, float]] = []
     phrase_specs: list[tuple[int, int]] = []  # (phrase_id, n_members)
+    phrase_toks: dict[int, tuple[str, ...]] = {}
     slot = 0
     phrase_id = 0
     for g in plan.groups:
@@ -110,6 +111,7 @@ def search(
             for seq, t in enumerate(toks):
                 member_rows.append((t, slot + seq, phrase_id, seq, 1.0))
             phrase_specs.append((phrase_id, len(toks)))
+            phrase_toks[phrase_id] = toks
             slot += len(toks)
             phrase_id += 1
         else:
@@ -121,7 +123,22 @@ def search(
     n_slots = slot
     neg_terms = [t.text for t in plan.negatives]
 
-    all_terms = sorted({r[0] for r in member_rows} | set(neg_terms))
+    # X3 fast path: an index built with bigram_terms carries one termlist
+    # per adjacent token pair, so phrase candidates come from intersecting
+    # pair termlists instead of positional-scanning every member termlist
+    use_bigrams = bool(phrase_specs) and index.features().get("bigrams", False)
+    phrase_bigrams: dict[int, list[str]] = {}
+    if use_bigrams:
+        for pid, toks in phrase_toks.items():
+            phrase_bigrams[pid] = [
+                f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)
+            ]
+
+    all_terms = sorted(
+        {r[0] for r in member_rows}
+        | set(neg_terms)
+        | {b for bs in phrase_bigrams.values() for b in bs}
+    )
     n_docs, avgdl, df_by_term = _stats_cached(spark, index, all_terms)
 
     present_members = [r for r in member_rows if r[0] in df_by_term]
@@ -196,11 +213,27 @@ def search(
         # J4: a doc additionally needs positional adjacency for every
         # quoted phrase — checked by the Arrow kernel over the still-
         # encoded per-doc position streams (no array materialization)
-        member_rows_meta: dict[int, list[tuple[int, int]]] = {}
-        for (t, _s, pid, seq, _w) in present_members:
-            if pid >= 0:
-                member_rows_meta.setdefault(df_by_term[t][0], []).append((pid, seq))
-        ok = _phrase_ok_docs(blocks, member_rows_meta, phrase_specs)
+        if use_bigrams:
+            # pair-termlist intersection: phrase t0..tn matches iff the
+            # chain bigram_j @ p+j has a common start p — same kernel,
+            # run over the (far rarer) pair termlists only.  A pair
+            # absent from the corpus makes its phrase (and the whole AND
+            # query) unsatisfiable.
+            adj_meta: dict[int, list[tuple[int, int]]] = {}
+            adj_specs: list[tuple[int, int]] = []
+            for pid, bis in phrase_bigrams.items():
+                if any(b not in df_by_term for b in bis):
+                    return _empty_result(spark, enrich)
+                for seq, b in enumerate(bis):
+                    adj_meta.setdefault(df_by_term[b][0], []).append((pid, seq))
+                adj_specs.append((pid, len(bis)))
+        else:
+            adj_meta = {}
+            for (t, _s, pid, seq, _w) in present_members:
+                if pid >= 0:
+                    adj_meta.setdefault(df_by_term[t][0], []).append((pid, seq))
+            adj_specs = phrase_specs
+        ok = _phrase_ok_docs(blocks, adj_meta, adj_specs)
         ok_all = (
             ok.groupBy("doc_id")
             .agg(F.count_distinct("phrase_id").alias("_np"))

@@ -56,17 +56,37 @@ def add_documents(
     docs: DataFrame,
     code_aware: bool = True,
     field_terms: bool = True,
+    bigram_terms: bool | None = None,
     salt_target: int = 50_000,
     block_size: int = 4096,
     refresh_stats: bool = True,
     run_id: str | None = None,
 ) -> None:
-    """Append one delta segment for ``docs`` (R1: searchable on commit)."""
+    """Append one delta segment for ``docs`` (R1: searchable on commit).
+
+    ``bigram_terms=None`` inherits the index's feature marker (a delta
+    without pair termlists in a bigram index would make phrase lookups
+    silently incomplete); an explicit mismatch raises."""
     run_id = run_id or uuid.uuid4().hex[:8]
+    has_bigrams = idx.features().get("bigrams", False)
+    fresh = idx.postings.latest() is None
+    if bigram_terms is None:
+        bigram_terms = has_bigrams
+    elif bigram_terms != has_bigrams:
+        if fresh:
+            idx.write_features(bigrams=bigram_terms)
+        else:
+            raise ValueError(
+                f"index at {idx.root} has bigrams={has_bigrams}; deltas "
+                "must match (phrase pair-termlist lookups would miss docs)"
+            )
     shard_id = _next_shard_id(idx)
     d = derive_ids(docs)
     posts = tokenize_to_postings(
-        d, code_aware=code_aware, field_terms=field_terms
+        d,
+        code_aware=code_aware,
+        field_terms=field_terms,
+        bigram_terms=bigram_terms,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     dict_df = (
         posts.filter(F.col("term").isNotNull()).select("term_id", "term").distinct()

@@ -65,6 +65,37 @@ def test_query_before_finalize_raises(spark, tmp_path):
         search(spark, idx, "anything", k=5)
 
 
+def test_resume_after_lost_checkpoint_is_idempotent(spark, tmp_path):
+    # crash window: shard table commits landed, checkpoint didn't ->
+    # resume must NOT append duplicate segments (doubled postings/df/cf)
+    import pyarrow.parquet as pq
+
+    from open_source_search_engine_spark.operators.build import build_index
+    from open_source_search_engine_spark.sources.corpus import synth_documents
+
+    docs = synth_documents(spark, 80, partitions=2)
+    kw = dict(n_shards=2, block_size=16, salt_target=200, shard_parallelism=1)
+    root = str(tmp_path / "resumeidx")
+    idx = build_index(spark, docs, root, **kw)
+    ref_stats = sorted(
+        (r["term"], r["df"], r["cf"])
+        for r in idx.termstats.read(spark).collect()
+    )
+    ref_hits = _scores(search(spark, idx, "def return", k=500, enrich=False))
+    # simulate the crash: drop shard 1's checkpoint row only
+    ck = idx.checkpoints
+    for seg in ck.latest().segments:
+        if 1 in pq.read_table(seg).column("partition_id").to_pylist():
+            ck.commit(remove=[seg], operation="test-drop")
+    idx2 = build_index(spark, docs, root, **kw)  # resume
+    got_stats = sorted(
+        (r["term"], r["df"], r["cf"])
+        for r in idx2.termstats.read(spark).collect()
+    )
+    assert got_stats == ref_stats
+    assert _scores(search(spark, idx2, "def return", k=500, enrich=False)) == ref_hits
+
+
 def test_dead_cache_evicts_stale_versions(spark, micro_index, tmp_path):
     root = str(tmp_path / "evictidx")
     shutil.copytree(micro_index.root, root)
