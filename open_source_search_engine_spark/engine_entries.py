@@ -56,8 +56,9 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
     ).fetchone()
     con.close()
     # "cfg" busts the on-disk cache when the build configuration changes
-    # (r3: bigram pair termlists added for the phrase fast path)
-    return {"n": int(n), "sum_doc_id": int(s), "cfg": "bigrams-r3"}
+    # (r3: bigram pair termlists for the phrase fast path; field terms
+    # for the lang-boost probe tid)
+    return {"n": int(n), "sum_doc_id": int(s), "cfg": "bigrams-fields-r3"}
 
 
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -107,7 +108,7 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
             tmp,
             n_shards=2,
             code_aware=False,  # fixture text is plain lowercase tokens
-            field_terms=False,
+            field_terms=True,  # lang:/repo: terms (F4 + the F8 boost tid)
             bigram_terms=True,  # X3: phrase pair-termlist fast path
             block_size=256,
         )
@@ -365,6 +366,32 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+def q_engine_lang_boost(spark, sf_dir):
+    """F8 through the WAND kernel: 'table' with English docs scoring at
+    1.5x — the boost rides the lang:en field-term postings as a probe tid
+    and scales the block prune bound (sound for factor >= 1); the oracle
+    replays the multiplier from the raw lang column."""
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(
+        search_wand(
+            spark, idx, "table", k=20, enrich=False, lang_boost=("en", 1.5)
+        ),
+        10,
+    )
+
+
+def q_engine_proximity(spark, sf_dir):
+    """W4 two-phase proximity re-rank (evalSlidingWindow): BM25 top-500
+    candidates of 'spark join' get the 1 + w/(1 + minspan - 1) bonus —
+    500 >= the query's 325 total matches, so every match is re-ranked and
+    the closed-form oracle is exact, not an approximation."""
+    idx = engine_index(spark, sf_dir)
+    res = search(
+        spark, idx, "spark join", k=50, enrich=False, proximity_bonus=0.5
+    )
+    return _round_topk(res, 10)
+
+
 def q_engine_latest_wins(spark, sf_dir):
     """U4/R4: merge-on-read tombstones — deleted docs excluded from
     results while stats (idf/avgdl) still reflect the pre-delete corpus,
@@ -484,6 +511,7 @@ def _bm25_engine_oracle(
     neg_terms: list[str] | None = None,
     exclude_doc_ids: list[int] | None = None,
     exclude_from_corpus: list[int] | None = None,
+    lang_boost: tuple[str, float] | None = None,
 ) -> str:
     """BM25 recomputed from raw text with the engine's semantics: global
     stats over ALL docs, idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75,
@@ -509,13 +537,28 @@ def _bm25_engine_oracle(
     if neg_terms:
         nl = ", ".join(f"'{t}'" for t in neg_terms)
         neg = (
-            f" AND doc_id NOT IN (SELECT DISTINCT doc_id FROM occ "
+            f" AND scored.doc_id NOT IN (SELECT DISTINCT doc_id FROM occ "
             f"WHERE term IN ({nl}))"
         )
     excl = ""
     if exclude_doc_ids:
         el = ", ".join(str(i) for i in exclude_doc_ids)
-        excl = f" AND doc_id NOT IN ({el})"
+        excl = f" AND scored.doc_id NOT IN ({el})"
+    if lang_boost is not None:
+        bl, bf = lang_boost
+        final = f"""
+SELECT scored.doc_id,
+       round(s * (CASE WHEN d2.lang = '{bl}' THEN {bf} ELSE 1.0 END), 4) AS score
+FROM scored JOIN documents d2 ON d2.doc_id = scored.doc_id
+WHERE {nt_pred}{neg}{excl}
+ORDER BY score DESC, scored.doc_id
+LIMIT {k}"""
+    else:
+        final = f"""
+SELECT doc_id, round(s, 4) AS score
+FROM scored WHERE {nt_pred}{neg}{excl}
+ORDER BY score DESC, doc_id
+LIMIT {k}"""
     return f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
@@ -537,13 +580,56 @@ scored AS (
               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
   FROM tf JOIN dfx USING (term) CROSS JOIN stats
   GROUP BY tf.doc_id
-)
-SELECT doc_id, round(s, 4) AS score
-FROM scored WHERE {nt_pred}{neg}{excl}
-ORDER BY score DESC, doc_id
-LIMIT {k}
+){final}
 """
 
+
+# W4: BM25 + two-phase proximity bonus for 'spark join', closed form —
+# minspan of a 2-slot query is min |p_a - p_b| over the two position
+# lists; bonus = 1 + w/(1 + minspan - (n_slots-1)) with w=0.5.  The
+# engine re-ranks its top-500 base-score candidates, which covers ALL
+# matches of this query at the driver fixture size, so the oracle over
+# every match is exact (not an approximation of the re-rank window).
+SQL_ENGINE_PROXIMITY = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
+pos AS (
+  SELECT doc_id, doclen, unnest(toks) AS term,
+         generate_subscripts(toks, 1) - 1 AS p
+  FROM dd
+),
+tf AS (
+  SELECT doc_id, term, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM pos WHERE term IN ('spark', 'join')
+  GROUP BY doc_id, term, doclen
+),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+p1 AS (SELECT doc_id, list(p) AS ps FROM pos WHERE term = 'spark' GROUP BY doc_id),
+p2 AS (SELECT doc_id, list(p) AS ps FROM pos WHERE term = 'join' GROUP BY doc_id),
+spans AS (
+  SELECT p1.doc_id,
+         list_min(flatten(list_transform(p1.ps,
+           a -> list_transform(p2.ps, b -> abs(a - b))))) AS minspan
+  FROM p1 JOIN p2 USING (doc_id)
+)
+SELECT scored.doc_id,
+       round(s * (1.0 + 0.5 / (1.0 + minspan - 1.0)), 4) AS score
+FROM scored JOIN spans ON spans.doc_id = scored.doc_id
+WHERE nt = 2
+ORDER BY score DESC, scored.doc_id LIMIT 10
+"""
 
 SQL_ENGINE_PHRASE = """
 SELECT doc_id FROM documents
@@ -593,6 +679,8 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_incremental": q_engine_incremental,
         "engine_total_hits": q_engine_total_hits,
         "engine_facets": q_engine_facets,
+        "engine_lang_boost": q_engine_lang_boost,
+        "engine_proximity": q_engine_proximity,
         # spell / termstats / tf / collstats / gigabits now run
         # index-backed under their original entry names (entry_queries)
         "engine_gigabits": q_engine_gigabits,
@@ -617,5 +705,9 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_total_hits": SQL_ENGINE_TOTAL_HITS,
         "engine_facets": SQL_ENGINE_FACETS,
         "engine_gigabits": SQL_ENGINE_GIGABITS,
+        "engine_lang_boost": _bm25_engine_oracle(
+            ["table"], lang_boost=("en", 1.5)
+        ),
+        "engine_proximity": SQL_ENGINE_PROXIMITY,
     }
     return queries, oracles

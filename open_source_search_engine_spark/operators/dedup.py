@@ -191,6 +191,94 @@ def minhash_lsh_pairs(
     return pairs
 
 
+def verify_pairs_jaccard(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+) -> DataFrame:
+    """Exact-verify step of the candidate->verify dedup topology: join the
+    candidate (a, b) pairs back to the full shingle sets and compute exact
+    n-gram Jaccard (array_intersect on the two arrays — candidate volume
+    is LSH-bounded, so the arrays only materialize for candidates)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(shingles(tokens_simple(F.col(text_col)), n)).alias("sh"),
+    )
+    return (
+        pairs.select("a", "b")
+        .join(sh.select(F.col("id").alias("a"), F.col("sh").alias("_sha")), "a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("_shb")), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("_sha", "_shb"))
+                / (
+                    F.size("_sha")
+                    + F.size("_shb")
+                    - F.size(F.array_intersect("_sha", "_shb"))
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash_near_pairs(
+    sigs: DataFrame, max_hamming: int = 3, max_bucket_size: int = 10_000
+) -> DataFrame:
+    """All pairs within ``max_hamming`` bit flips of each other — EXACT by
+    pigeonhole: the 64-bit signature splits into ``max_hamming + 1``
+    disjoint bands, so two signatures differing in <= max_hamming bits
+    must agree exactly on at least one band.  Banded bucket join (same
+    (band, value) key) generates candidates; popcount(xor) filters to the
+    exact bound.  ``max_bucket_size`` drops degenerate hot buckets before
+    the self-join (the standard LSH cap; such members are caught by exact
+    dedup).  Input: (id, simhash).  Output: (a, b, hamming), a < b."""
+    nb = max_hamming + 1
+    widths = [64 // nb] * nb
+    widths[-1] += 64 - sum(widths)  # remainder bits ride the last band
+    offs = [sum(widths[:i]) for i in range(nb)]
+    band_vals = [
+        # logical right shift then mask: band value as a non-negative long
+        F.shiftrightunsigned(F.col("simhash"), offs[i]).bitwiseAND(
+            F.lit((1 << widths[i]) - 1)
+        )
+        for i in range(nb)
+    ]
+    banded = sigs.select(
+        "id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "bucket")
+    )
+    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
+    bounded = banded.join(
+        sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
+        ["band", "bucket"],
+        "left_semi",
+    )
+    cand = (
+        bounded.alias("l")
+        .join(
+            bounded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("a"),
+            F.col("r.id").alias("b"),
+            F.col("l.simhash").alias("_sa"),
+            F.col("r.simhash").alias("_sb"),
+        )
+        .distinct()
+    )
+    return cand.select(
+        "a",
+        "b",
+        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
+
+
 def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash:long) — 64-bit simhash: per-bit vote = sum over distinct
     tokens of (+1 if bit set else -1); bit set iff vote > 0.
