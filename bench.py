@@ -84,19 +84,23 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
         synth_documents(spark, n_docs).write.mode("overwrite").parquet(src)
     docs = spark.read.parquet(src)
     t0 = time.time()
-    idx = build_index(spark, docs, root, n_shards=n_shards)
+    idx = build_index(spark, docs, root, n_shards=n_shards, bigram_terms=True)
     build_secs = time.time() - t0
     # WAND covers AND + OR-groups since round 2; the exhaustive plan is
-    # timed separately on the same queries for the per-path split
+    # timed separately on the same queries, and quoted phrases (bigram
+    # pair-termlist fast path, r3) get their own series
     queries = [
         "def return",
         "binarysearchtree",
         "import class self",
         "fn OR func",
     ]
-    lat: dict[str, list[float]] = {"wand": [], "exhaustive": []}
+    phrase_queries = ['"def return"', '"import class"']
+    lat: dict[str, list[float]] = {"wand": [], "exhaustive": [], "phrase": []}
     for q in queries * 2:  # warm (2 rounds: parquet cache + codegen)
         search_wand(spark, idx, q, k=10).collect()
+        search(spark, idx, q, k=10).collect()
+    for q in phrase_queries:
         search(spark, idx, q, k=10).collect()
     for _ in range(3):
         for q in queries:
@@ -106,6 +110,10 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
             t0 = time.time()
             search(spark, idx, q, k=10).collect()
             lat["exhaustive"].append((time.time() - t0) * 1000)
+        for q in phrase_queries:
+            t0 = time.time()
+            search(spark, idx, q, k=10).collect()
+            lat["phrase"].append((time.time() - t0) * 1000)
     # serp result cache (Msg17 analog): repeated-query latency
     for q in queries:
         search_wand(spark, idx, q, k=10, use_cache=True).collect()
@@ -124,6 +132,7 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
         "query_p95_ms": round(both[int(len(both) * 0.95) - 1], 1),
         "wand_p50_ms": round(statistics.median(lat["wand"]), 1),
         "exhaustive_p50_ms": round(statistics.median(lat["exhaustive"]), 1),
+        "phrase_p50_ms": round(statistics.median(lat["phrase"]), 1),
     }
 
 
@@ -164,6 +173,7 @@ def main():
         "query_p95_ms": build["query_p95_ms"],
         "wand_p50_ms": build["wand_p50_ms"],
         "exhaustive_p50_ms": build["exhaustive_p50_ms"],
+        "phrase_p50_ms": build["phrase_p50_ms"],
         "cached_p50_ms": build["cached_p50_ms"],
         "cores": cores,
     }

@@ -123,6 +123,39 @@ class Index:
         return SnapshotTable(self.root, "lineage")
 
 
+# Per-snapshot cached docmeta projection (J5 enrich probe side) — the
+# title-rec cache analog (Msg20/Msg22 keep doc metadata resident instead of
+# re-reading it per query).  Without this every enriched query pays a fresh
+# parquet scan of docstats; with it the broadcast top-k probes in-memory
+# columnar partitions.  Spark's .cache() spills per-partition, so the same
+# code holds on a cluster where docstats exceeds executor memory.
+_DOCMETA_CACHE: dict[tuple[str, int], DataFrame] = {}
+
+
+def docmeta_cached(spark: SparkSession, index: Index) -> DataFrame:
+    """Cached ``(doc_id, repo, path, lang)`` projection of the latest
+    docstats snapshot.  Stale-version entries for the same index root are
+    unpersisted on insert (snapshot versions only move forward)."""
+    snap = index.docstats.latest()
+    key = (index.root, snap.version if snap else -1)
+    df = _DOCMETA_CACHE.get(key)
+    if df is None:
+        for stale in [k for k in _DOCMETA_CACHE if k[0] == index.root and k != key]:
+            try:
+                _DOCMETA_CACHE.pop(stale).unpersist()
+            except Exception:
+                pass
+        base = index.docstats.read(spark)
+        if base is None:
+            raise RuntimeError(
+                f"docstats snapshot absent under {index.root!r} — build the "
+                "index (build_index / finalize_stats) before querying"
+            )
+        df = base.select("doc_id", "repo", "path", "lang").cache()
+        _DOCMETA_CACHE[key] = df
+    return df
+
+
 def derive_ids(docs: DataFrame) -> DataFrame:
     """documents -> + doc_id, content_sha256 (cheap JVM columns only —
     computed BEFORE any shard filter so shard pruning costs nothing).

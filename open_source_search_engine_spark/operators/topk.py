@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
-from .build import Index
+from .build import Index, docmeta_cached
 
 K1 = 1.2
 B = 0.75
@@ -458,7 +458,7 @@ def search_wand(
         topk = topk.select("doc_id", "score")
     if not enrich:
         return topk
-    docmeta = index.docstats.read(spark).select("doc_id", "repo", "path", "lang")
+    docmeta = docmeta_cached(spark, index)
     cols = ["doc_id", "score", "repo", "path", "lang"] + (
         ["blocks_scored", "blocks_skipped", "other_blocks_decoded"]
         if with_prune_stats

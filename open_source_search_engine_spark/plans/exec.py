@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.build import Index, decode_blocks
+from ..operators.build import Index, decode_blocks, docmeta_cached
 from .query import QueryPlan, parse_query
 
 K1 = 1.2
@@ -269,7 +269,7 @@ def search(
         # F8 soft language preference: a score multiplier, not a filter —
         # doc_id-keyed join against docstats (both sides doc-partitioned)
         blang, factor = lang_boost
-        langs = index.docstats.read(spark).select("doc_id", "lang")
+        langs = docmeta_cached(spark, index).select("doc_id", "lang")
         scored = (
             scored.join(langs, "doc_id", "left")
             .withColumn(
@@ -289,7 +289,7 @@ def search(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not enrich:
         return topk
-    docmeta = index.docstats.read(spark).select("doc_id", "repo", "path", "lang")
+    docmeta = docmeta_cached(spark, index)
     # broadcast the tiny top-k side (J5 Msg20 enrich)
     return (
         F.broadcast(topk)
