@@ -57,8 +57,9 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
     con.close()
     # "cfg" busts the on-disk cache when the build configuration changes
     # (r3: bigram pair termlists for the phrase fast path; field terms
-    # for the lang-boost probe tid)
-    return {"n": int(n), "sum_doc_id": int(s), "cfg": "bigrams-fields-r3"}
+    # for the lang-boost probe tid; num:n_chars lookup termlist for
+    # the index-backed sortby path)
+    return {"n": int(n), "sum_doc_id": int(s), "cfg": "bigrams-fields-num-r3"}
 
 
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +73,7 @@ def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("0").alias("commit"),
         F.col("lang"),
         F.col("text").alias("content"),
+        F.col("n_chars"),  # indexed as the num:n_chars lookup termlist (F7/T4)
     )
 
 
@@ -110,6 +112,7 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
             code_aware=False,  # fixture text is plain lowercase tokens
             field_terms=True,  # lang:/repo: terms (F4 + the F8 boost tid)
             bigram_terms=True,  # X3: phrase pair-termlist fast path
+            numeric_fields=("n_chars",),  # F7/T4: num: lookup termlist
             block_size=256,
         )
         with open(os.path.join(tmp, "_corpus_meta.json"), "w") as f:
@@ -501,6 +504,27 @@ def q_engine_gigabits(spark, sf_dir):
     )
 
 
+def q_engine_sortby(spark, sf_dir):
+    """F7/T4 index-backed: top-25 docs by n_chars descending with a floor
+    of 200, answered ENTIRELY from the stored num:n_chars lookup termlist
+    (plans.sortby.search_sortby — pruned postings scan, max_tf block
+    prune, no docstats or corpus scan).  The oracle reads the raw column."""
+    from .plans.sortby import search_sortby
+
+    idx = engine_index(spark, sf_dir)
+    res = search_sortby(
+        spark, idx, "n_chars", ascending=False, k=25, min_value=200
+    )
+    return res.select("doc_id", F.col("value").cast("long").alias("value"))
+
+
+SQL_ENGINE_SORTBY = """
+SELECT doc_id, n_chars AS value FROM documents
+WHERE n_chars >= 200
+ORDER BY value DESC, doc_id LIMIT 25
+"""
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL twins (DuckDB over the same parquet fixtures)
 # ---------------------------------------------------------------------------
@@ -681,6 +705,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_facets": q_engine_facets,
         "engine_lang_boost": q_engine_lang_boost,
         "engine_proximity": q_engine_proximity,
+        "engine_sortby": q_engine_sortby,
         # spell / termstats / tf / collstats / gigabits now run
         # index-backed under their original entry names (entry_queries)
         "engine_gigabits": q_engine_gigabits,
@@ -709,5 +734,6 @@ def engine_registry() -> tuple[dict, dict]:
             ["table"], lang_boost=("en", 1.5)
         ),
         "engine_proximity": SQL_ENGINE_PROXIMITY,
+        "engine_sortby": SQL_ENGINE_SORTBY,
     }
     return queries, oracles

@@ -1413,7 +1413,10 @@ _WINDOW = [
     "metrics_rollup",
     "json_flatten",
     "set_ops",
-    "sortby_field",
+    # T4 from the stored index (num: lookup termlist) — the relational
+    # orderBy twin "sortby_field" moved to the tail, its semantics being
+    # covered in-window by paging (sort+limit) and this entry
+    "engine_sortby",
     # training-data pipeline ops
     "dedup_exact",
     "ngram_jaccard",
@@ -1433,6 +1436,7 @@ _WINDOW = [
 
 _TAIL = [
     # analog twins / grouping-set demo, each certified by an in-window entry
+    "sortby_field",
     "rollup",
     "engine_bm25_exhaustive",
     "engine_gigabits",

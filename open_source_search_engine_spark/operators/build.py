@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
-from ..functions.hashing import content_sha256, doc_id_col
+from ..functions.hashing import content_sha256, doc_id_col, term_hash_py
 from ..functions.tokenize import (
     tokenize_code,
     tokenize_simple,
@@ -450,6 +450,30 @@ def encode_blocks(
     return part.mapInArrow(encode_stream, BLOCK_SCHEMA)
 
 
+def numeric_postings(d: DataFrame, numeric_fields) -> DataFrame | None:
+    """F7/T4 numeric field terms (posdb packs sortby/facet values into key
+    bits — Posdb.h getFloat/getInt, SURVEY §2.2): one posting per doc under
+    term ``num:<field>`` whose tf slot carries the non-negative int32 field
+    value and whose position stream is empty.  Block metadata ``max_tf``
+    then bounds the value per block, so ``gbminint``-style range predicates
+    and descending top-k prune whole blocks without decoding.  These are
+    lookup termlists, not scoring lists: doclen is 0, positions are absent,
+    and search paths never decode positions for them.  Null or negative
+    values are dropped (no posting for that doc)."""
+    out = None
+    for fld in numeric_fields:
+        p = d.select(
+            F.lit(term_hash_py(f"num:{fld}")).cast("long").alias("term_id"),
+            "doc_id",
+            F.lit(0).cast("int").alias("doclen"),
+            F.col(fld).cast("int").alias("tf"),
+            F.lit(b"").alias("pos_enc"),
+            F.lit(f"num:{fld}").alias("term"),
+        ).filter(F.col("tf").isNotNull() & (F.col("tf") >= 0))
+        out = p if out is None else out.unionByName(p)
+    return out
+
+
 def build_index(
     spark: SparkSession,
     docs: DataFrame,
@@ -459,6 +483,7 @@ def build_index(
     code_aware: bool = True,
     field_terms: bool = True,
     bigram_terms: bool = False,
+    numeric_fields: tuple = (),
     salt_target: int = 50_000,
     block_size: int = 4096,
     resume: bool = True,
@@ -506,8 +531,17 @@ def build_index(
                 "use the same setting (mixed segments would make phrase "
                 "pair-termlist lookups incomplete)"
             )
+        if list(idx.features().get("numeric_fields", [])) != sorted(numeric_fields):
+            raise ValueError(
+                f"index root {index_root} was built with numeric_fields="
+                f"{idx.features().get('numeric_fields', [])}; a resume must "
+                "use the same setting (mixed segments would make num: "
+                "termlists incomplete)"
+            )
     else:
-        idx.write_features(bigrams=bigram_terms)
+        idx.write_features(
+            bigrams=bigram_terms, numeric_fields=sorted(numeric_fields)
+        )
 
     # a small source parquet may expose fewer splits than cores, capping
     # the tokenizer stage's parallelism — round-robin repartition so every
@@ -533,14 +567,22 @@ def build_index(
             code_aware=code_aware,
             field_terms=field_terms,
             bigram_terms=bigram_terms,
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        if numeric_fields:
+            num = numeric_postings(d, numeric_fields)
+            if num is not None:
+                posts = posts.unionByName(num)
+        posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
         dict_df = (
             posts.filter(F.col("term").isNotNull())
             .select("term_id", "term")
             .distinct()
         )
         td_seg = idx.termdict.write_segment(dict_df.coalesce(4), label=f"shard{shard}")
-        doclens = posts.select("doc_id", "doclen").distinct()
+        # groupBy-max, not distinct: numeric lookup postings carry doclen 0
+        # alongside the doc's real doclen, and distinct would emit both rows
+        # (duplicating the doc in docstats)
+        doclens = posts.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
         docstats = d.select(
             "doc_id", "repo", "path", "commit", "lang", "content_sha256"
         ).join(doclens, "doc_id")

@@ -57,6 +57,7 @@ def add_documents(
     code_aware: bool = True,
     field_terms: bool = True,
     bigram_terms: bool | None = None,
+    numeric_fields: tuple | None = None,
     salt_target: int = 50_000,
     block_size: int = 4096,
     refresh_stats: bool = True,
@@ -64,11 +65,13 @@ def add_documents(
 ) -> None:
     """Append one delta segment for ``docs`` (R1: searchable on commit).
 
-    ``bigram_terms=None`` inherits the index's feature marker (a delta
-    without pair termlists in a bigram index would make phrase lookups
-    silently incomplete); an explicit mismatch raises."""
+    ``bigram_terms=None`` / ``numeric_fields=None`` inherit the index's
+    feature markers (a delta without pair or num: termlists in an index
+    that has them would make those lookups silently incomplete); an
+    explicit mismatch raises."""
     run_id = run_id or uuid.uuid4().hex[:8]
     has_bigrams = idx.features().get("bigrams", False)
+    has_numeric = list(idx.features().get("numeric_fields", []))
     fresh = idx.postings.latest() is None
     if bigram_terms is None:
         bigram_terms = has_bigrams
@@ -80,6 +83,16 @@ def add_documents(
                 f"index at {idx.root} has bigrams={has_bigrams}; deltas "
                 "must match (phrase pair-termlist lookups would miss docs)"
             )
+    if numeric_fields is None:
+        numeric_fields = tuple(has_numeric)
+    elif sorted(numeric_fields) != has_numeric:
+        if fresh:
+            idx.write_features(numeric_fields=sorted(numeric_fields))
+        else:
+            raise ValueError(
+                f"index at {idx.root} has numeric_fields={has_numeric}; "
+                "deltas must match (num: termlist lookups would miss docs)"
+            )
     shard_id = _next_shard_id(idx)
     d = derive_ids(docs)
     posts = tokenize_to_postings(
@@ -87,12 +100,21 @@ def add_documents(
         code_aware=code_aware,
         field_terms=field_terms,
         bigram_terms=bigram_terms,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if numeric_fields:
+        from ..operators.build import numeric_postings
+
+        num = numeric_postings(d, numeric_fields)
+        if num is not None:
+            posts = posts.unionByName(num)
+    posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
     dict_df = (
         posts.filter(F.col("term").isNotNull()).select("term_id", "term").distinct()
     )
     td_seg = idx.termdict.write_segment(dict_df.coalesce(4), label=f"delta{shard_id}")
-    doclens = posts.select("doc_id", "doclen").distinct()
+    # groupBy-max, not distinct: numeric lookup postings carry doclen 0
+    # alongside the doc's real doclen
+    doclens = posts.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
     docstats = d.select(
         "doc_id", "repo", "path", "commit", "lang", "content_sha256"
     ).join(doclens, "doc_id")
