@@ -351,7 +351,16 @@ def search_wand(
 
         plan = expand_plan(plan, None if synonyms is True else synonyms)
     if any(m.phrase for g in plan.groups for m in g.members):
-        raise ValueError("search_wand handles term/OR-group queries only")
+        # quoted phrases take the general plan (bigram pair-termlist
+        # candidate pruning + positional verify); scoring semantics match
+        if with_prune_stats:
+            raise ValueError(
+                "phrase queries run via plans.exec.search (no WAND "
+                "prune-stats available)"
+            )
+        return _exhaustive_search(
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+        )
     if lang_boost is not None and float(lang_boost[1]) < 1.0:
         if with_prune_stats:
             raise ValueError(

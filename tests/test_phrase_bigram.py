@@ -101,3 +101,17 @@ def test_incremental_inherits_bigram_marker(spark, tmp_path):
         add_documents(spark, idx, docs.limit(1), bigram_terms=False)
     got = _rows(search(spark, idx, '"id0xa34b id1xdcef"', k=500, enrich=False))
     assert len(got) > 0
+
+
+def test_wand_falls_back_to_general_plan_on_phrase(spark, idx_pair):
+    """search_wand routes quoted phrases to plans.exec.search instead of
+    raising — identical rows/scores to calling search directly."""
+    from open_source_search_engine_spark.operators.topk import search_wand
+
+    _plain, bi = idx_pair
+    q = '"id0xa34b id1xdcef" return'
+    want = _rows(search(spark, bi, q, k=50, enrich=False))
+    got = _rows(search_wand(spark, bi, q, k=50, enrich=False))
+    assert len(want) > 0 and got == want
+    with pytest.raises(ValueError, match="prune-stats"):
+        search_wand(spark, bi, q, k=50, with_prune_stats=True)
