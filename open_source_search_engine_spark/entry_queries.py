@@ -1329,41 +1329,50 @@ ORDER BY a, b
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs: banded 64-bit signatures -> all pairs with
-    hamming <= 16 (pigeonhole-exact banding) -> EXACT n-gram-Jaccard
-    verify (>= 0.9).  The oracle recomputes the >= 0.9 pairs from raw
-    text; equality certifies the signature kernel + banding caught every
-    qualifying pair on this corpus (deterministic signatures; the
-    fixture's docs are short, so J >= 0.9 pairs reach hamming 12 — long
-    documents concentrate much tighter and use radius 3)."""
+    """SimHash near-dup pairs at the standard radius 3: md5-mode 64-bit
+    signatures (hash == DuckDB ``md5_number_lower``, so the oracle replays
+    the ENTIRE pipeline — tokenize, per-token hash, bit-vote fold, banding
+    recall, popcount — in pure SQL against an O(n^2) exact recomputation).
+    4 pigeonhole bands of 16 bits keep bucket entropy high, so candidate
+    volume tracks true near-dup density instead of going quadratic (the
+    earlier radius-16 formulation banded 17x ~4 bits and enumerated ~68%
+    of ALL pairs on this corpus)."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures(docs, "doc_id", "text")
-    cand = dedup.simhash_near_pairs(sigs, max_hamming=16)
+    sigs = dedup.simhash_signatures(
+        docs, "doc_id", "text", hash_mode="md5"
+    ).cache()  # consumed by both self-join sides; signatures are tiny
     return (
-        dedup.verify_pairs_jaccard(docs, cand, "doc_id", "text", n=3)
-        .filter(F.round("jaccard", 4) >= 0.9)
-        .select("a", "b")
+        dedup.simhash_near_pairs(sigs, max_hamming=3)
+        .select("a", "b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("a", "b")
     )
 
 
 SQL_SIMHASH = f"""
-WITH d AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
-),
-sh AS (
+WITH toks AS (
   SELECT doc_id,
-         list_distinct(CASE WHEN len(toks) >= 3 THEN
-           list_transform(range(len(toks) - 2),
-             i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
-           ELSE [] END) AS grams
-  FROM d
+         unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS t
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (md5_number_lower(t) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN range(64) r(j)
+  GROUP BY doc_id, j
+),
+sig0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS s
+  FROM votes GROUP BY doc_id
+),
+sig AS (  -- token-free docs vote 0 on every bit -> signature 0
+  SELECT d.doc_id, coalesce(sig0.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sig0 USING (doc_id)
 )
-SELECT l.doc_id AS a, r.doc_id AS b
-FROM sh l JOIN sh r ON l.doc_id < r.doc_id
-WHERE round(CAST(len(list_intersect(l.grams, r.grams)) AS DOUBLE)
-            / (len(l.grams) + len(r.grams) - len(list_intersect(l.grams, r.grams))),
-            4) >= 0.9
+SELECT l.doc_id AS a, r.doc_id AS b,
+       CAST(bit_count(xor(l.s, r.s)) AS INTEGER) AS hamming
+FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.s, r.s)) <= 3
 ORDER BY a, b
 """
 
@@ -1576,7 +1585,7 @@ def build_registry() -> tuple[
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "minhash_lsh": SQL_MINHASH_LSH,  # candidates -> exact-jaccard verify
-        "simhash": SQL_SIMHASH,  # hamming<=8 candidates -> exact verify
+        "simhash": SQL_SIMHASH,  # full md5-simhash replay, exact O(n^2) hamming
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

@@ -24,7 +24,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _MERSENNE = (1 << 61) - 1
@@ -242,21 +242,34 @@ def simhash_near_pairs(
     offs = [sum(widths[:i]) for i in range(nb)]
     band_vals = [
         # logical right shift then mask: band value as a non-negative long
+        # (width 64 = radius 0 -> whole signature; mask is all-ones = -1L)
         F.shiftrightunsigned(F.col("simhash"), offs[i]).bitwiseAND(
-            F.lit((1 << widths[i]) - 1)
+            F.lit(((1 << widths[i]) - 1) if widths[i] < 64 else -1)
         )
         for i in range(nb)
     ]
     banded = sigs.select(
         "id", "simhash", F.posexplode(F.array(*band_vals)).alias("band", "bucket")
     )
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
-    bounded = banded.join(
-        sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
-        ["band", "bucket"],
-        "left_semi",
+    # bucket-size cap via a window over the SAME (band, bucket) partitioning
+    # the self-join shuffles on: one exchange serves the cap filter and the
+    # join probe (vs the former count-agg + left_semi, which cost an extra
+    # aggregate pass and re-evaluated the signature subtree a third time)
+    bounded = (
+        banded.withColumn(
+            "_bn",
+            F.count("*").over(Window.partitionBy("band", "bucket")),
+        )
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
     )
-    cand = (
+    # hamming filter BEFORE the dedup shuffle: the banded join emits one row
+    # per agreeing band, and large radii force narrow bands (radius 16 ->
+    # 17 bands of ~4 bits -> tiny bucket entropy), so bucket collisions are
+    # quadratic in corpus size.  Hamming is a pure function of the pair, so
+    # filtering first is equivalent and shrinks the distinct() exchange from
+    # every bucket collision to true near-dup pairs only.
+    return (
         bounded.alias("l")
         .join(
             bounded.alias("r"),
@@ -267,29 +280,53 @@ def simhash_near_pairs(
         .select(
             F.col("l.id").alias("a"),
             F.col("r.id").alias("b"),
-            F.col("l.simhash").alias("_sa"),
-            F.col("r.simhash").alias("_sb"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.select(
-        "a",
-        "b",
-        F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))).alias("hamming"),
-    ).filter(F.col("hamming") <= max_hamming)
 
 
-def simhash_signatures(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _md5_lower64(t: Column) -> Column:
+    """Signed-long view of the LOW 64 bits of md5(t) read as a little-endian
+    128-bit number (digest bytes 8..15, little-endian) — byte-identical to
+    DuckDB's ``md5_number_lower``, so an oracle can replay the hash in pure
+    SQL.  Built from JVM-side expressions only (md5/substring/conv/shift):
+    the 8 byte lanes occupy disjoint bit ranges, so bitwiseOR assembles the
+    value without ANSI overflow."""
+    h = F.md5(t)
+    out = None
+    for i in range(8):
+        byte = F.conv(F.substring(h, 17 + 2 * i, 2), 16, 10).cast("long")
+        lane = F.shiftleft(byte, 8 * i)
+        out = lane if out is None else out.bitwiseOR(lane)
+    return out
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """(id, simhash:long) — 64-bit simhash: per-bit vote = sum over distinct
     tokens of (+1 if bit set else -1); bit set iff vote > 0.
 
-    Token hashing stays JVM-side (xxhash64, codegen); the bit-vote fold is
-    a numpy kernel over Arrow batches (a 64-wide fold is hostile to
-    Catalyst expression trees but trivial vectorized)."""
+    Token hashing stays JVM-side (codegen); the bit-vote fold is a numpy
+    kernel over Arrow batches (a 64-wide fold is hostile to Catalyst
+    expression trees but trivial vectorized).  ``hash_mode``:
+    "xxhash64" (default, fastest) or "md5" (lower-64 little-endian md5 ==
+    DuckDB ``md5_number_lower`` — lets an external SQL oracle replay the
+    whole signature pipeline exactly)."""
+    if hash_mode == "xxhash64":
+        tok_hash = lambda t: F.xxhash64(t)  # noqa: E731 (transform arity)
+    elif hash_mode == "md5":
+        tok_hash = _md5_lower64
+    else:  # pragma: no cover - guard
+        raise ValueError(f"unknown hash_mode {hash_mode!r}")
     hashed = _fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.array_distinct(tokens_simple(F.col(text_col))), lambda t: F.xxhash64(t)
+            F.array_distinct(tokens_simple(F.col(text_col))), tok_hash
         ).alias("hs"),
     )
     bit_idx = np.arange(64, dtype=np.uint64)

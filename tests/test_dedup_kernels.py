@@ -86,6 +86,40 @@ def test_simhash_vectorized_matches_reference(spark):
         assert got[r["id"]] == expect
 
 
+def test_md5_lower64_matches_hashlib(spark):
+    """hash_mode="md5" token hash == low 8 digest bytes little-endian
+    (DuckDB md5_number_lower parity — the basis of the simhash oracle)."""
+    import hashlib
+
+    words = ["abc", "hello_world", "", "0" * 40, "binarysearchtree"]
+    df = spark.createDataFrame([(w,) for w in words], "t string").select(
+        "t", dedup._md5_lower64(F.col("t")).alias("h")
+    )
+    got = {r["t"]: r["h"] for r in df.collect()}
+    for w in words:
+        u = int.from_bytes(hashlib.md5(w.encode()).digest()[8:], "little")
+        assert got[w] == (u - (1 << 64) if u >= (1 << 63) else u)
+
+
+def test_simhash_md5_mode_pairs(spark):
+    """md5-mode signatures feed near_pairs: exact dups land at hamming 0,
+    unrelated docs far away; radius-0 single-band edge case works."""
+    rows = [
+        (1, "binary search tree in python"),
+        (2, "binary search tree in python"),
+        (3, "completely different words entirely unrelated zebra"),
+    ]
+    docs = spark.createDataFrame(rows, "id long, text string")
+    sigs = dedup.simhash_signatures(docs, "id", "text", hash_mode="md5")
+    pairs = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in dedup.simhash_near_pairs(sigs, max_hamming=3).collect()
+    }
+    assert pairs.get((1, 2)) == 0 and (1, 3) not in pairs
+    zero = dedup.simhash_near_pairs(sigs, max_hamming=0).collect()
+    assert {(r["a"], r["b"]) for r in zero} == {(1, 2)}
+
+
 @pytest.fixture(scope="module")
 def adversarial_docs(spark):
     """60 docs that ALL share one hot 3-gram; docs pair up as near-dups

@@ -53,9 +53,26 @@ def test_wand_equals_exhaustive(spark, wand_index, q):
     assert wnd == exh
 
 
-def test_wand_rejects_phrases(spark, wand_index):
+def test_wand_routes_phrases_to_general_plan(spark, wand_index):
+    """Phrases fall back to plans.exec.search (no raise); prune-stats mode
+    still raises since no WAND pruning runs on that path."""
+    from open_source_search_engine_spark.plans.exec import search
+
+    want = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search(
+            spark, wand_index, '"def return"', k=10, enrich=False
+        ).collect()
+    ]
+    got = [
+        (r["doc_id"], round(r["score"], 9))
+        for r in search_wand(
+            spark, wand_index, '"def return"', k=10, enrich=False
+        ).collect()
+    ]
+    assert got == want
     with pytest.raises(ValueError):
-        search_wand(spark, wand_index, '"def return"')
+        search_wand(spark, wand_index, '"def return"', with_prune_stats=True)
 
 
 def _mk_block(term_id, salt, n_salts, bid, doc_ids, tfs, doclens):
