@@ -135,12 +135,22 @@ _DOCMETA_CACHE: dict[tuple[str, int], DataFrame] = {}
 def docmeta_cached(spark: SparkSession, index: Index) -> DataFrame:
     """Cached ``(doc_id, repo, path, lang)`` projection of the latest
     docstats snapshot.  Stale-version entries for the same index root are
-    unpersisted on insert (snapshot versions only move forward)."""
+    unpersisted on insert (snapshot versions only move forward).  Keyed by
+    the Spark application id too: a cached DataFrame belongs to one
+    SparkContext, and handing it to a later session (stop/start cycles,
+    e.g. multi-level benchmarks) would raise "stopped SparkContext"."""
     snap = index.docstats.latest()
-    key = (index.root, snap.version if snap else -1)
+    app = spark.sparkContext.applicationId
+    key = (f"{app}|{index.root}", snap.version if snap else -1)
     df = _DOCMETA_CACHE.get(key)
     if df is None:
-        for stale in [k for k in _DOCMETA_CACHE if k[0] == index.root and k != key]:
+        # evict: dead-session entries (other app ids) + this root's stale
+        # versions; other live roots in this session stay resident
+        for stale in [
+            k
+            for k in _DOCMETA_CACHE
+            if k != key and (not k[0].startswith(f"{app}|") or k[0] == key[0])
+        ]:
             try:
                 _DOCMETA_CACHE.pop(stale).unpersist()
             except Exception:
