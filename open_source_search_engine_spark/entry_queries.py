@@ -891,6 +891,23 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-partitioned ANN with FULL probe (nprobe == nlist): every
+    Voronoi cell is scanned, so the result equals exact brute force and
+    the brute-force DuckDB oracle certifies the cell-assignment +
+    probe-pruning plumbing (recall-vs-nprobe behavior is covered in
+    tests/test_similarity_ivf.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.ivf_topk(
+        emb.filter(F.col("vec_id") != 0),
+        [float(x) for x in qv],
+        k=10,
+        nlist=8,
+        nprobe=8,
+    )
+
+
 def q_pairwise_cosine(spark, sf_dir):
     """Embedding near-dup pairs (a<b, cosine >= 0.3), top-50 — through the
     LSH bucket topology in its exhaustive configuration (n_planes=0 ->
@@ -1465,6 +1482,8 @@ _TAIL = [
     "token_stats",
     "quality",
     "except_op",
+    # IVF ANN: same full-probe==exact oracle as in-window ann_lsh
+    "ann_ivf",
 ]
 
 
@@ -1524,6 +1543,7 @@ def build_registry() -> tuple[
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "pairwise_cosine": q_pairwise_cosine,
         "embed_facets": q_embed_facets,
         "minhash_lsh": q_minhash_lsh,
@@ -1580,6 +1600,7 @@ def build_registry() -> tuple[
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine": SQL_ANN_COSINE,
         "ann_lsh": SQL_ANN_COSINE,  # full probe == exact brute force
+        "ann_ivf": SQL_ANN_COSINE,  # full probe == exact brute force
         "pairwise_cosine": SQL_PAIRWISE_COSINE,  # one bucket == exact all-pairs
         "embed_facets": SQL_EMBED_FACETS,
         "multimodal_meta": SQL_MULTIMODAL_META,

@@ -115,6 +115,63 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: vectors are partitioned into ``nlist``
+    Voronoi cells around coarse centroids; the query scores exactly only
+    the ``nprobe`` cells whose centroids are nearest to it.  ``nprobe ==
+    nlist`` probes every cell == exact brute force (the same oracle trick
+    as ``lsh_bucketed_topk``'s full probe).
+
+    Centroids are a deterministic seed sample (the ``nlist`` smallest
+    ids) rather than k-means: centroid quality moves recall at a given
+    nprobe, never correctness, and a closed-form rule lets an external
+    SQL oracle replay the cell assignment.  At 100 TB ``_cell`` is a
+    partition column — probing prunes whole files/row-groups at the
+    parquet scan, so query cost tracks nprobe/nlist of the corpus rather
+    than the corpus; the nlist-literal assignment expression stays
+    codegen'd and the centroid set rides the closure like the query
+    vector itself (no shuffle anywhere on the query path)."""
+    v = vectors.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    # nlist rows to the driver — same footprint class as query_vec itself
+    cents = v.orderBy(F.col(id_col)).limit(nlist).collect()
+    sims = [
+        F.struct(
+            cosine_col(
+                F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]])
+            ).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, r in enumerate(cents)
+    ]
+    # nearest centroid = lexicographic max of (similarity, -index): ties
+    # resolve to the SMALLEST centroid index (ORDER BY sim DESC, idx ASC)
+    assigned = v.withColumn("_cell", -F.array_max(F.array(*sims))["ni"])
+    qv = np.asarray(query_vec, dtype=np.float64)
+
+    def _cos(c) -> float:
+        c = np.asarray(c, dtype=np.float64)
+        d = float(np.linalg.norm(c) * np.linalg.norm(qv))
+        return float(c @ qv) / d if d else 0.0
+
+    order = sorted(
+        range(len(cents)), key=lambda i: (-_cos(cents[i]["_v"]), i)
+    )
+    probes = order[: max(1, min(nprobe, len(cents)))]
+    return brute_force_topk(
+        assigned.filter(F.col("_cell").isin(probes)), query_vec, id_col, "_v", k
+    )
+
+
 def pairwise_cosine_above(
     vectors: DataFrame,
     threshold: float,
