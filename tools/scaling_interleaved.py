@@ -22,7 +22,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-LEVELS = (8, 32)
+# N and 4N parallelism levels.  Default 4->16: both ends sit INSIDE this
+# VM's ~21-effective-CPU capacity ceiling (tools/cpu_capacity.py), so a
+# true 4x of hardware is actually available — 8->32 spans the ceiling and
+# caps the measurable ratio at ~21/8 = 2.6x regardless of the code.
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(",")
+)
 SRC = f"/tmp/scaling_src_{N_DOCS}"
 QUERIES = ["def return", "binarysearchtree", "import class self"]
 
@@ -80,19 +86,20 @@ def main() -> None:
             r["trial"] = t
             runs.append(r)
             print(json.dumps(r), flush=True)
-    out = {"n_docs": N_DOCS, "runs": runs}
+    lo, hi = LEVELS
+    out = {"n_docs": N_DOCS, "levels": list(LEVELS), "runs": runs}
     for cores in LEVELS:
         tps = [r["docs_per_sec"] for r in runs if r["cores"] == cores]
         lat = [r["query_p50_ms"] for r in runs if r["cores"] == cores]
         out[f"median_docs_per_sec_{cores}"] = statistics.median(tps)
         out[f"median_query_p50_ms_{cores}"] = statistics.median(lat)
     out["build_efficiency"] = round(
-        (out["median_docs_per_sec_32"] / out["median_docs_per_sec_8"])
-        / (LEVELS[1] / LEVELS[0]),
+        (out[f"median_docs_per_sec_{hi}"] / out[f"median_docs_per_sec_{lo}"])
+        / (hi / lo),
         3,
     )
     out["query_speedup"] = round(
-        out["median_query_p50_ms_8"] / out["median_query_p50_ms_32"], 2
+        out[f"median_query_p50_ms_{lo}"] / out[f"median_query_p50_ms_{hi}"], 2
     )
     with open("/tmp/scaling_interleaved.json", "w") as f:
         json.dump(out, f, indent=1)
