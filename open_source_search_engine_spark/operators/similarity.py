@@ -144,6 +144,8 @@ def ivf_topk(
     )
     # nlist rows to the driver — same footprint class as query_vec itself
     cents = v.orderBy(F.col(id_col)).limit(nlist).collect()
+    if not cents:  # empty input: no cells to probe, exact scan is free
+        return brute_force_topk(vectors, query_vec, id_col, vec_col, k)
     sims = [
         F.struct(
             cosine_col(

@@ -64,6 +64,11 @@ def test_recall_monotone_in_nprobe(spark, vecs):
     assert last == 1.0  # full probe at the end recovers everything
 
 
+def test_empty_input(spark, vecs):
+    empty = vecs.filter(F.col("vec_id") < 0)
+    assert similarity.ivf_topk(empty, [1.0] * 8, k=5).count() == 0
+
+
 def test_cell_assignment_partitions_all_rows(spark, vecs):
     """Every vector lands in exactly one cell, cells cover 0..nlist-1 ids
     only, and the nearest-centroid rule holds on a spot-checked row."""
