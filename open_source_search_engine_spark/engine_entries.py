@@ -323,6 +323,35 @@ def q_engine_phrase(spark, sf_dir):
     return res.select("doc_id").orderBy("doc_id")
 
 
+def q_engine_bm25_batch(spark, sf_dir):
+    """Msg39 multicast analog: THREE queries (plain AND, 3-term AND, and
+    an OR-group) answered in ONE Spark job via search_wand_batch — one
+    pruned union scan, per-shard kernel re-run per query, one window for
+    per-query top-k.  The oracle recomputes each query's BM25 from raw
+    text and UNION ALLs the labelled result sets."""
+    from .operators.topk import search_wand_batch
+    from pyspark.sql import Window
+
+    idx = engine_index(spark, sf_dir)
+    res = search_wand_batch(
+        spark,
+        idx,
+        ["spark", "hash merge sort", "vector OR stream"],
+        k=20,
+        enrich=False,
+    )
+    w = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        res.select("query", "doc_id", F.round("score", 4).alias("score"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+        .orderBy("query", F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def q_engine_synonyms(spark, sf_dir):
     """X5 through the WAND kernel: 'merge batch' with merge expanded to
     the weighted OR-group {merge:1.0, join:0.9, sort:0.7} — synonym hits
@@ -689,6 +718,7 @@ GROUP BY term ORDER BY cnt DESC, term LIMIT 20
 
 def engine_registry() -> tuple[dict, dict]:
     queries = {
+        "engine_bm25_batch": q_engine_bm25_batch,
         "engine_bm25_single": q_engine_bm25_single,
         "engine_bm25_and2": q_engine_bm25_and2,
         "engine_bm25_and3": q_engine_bm25_and3,
@@ -710,7 +740,18 @@ def engine_registry() -> tuple[dict, dict]:
         # index-backed under their original entry names (entry_queries)
         "engine_gigabits": q_engine_gigabits,
     }
+    batch_items = [
+        ("spark", ["spark"], "and"),
+        ("hash merge sort", ["hash", "merge", "sort"], "and"),
+        ("vector OR stream", ["vector", "stream"], "or"),
+    ]
+    batch_sql = " UNION ALL ".join(
+        f"SELECT '{lbl}' AS query, t.doc_id, t.score "
+        f"FROM ({_bm25_engine_oracle(terms, k=10, mode=mode)}) t"
+        for lbl, terms, mode in batch_items
+    ) + " ORDER BY query, score DESC, doc_id"
     oracles = {
+        "engine_bm25_batch": batch_sql,
         "engine_bm25_single": _bm25_engine_oracle(["spark"]),
         "engine_bm25_and2": _bm25_engine_oracle(["spark", "join"]),
         "engine_bm25_and3": _bm25_engine_oracle(["hash", "merge", "sort"]),

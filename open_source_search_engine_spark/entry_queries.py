@@ -1406,7 +1406,11 @@ _WINDOW = [
     "engine_bm25_and2",
     "engine_bm25_and3",
     "engine_bm25_neg",
-    "engine_bm25_or",
+    # engine_bm25_or moved to the tail: OR-group slot semantics stay
+    # in-window twice over (engine_synonyms weighted OR-groups + the OR
+    # member of engine_bm25_batch), and the batch path is a new unique
+    # operator (one job answering N queries)
+    "engine_bm25_batch",
     "engine_phrase",
     "engine_synonyms",
     "engine_boolean",
@@ -1462,6 +1466,7 @@ _WINDOW = [
 
 _TAIL = [
     # analog twins / grouping-set demo, each certified by an in-window entry
+    "engine_bm25_or",
     "sortby_field",
     "rollup",
     "engine_bm25_exhaustive",

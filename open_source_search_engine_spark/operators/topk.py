@@ -395,27 +395,10 @@ def search_wand(
         spark, index, all_pos + neg_terms + ([boost_term] if boost_term else [])
     )
 
-    # slots: {term_id: weight*idf}; an OR-group survives if ANY member is
-    # present, a 1-member slot (plain AND term) must be present
-    slots: list[dict[int, float]] = []
-    slot_dfs: list[int] = []
-    for g in plan.groups:
-        slot: dict[int, float] = {}
-        df_sum = 0
-        for m in g.members:
-            st = stats.get(m.text)
-            if st is None:
-                continue
-            w = getattr(m, "weight", 1.0)
-            idf = math.log(1.0 + (n_docs - st[1] + 0.5) / (st[1] + 0.5))
-            slot[st[0]] = max(slot.get(st[0], 0.0), w * idf)
-            df_sum += st[1]
-        if not slot:
-            return _empty_result(spark, enrich, with_prune_stats)
-        slots.append(slot)
-        slot_dfs.append(df_sum)
-
-    rarest_slot = int(min(range(len(slots)), key=lambda i: slot_dfs[i]))
+    built = _build_slots(plan, stats, n_docs)
+    if built is None:
+        return _empty_result(spark, enrich, with_prune_stats)
+    slots, rarest_slot = built
     neg_ids = [stats[t][0] for t in neg_terms if t in stats]
     from .merge import deleted_doc_ids
 
@@ -478,6 +461,171 @@ def search_wand(
         .join(docmeta, "doc_id")
         .select(*cols)
         .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _build_slots(plan, stats, n_docs):
+    """Query plan -> WAND slot structure.
+
+    slots: {term_id: weight*idf}; an OR-group survives if ANY member is
+    present, a 1-member slot (plain AND term) must be present.  Returns
+    (slots, rarest_slot_index) or None when some slot has no member in
+    the dictionary (the AND can never match)."""
+    slots: list[dict[int, float]] = []
+    slot_dfs: list[int] = []
+    for g in plan.groups:
+        slot: dict[int, float] = {}
+        df_sum = 0
+        for m in g.members:
+            st = stats.get(m.text)
+            if st is None:
+                continue
+            w = getattr(m, "weight", 1.0)
+            idf = math.log(1.0 + (n_docs - st[1] + 0.5) / (st[1] + 0.5))
+            slot[st[0]] = max(slot.get(st[0], 0.0), w * idf)
+            df_sum += st[1]
+        if not slot:
+            return None
+        slots.append(slot)
+        slot_dfs.append(df_sum)
+    return slots, int(min(range(len(slots)), key=lambda i: slot_dfs[i]))
+
+
+def search_wand_batch(
+    spark: SparkSession,
+    index: Index,
+    queries: list,
+    k: int = 10,
+    enrich: bool = False,
+) -> DataFrame:
+    """N term/OR-group queries answered in ONE Spark job.
+
+    The reference is a resident process whose per-query floor is a network
+    round-trip; local Spark pays a job-dispatch floor (~0.5 s on this VM)
+    per action instead.  Batching amortizes it: all queries' termlists
+    come from a single pruned scan (``In(term_id, union)``), each
+    doc-shard task runs the block-max WAND kernel once per query over its
+    already-loaded Arrow table, and one window takes per-query top-k —
+    so a 32-query batch costs one job, not 32 (Msg39 multicast analog:
+    one scatter serves many queries).
+
+    Same semantics as ``search_wand`` per query: AND of slots, OR-groups
+    slot-max, ``-neg`` terms, merge-on-read tombstones.  Queries whose
+    mandatory slot has no indexed member simply yield no rows.  Phrases /
+    lang-boost / prune-stats are per-query concerns — route those through
+    ``search_wand``.  Output: (query, doc_id, score), top-k per query.
+    """
+    from pyspark.sql import Window
+
+    from ..plans.exec import _stats_cached
+    from ..plans.query import parse_query
+    from .merge import deleted_doc_ids
+
+    plans = [parse_query(q) if isinstance(q, str) else q for q in queries]
+    qlabels = [q if isinstance(q, str) else str(q) for q in queries]
+    if not plans:
+        raise ValueError("empty query batch")
+    for p in plans:
+        if any(m.phrase for g in p.groups for m in g.members):
+            raise ValueError(
+                "phrase queries are per-query plans; use search_wand"
+            )
+        if not p.groups:
+            raise ValueError("query has no positive terms")
+
+    all_terms = sorted(
+        {m.text for p in plans for g in p.groups for m in g.members}
+        | {t.text for p in plans for t in p.negatives}
+    )
+    n_docs, avgdl, stats = _stats_cached(spark, index, all_terms)
+    dead = deleted_doc_ids(spark, index)
+    if len(dead) > MAX_DEAD_INLINE:
+        raise ValueError(
+            f"{len(dead)} tombstones exceed MAX_DEAD_INLINE; compact the "
+            "index before batch querying (or use search_wand's fallback)"
+        )
+
+    qmetas: list[dict | None] = []
+    for p in plans:
+        built = _build_slots(p, stats, n_docs)
+        if built is None:
+            qmetas.append(None)
+            continue
+        slots, rarest = built
+        qmetas.append(
+            {
+                "slots": slots,
+                "rarest_slot": rarest,
+                "avgdl": avgdl,
+                "neg_ids": [stats[t.text][0] for t in p.negatives if t.text in stats],
+                "dead": dead,
+            }
+        )
+
+    want_ids = sorted(
+        {t for qm in qmetas if qm for s in qm["slots"] for t in s}
+        | {t for qm in qmetas if qm for t in qm["neg_ids"]}
+    )
+    if not want_ids:
+        out = spark.createDataFrame([], "query string, doc_id long, score double")
+        return out
+    blocks = (
+        index.postings.read(spark)
+        .filter(F.col("term_id").isin(want_ids))
+        .drop("positions_enc")
+    )
+
+    def kernel(tbl: pa.Table) -> pa.Table:
+        outs = []
+        for qi, qm in enumerate(qmetas):
+            if qm is None:
+                continue
+            t = _wand_kernel(tbl, qm, k).select(["doc_id", "score"])
+            if t.num_rows:
+                outs.append(
+                    t.append_column(
+                        "query_idx", pa.array([qi] * t.num_rows, pa.int32())
+                    )
+                )
+        if not outs:
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], type=pa.int64()),
+                    pa.array([], type=pa.float64()),
+                    pa.array([], type=pa.int32()),
+                ],
+                names=["doc_id", "score", "query_idx"],
+            )
+        return pa.concat_tables(outs)
+
+    per_shard = blocks.groupBy("shard").applyInArrow(
+        lambda _key, tbl: kernel(tbl),
+        "doc_id long, score double, query_idx int",
+    )
+    # per-shard rows are true local top-k per query (negation + deletes
+    # already applied in-kernel); the global per-query merge is a window
+    # over <= n_shards * k rows per query
+    w = Window.partitionBy("query_idx").orderBy(F.desc("score"), F.asc("doc_id"))
+    topk = (
+        per_shard.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+    labeled = topk.select(
+        F.element_at(
+            F.array(*[F.lit(s) for s in qlabels]), F.col("query_idx") + 1
+        ).alias("query"),
+        "doc_id",
+        "score",
+    )
+    if not enrich:
+        return labeled
+    docmeta = docmeta_cached(spark, index)
+    return (
+        F.broadcast(labeled)
+        .join(docmeta, "doc_id")
+        .select("query", "doc_id", "score", "repo", "path", "lang")
+        .orderBy("query", F.desc("score"), F.asc("doc_id"))
     )
 
 

@@ -75,6 +75,40 @@ def test_wand_routes_phrases_to_general_plan(spark, wand_index):
         search_wand(spark, wand_index, '"def return"', with_prune_stats=True)
 
 
+def test_batch_equals_per_query(spark, wand_index):
+    """search_wand_batch (one job, N queries) returns exactly what N
+    individual search_wand calls return — including a query with a term
+    absent from the dictionary (yields no rows) and OR-groups/negations."""
+    from open_source_search_engine_spark.operators.topk import search_wand_batch
+
+    batch_qs = [
+        "def",
+        "def return",
+        "fn OR func",
+        "def -return",
+        "zzznotinthecorpus",
+        "binarysearchtree",
+    ]
+    got = {}
+    for r in search_wand_batch(spark, wand_index, batch_qs, k=10).collect():
+        got.setdefault(r["query"], []).append((r["doc_id"], round(r["score"], 9)))
+    for q in batch_qs:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search_wand(spark, wand_index, q, k=10, enrich=False).collect()
+        ]
+        have = sorted(got.get(q, []), key=lambda x: (-x[1], x[0]))
+        assert have == want, q
+    assert "zzznotinthecorpus" not in got
+
+
+def test_batch_rejects_phrases(spark, wand_index):
+    from open_source_search_engine_spark.operators.topk import search_wand_batch
+
+    with pytest.raises(ValueError, match="phrase"):
+        search_wand_batch(spark, wand_index, ['"def return"', "def"], k=5)
+
+
 def _mk_block(term_id, salt, n_salts, bid, doc_ids, tfs, doclens):
     doc_ids = np.sort(np.asarray(doc_ids, dtype=np.int64))
     d_enc = codec.encode_varint(codec.delta_encode(doc_ids))
