@@ -102,6 +102,18 @@ def test_batch_equals_per_query(spark, wand_index):
     assert "zzznotinthecorpus" not in got
 
 
+def test_batch_enrich(spark, wand_index):
+    from open_source_search_engine_spark.operators.topk import search_wand_batch
+
+    rows = search_wand_batch(
+        spark, wand_index, ["def", "binarysearchtree"], k=5, enrich=True
+    ).collect()
+    assert rows and set(rows[0].asDict()) == {
+        "query", "doc_id", "score", "repo", "path", "lang",
+    }
+    assert {r["query"] for r in rows} == {"def", "binarysearchtree"}
+
+
 def test_batch_rejects_phrases(spark, wand_index):
     from open_source_search_engine_spark.operators.topk import search_wand_batch
 
