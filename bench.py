@@ -50,25 +50,34 @@ HEADLINE = [
 N_BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "20000"))
 
 
-def run_headline(spark, sf_dir: str) -> dict[str, float]:
+def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], float]:
+    """(warm per-query times, cold battery total).
+
+    The first battery pass carries per-query wholestage-codegen
+    compilation (~0.5-3 s each, a one-time driver JVM cost a resident
+    engine never re-pays) — since r4 it is TIMED and reported as
+    ``headline_cold_secs`` (r3 verdict: cross-round battery totals must
+    compare like with like).  The engine-index build/load is primed
+    SEPARATELY before the cold pass so 'cold' means cold JVM plans, not
+    index construction (that cost is reported as index_build_secs).
+    """
+    from open_source_search_engine_spark.engine_entries import engine_index
     from open_source_search_engine_spark.entry_queries import build_registry
 
     qs, _ = build_registry()
-    # untimed warm pass over the WHOLE battery: per-query wholestage
-    # codegen compilation (~0.5-3 s each, a one-time driver JVM cost that
-    # a resident engine never re-pays) and the cached engine-index build
-    # land here; the timed pass below measures steady-state latency.
-    # Cold-vs-warm on this VM is ~2x on the battery total.
+    engine_index(spark, sf_dir)  # index build/load primes outside both passes
     qs["bm25_single"](spark, sf_dir).collect()
+    t_cold = time.time()
     for name in HEADLINE:
         qs[name](spark, sf_dir).collect()
+    cold_secs = round(time.time() - t_cold, 3)
     times: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         df.collect()
         times[name] = round(time.time() - t0, 3)
-    return times
+    return times, cold_secs
 
 
 def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
@@ -193,7 +202,7 @@ def main():
         return
 
     spark = get_spark(app_name="bench", cores=cores)
-    times = run_headline(spark, sf_dir)
+    times, cold_secs = run_headline(spark, sf_dir)
     build = run_index_build(
         spark, N_BENCH_DOCS, "/tmp/bench_idx", n_shards=2
     )
@@ -202,6 +211,7 @@ def main():
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "headline_cold_secs": cold_secs,
         "sf": sf,
         "build_docs_per_sec": build["docs_per_sec"],
         "build_docs_per_sec_nobigram": build["docs_per_sec_nobigram"],

@@ -50,8 +50,12 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
     import duckdb
 
     con = duckdb.connect()
-    n, s = con.execute(
-        "SELECT count(*), coalesce(sum(doc_id), 0) FROM read_parquet(?)",
+    # content digest (r3 verdict #5): (count, sum(doc_id)) alone would
+    # serve a stale index for a fixture whose TEXT changed but whose row
+    # count and id sum didn't — sum(hash(text)) pins the actual content
+    n, s, h = con.execute(
+        "SELECT count(*), coalesce(sum(doc_id), 0), "
+        "coalesce(CAST(sum(hash(text)) AS VARCHAR), '0') FROM read_parquet(?)",
         [f"{sf_dir}/documents.parquet"],
     ).fetchone()
     con.close()
@@ -59,7 +63,12 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
     # (r3: bigram pair termlists for the phrase fast path; field terms
     # for the lang-boost probe tid; num:n_chars lookup termlist for
     # the index-backed sortby path)
-    return {"n": int(n), "sum_doc_id": int(s), "cfg": "bigrams-fields-num-r3"}
+    return {
+        "n": int(n),
+        "sum_doc_id": int(s),
+        "content_hash": str(h),
+        "cfg": "bigrams-fields-num-r3",
+    }
 
 
 def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:

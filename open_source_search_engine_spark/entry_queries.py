@@ -1062,6 +1062,12 @@ def q_spell_suggest(spark, sf_dir):
     # word terms only: the dictionary also holds bigram pair terms
     # ("a b") and field terms ("lang:x"), which are not spell candidates
     ts = ts.filter(~F.col("term").contains(" ") & ~F.col("term").contains(":"))
+    # length band: edit distance >= |len(a) - len(b)|, so this cheap
+    # predicate is pushed to the parquet scan and prunes the dictionary
+    # BEFORE the linear levenshtein evaluation (scale guard: the scan is
+    # O(vocab) either way, but the edit-distance kernel now runs only on
+    # the ~band-sized slice)
+    ts = ts.filter(F.abs(F.length("term") - F.lit(len("tabel"))) <= 2)
     return (
         ts.withColumn("dist", F.levenshtein(F.col("term"), F.lit("tabel")))
         .filter(F.col("dist") <= 2)
@@ -1455,7 +1461,9 @@ _WINDOW = [
     "langid",
     "fingerprint",
     "ann_cosine",
-    "ann_lsh",
+    # IVF is the strictly newer ANN claim (r3); ann_lsh moved to the tail —
+    # both share the identical full-probe==exact oracle (SQL_ANN_COSINE)
+    "ann_ivf",
     "pairwise_cosine",
     "embed_facets",
     "minhash_lsh",
@@ -1487,8 +1495,8 @@ _TAIL = [
     "token_stats",
     "quality",
     "except_op",
-    # IVF ANN: same full-probe==exact oracle as in-window ann_lsh
-    "ann_ivf",
+    # LSH ANN: same full-probe==exact oracle as in-window ann_ivf
+    "ann_lsh",
 ]
 
 

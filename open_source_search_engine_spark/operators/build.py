@@ -260,6 +260,7 @@ def _encode_sorted_postings(
     pos_values: np.ndarray,
     pos_offsets: np.ndarray,
     block_size: int,
+    shards: np.ndarray | None = None,
 ) -> pa.RecordBatch:
     """Encode posting rows sorted by (term_id, salt, doc_id) into termlist
     blocks — ONE numpy pass, primitives + pre-encoded position bytes.
@@ -275,10 +276,15 @@ def _encode_sorted_postings(
     nd = len(term_ids)
 
     # ---- block boundaries: new (term,salt) group, or block_size docs ----
+    # (multi-shard mode additionally breaks at shard changes so a block
+    # never spans doc-partitions — the WAND kernel's per-shard scatter
+    # depends on blocks being shard-pure)
     change = np.empty(nd, dtype=bool)
     change[0] = True
     np.not_equal(term_ids[1:], term_ids[:-1], out=change[1:])
     change[1:] |= salts[1:] != salts[:-1]
+    if shards is not None:
+        change[1:] |= shards[1:] != shards[:-1]
     group_starts = np.flatnonzero(change)
     group_sizes = np.diff(np.append(group_starts, nd))
     within = np.arange(nd) - np.repeat(group_starts, group_sizes)
@@ -331,31 +337,34 @@ def _encode_sorted_postings(
             [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(stream.tobytes())],
         )
 
-    return pa.RecordBatch.from_arrays(
-        [
-            pa.array(term_ids[bstarts]),
-            pa.array(salts[bstarts].astype(np.int32)),
-            pa.array(n_salts_arr[bstarts].astype(np.int32)),
-            pa.array(block_id.astype(np.int32)),
-            pa.array(n_docs.astype(np.int32)),
-            pa.array(sum_tf),
-            pa.array(doc_ids[bstarts]),
-            pa.array(doc_ids[bends - 1]),
-            pa.array(max_tf.astype(np.int32)),
-            pa.array(min_dl.astype(np.int32)),
-            bin_col(doc_bytes, doc_off),
-            bin_col(tf_bytes, tf_off),
-            bin_col(dl_bytes, dl_off),
-            bin_col(pos_values, pos_offsets),
-        ],
-        names=_BLOCK_COLS,
-    )
+    arrays = [
+        pa.array(term_ids[bstarts]),
+        pa.array(salts[bstarts].astype(np.int32)),
+        pa.array(n_salts_arr[bstarts].astype(np.int32)),
+        pa.array(block_id.astype(np.int32)),
+        pa.array(n_docs.astype(np.int32)),
+        pa.array(sum_tf),
+        pa.array(doc_ids[bstarts]),
+        pa.array(doc_ids[bends - 1]),
+        pa.array(max_tf.astype(np.int32)),
+        pa.array(min_dl.astype(np.int32)),
+        bin_col(doc_bytes, doc_off),
+        bin_col(tf_bytes, tf_off),
+        bin_col(dl_bytes, dl_off),
+        bin_col(pos_values, pos_offsets),
+    ]
+    names = list(_BLOCK_COLS)
+    if shards is not None:
+        arrays.append(pa.array(shards[bstarts].astype(np.int32)))
+        names.append("shard")
+    return pa.RecordBatch.from_arrays(arrays, names=names)
 
 
 def encode_blocks(
     postings: DataFrame,
     salt_target: int = 50_000,
     block_size: int = 4096,
+    sharded: bool = False,
 ) -> DataFrame:
     """Salted repartition + sorted varint-block encode (S4/T5/X10).
 
@@ -370,19 +379,29 @@ def encode_blocks(
     ceil(df/salt_target) doc-hash sub-lists, so the zipf head cannot pin a
     single task (north-rule explicit skew handling).  The stats join rides
     the same hash key as the repartition.
+
+    ``sharded=True``: input additionally carries a ``shard`` column (the
+    doc-partition id, pmod(doc_id, n_shards)) and blocks come out
+    shard-pure with the shard in the output schema — the multi-shard
+    compaction path encodes every doc-partition's sorted run in the SAME
+    single shuffle (RdbBase keeps per-host file sets; one merge rewrites
+    them all).  Salting then uses shard-local df, matching what a per-shard
+    build would have produced.
     """
+    n_row = 7 if sharded else 6  # leading fixed-width row arrays per batch
+    shard_key = ["shard"] if sharded else []
     # only the zipf head needs salting: aggregate df per term, keep just
     # the heavy terms (df > salt_target) and broadcast THAT — a few
     # hundred rows — instead of joining the full per-term stats (a ~1M-row
     # broadcast serialized on the driver cost ~10 s flat regardless of
     # cluster size).  Light terms default to n_salts = 1.
     heavy = (
-        postings.groupBy("term_id")
+        postings.groupBy(*shard_key, "term_id")
         .agg(F.count("*").alias("df_local"))
         .filter(F.col("df_local") > salt_target)
     )
     salted = (
-        postings.join(F.broadcast(heavy), "term_id", "left")
+        postings.join(F.broadcast(heavy), shard_key + ["term_id"], "left")
         .withColumn(
             "n_salts",
             F.coalesce(
@@ -390,10 +409,13 @@ def encode_blocks(
             ).cast("int"),
         )
         .withColumn("salt", F.pmod(F.col("doc_id"), F.col("n_salts")).cast("int"))
-        .select("term_id", "salt", "n_salts", "doc_id", "doclen", "tf", "pos_enc")
+        .select(
+            *shard_key,
+            "term_id", "salt", "n_salts", "doc_id", "doclen", "tf", "pos_enc",
+        )
     )
-    part = salted.repartition("term_id", "salt").sortWithinPartitions(
-        "term_id", "salt", "doc_id"
+    part = salted.repartition(*shard_key, "term_id", "salt").sortWithinPartitions(
+        *shard_key, "term_id", "salt", "doc_id"
     )
 
     def _extract(batch: pa.RecordBatch):
@@ -407,29 +429,39 @@ def encode_blocks(
         data = np.frombuffer(pe.buffers()[2], dtype=np.uint8)
         values = data[offs[0] : offs[-1]].copy()
         offs = offs - offs[0]
-        return (
+        rows = (
             cols["term_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["salt"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["n_salts"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["doclen"].to_numpy(zero_copy_only=False).astype(np.int64),
             cols["tf"].to_numpy(zero_copy_only=False).astype(np.int64),
-            values,
-            offs,
         )
+        if sharded:
+            rows += (cols["shard"].to_numpy(zero_copy_only=False).astype(np.int64),)
+        return rows + (values, offs)
 
     def _concat(a, b):
-        # first 6 are row arrays; 7th is the byte stream; 8th the offsets
-        rows = tuple(np.concatenate([x, y]) for x, y in zip(a[:6], b[:6]))
-        values = np.concatenate([a[6], b[6]])
-        offs = np.concatenate([a[7][:-1], b[7] + a[7][-1]])
+        # first n_row are row arrays; then the byte stream; then offsets
+        rows = tuple(np.concatenate([x, y]) for x, y in zip(a[:n_row], b[:n_row]))
+        values = np.concatenate([a[n_row], b[n_row]])
+        offs = np.concatenate([a[n_row + 1][:-1], b[n_row + 1] + a[n_row + 1][-1]])
         return rows + (values, offs)
 
     def _slice(arrs, lo, hi):
-        blo, bhi = arrs[7][lo], arrs[7][hi]
-        return tuple(x[lo:hi] for x in arrs[:6]) + (
-            arrs[6][blo:bhi],
-            arrs[7][lo : hi + 1] - blo,
+        blo, bhi = arrs[n_row + 1][lo], arrs[n_row + 1][hi]
+        return tuple(x[lo:hi] for x in arrs[:n_row]) + (
+            arrs[n_row][blo:bhi],
+            arrs[n_row + 1][lo : hi + 1] - blo,
+        )
+
+    def _encode(arrs) -> pa.RecordBatch:
+        return _encode_sorted_postings(
+            *arrs[:6],
+            arrs[n_row],
+            arrs[n_row + 1],
+            block_size,
+            shards=arrs[6] if sharded else None,
         )
 
     def encode_stream(batches):
@@ -443,9 +475,12 @@ def encode_blocks(
                 carry = None
             term_ids, salts = arrs[0], arrs[1]
             n = len(term_ids)
-            # hold back the trailing (term_id, salt) run — it may continue
-            # in the next Arrow batch (runs are contiguous in sorted input)
+            # hold back the trailing (shard,term_id,salt) run — it may
+            # continue in the next Arrow batch (runs are contiguous in
+            # sorted input)
             same = (term_ids == term_ids[-1]) & (salts == salts[-1])
+            if sharded:
+                same &= arrs[6] == arrs[6][-1]
             n_tail = int(same[::-1].cumprod().sum())
             if n_tail == n:
                 carry = arrs
@@ -453,11 +488,12 @@ def encode_blocks(
             split = n - n_tail
             head = _slice(arrs, 0, split)
             carry = _slice(arrs, split, n)
-            yield _encode_sorted_postings(*head, block_size)
+            yield _encode(head)
         if carry is not None and len(carry[0]):
-            yield _encode_sorted_postings(*carry, block_size)
+            yield _encode(carry)
 
-    return part.mapInArrow(encode_stream, BLOCK_SCHEMA)
+    schema = BLOCK_SCHEMA + (", shard int" if sharded else "")
+    return part.mapInArrow(encode_stream, schema)
 
 
 def numeric_postings(d: DataFrame, numeric_fields) -> DataFrame | None:

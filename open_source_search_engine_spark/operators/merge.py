@@ -163,9 +163,20 @@ def compact_postings(
     salt_target: int = 50_000,
     block_size: int = 4096,
     run_id: str = "compact",
+    n_shards: int | None = None,
 ) -> None:
     """Rewrite all live postings segments into one merged, tombstone-free,
     term_id-range-sorted segment and swap snapshots atomically (R3).
+
+    Doc-shard parallelism is PRESERVED (r3 verdict #1): the compacted
+    segment re-shards every posting by ``pmod(doc_id, n_shards)`` — one
+    sorted shard-pure run per doc-partition, all encoded in a single
+    shuffle — so post-compaction WAND queries still scatter one kernel
+    task per shard (Msg39; RdbBase keeps per-host file sets through its
+    merges too).  ``n_shards`` defaults to the number of distinct shard
+    ids in the pre-compaction snapshot (incremental adds allocate fresh
+    ids per batch, so this also renormalizes shard proliferation back to
+    the index's steady-state width).
 
     Docstats/termstats are rebuilt consistently; consumed tombstones are
     cleared in the same logical operation (snapshot commits are per-table
@@ -177,6 +188,8 @@ def compact_postings(
     if blocks_df is None:
         return
     prev_snap = idx.postings.latest()
+    if n_shards is None:
+        n_shards = max(int(blocks_df.select("shard").distinct().count()), 1)
     dead = deleted_doc_ids(spark, idx)
     posts = decode_to_postings(blocks_df)
     if len(dead):
@@ -184,15 +197,14 @@ def compact_postings(
             spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
         )
         posts = posts.join(dead_df, "doc_id", "left_anti")
-    posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
-    merged = encode_blocks(
-        posts, salt_target=salt_target, block_size=block_size
+    posts = posts.withColumn(
+        "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
     ).persist(StorageLevel.MEMORY_AND_DISK)
-    # compacted index is one logical doc-partition for WAND (shard 0)
-    merged_sorted = (
-        merged.withColumn("shard", F.lit(0))
-        .repartitionByRange("term_id")
-        .sortWithinPartitions("term_id", "salt", "block_id")
+    merged = encode_blocks(
+        posts, salt_target=salt_target, block_size=block_size, sharded=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    merged_sorted = merged.repartitionByRange("term_id").sortWithinPartitions(
+        "term_id", "salt", "block_id"
     )
     seg = idx.postings.write_segment(merged_sorted, label="compacted")
     ts_partial = merged.groupBy("term_id").agg(
@@ -206,7 +218,11 @@ def compact_postings(
 
     idx.postings.commit(
         add=[seg], remove=list(prev_snap.segments), operation="compact",
-        meta={"run_id": run_id, "tombstones_dropped": int(len(dead))},
+        meta={
+            "run_id": run_id,
+            "tombstones_dropped": int(len(dead)),
+            "n_shards": int(n_shards),
+        },
     )
     prev_tsp = idx.termstats_partial.latest()
     idx.termstats_partial.commit(

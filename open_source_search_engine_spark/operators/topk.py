@@ -79,6 +79,12 @@ def _wand_kernel(
     rarest_slot: int = qmeta["rarest_slot"]
     avgdl = qmeta["avgdl"]
     neg_ids = qmeta.get("neg_ids", [])
+    # J4 phrase chains: each chain is the ordered bigram-pair term_ids of
+    # one quoted phrase; a candidate doc must have a common start position
+    # across the chain (pair_j at p+j).  Pair tids also appear as
+    # zero-weight presence slots, so the positional verify below only runs
+    # on docs already known to contain every pair somewhere.
+    phrases: list[list[int]] = qmeta.get("phrases", [])
     dead = qmeta.get("dead", np.empty(0, dtype=np.int64))
     # F8 soft lang preference: docs present in the boost term's (lang:xx
     # field) postings score at boost_factor; block bounds scale by the
@@ -96,6 +102,14 @@ def _wand_kernel(
     d_enc = blocks.column("doc_ids_enc")
     t_enc = blocks.column("tfs_enc")
     l_enc = blocks.column("doclens_enc")
+    # positions are shipped ONLY in phrase mode, and only the pair
+    # termlists' rows carry real bytes (word rows are null) — the scan
+    # never reads position bytes for scoring termlists
+    p_enc = (
+        blocks.column("positions_enc")
+        if "positions_enc" in blocks.schema.names
+        else None
+    )
 
     widf = {t: w for s in slots for t, w in s.items()}  # term -> weight*idf
 
@@ -195,6 +209,86 @@ def _wand_kernel(
                 tf_t[idxs] = t_arr[pos_c[found]]
         return tf_t, present
 
+    # lazy per-block POSITION decode (phrase mode only): pair termlists
+    # are tiny (df of an adjacent pair), so decoding their position
+    # streams on demand is cheap; word termlists never reach this path
+    pos_decoded: dict[int, tuple] = {}
+
+    def decode_row_pos(i: int):
+        hit = pos_decoded.get(i)
+        if hit is None:
+            nd = int(n_docs_col[i])
+            d, _tf, pos, bounds = codec.decode_postings_block(
+                d_enc[i].as_py(), t_enc[i].as_py(), p_enc[i].as_py(), nd
+            )
+            ends = np.empty(nd, dtype=np.int64)
+            if nd:
+                ends[:-1] = bounds[1:]
+                ends[-1] = len(pos)
+            hit = pos_decoded[i] = (d.astype(np.uint64) + _U63, pos, bounds, ends)
+        return hit
+
+    def probe_positions(t: int, cd: np.ndarray, cu: np.ndarray, mask: np.ndarray):
+        """Per-candidate position arrays of term t (None where absent),
+        computed only for mask-true candidates — same salt routing +
+        range-metadata block lookup as ``probe``."""
+        out: list = [None] * len(cd)
+        ns = n_salts.get(t, 1)
+        salt_of = np.mod(cd, ns)
+        for s in np.unique(salt_of[mask]).tolist():
+            m = mask & (salt_of == s)
+            meta = probe_blocks.get((t, int(s)))
+            if meta is None:
+                continue
+            lo, hi, rows = meta
+            midx = np.flatnonzero(m)
+            cu_m = cu[midx]
+            bpos = np.searchsorted(lo, cu_m, side="right") - 1
+            valid = (bpos >= 0) & (cu_m <= hi[np.clip(bpos, 0, len(hi) - 1)])
+            if not valid.any():
+                continue
+            for b in np.unique(bpos[valid]).tolist():
+                row = int(rows[b])
+                d_u, pos, bounds, ends = decode_row_pos(row)
+                sel = valid & (bpos == b)
+                p = np.searchsorted(d_u, cu_m[sel])
+                pc = np.clip(p, 0, len(d_u) - 1)
+                found = d_u[pc] == cu_m[sel]
+                for gi, pi in zip(
+                    midx[sel][found].tolist(), pc[found].tolist()
+                ):
+                    out[gi] = pos[bounds[pi] : ends[pi]]
+        return out
+
+    def verify_phrases(cd: np.ndarray, cu: np.ndarray, alive: np.ndarray) -> None:
+        """In-place AND of positional adjacency for every phrase chain:
+        doc survives iff each chain has a common start p with pair_j at
+        p+j.  Runs only over still-alive candidates (pair presence slots
+        have already filtered), so the per-doc numpy intersects touch a
+        handful of tiny arrays."""
+        for chain in phrases:
+            if not alive.any():
+                return
+            plists = [probe_positions(t, cd, cu, alive) for t in chain]
+            for gi in np.flatnonzero(alive).tolist():
+                common = None
+                for j, pl in enumerate(plists):
+                    arr = pl[gi]
+                    if arr is None or not len(arr):
+                        common = None
+                        break
+                    shifted = arr - j
+                    common = (
+                        shifted
+                        if common is None
+                        else np.intersect1d(common, shifted)
+                    )
+                    if not len(common):
+                        common = None
+                        break
+                if common is None:
+                    alive[gi] = False
+
     for i in order.tolist():
         theta = heap[0][0] if len(heap) >= k else -math.inf
         # strict <: a block whose bound ties θ could still win on doc_id
@@ -256,6 +350,8 @@ def _wand_kernel(
             if alive.any():
                 _tf, present = probe(t, cd, cu)
                 alive &= ~present
+        if phrases and alive.any():
+            verify_phrases(cd, cu, alive)  # J4 positional adjacency
         if boost_tid is not None and alive.any():
             _tf, present = probe(boost_tid, cd, cu)
             score = np.where(present, score * boost_factor, score)
@@ -311,6 +407,72 @@ def _empty_out() -> pa.Table:
     )
 
 
+# driver-side (root, docstats-version)-keyed doc metadata rows — the
+# Msg20 title-rec cache analog.  Entries are (repo, path, lang) tuples for
+# docs that appeared in some top-k; bounded, version-evicted like the
+# other driver caches (stale snapshot versions are unreachable).
+_DOCMETA_ROW_CACHE: dict[tuple[str, int], dict[int, tuple]] = {}
+_DOCMETA_ROW_MAX = 200_000
+
+
+def _docmeta_rows(
+    spark: SparkSession, index: Index, doc_ids: list[int]
+) -> dict[int, tuple]:
+    """{doc_id: (repo, path, lang)} for the given ids; misses are fetched
+    in ONE pushed-filter scan of the cached docmeta projection."""
+    snap = index.docstats.latest()
+    key = (index.root, snap.version if snap else -1)
+    cache = _DOCMETA_ROW_CACHE.get(key)
+    if cache is None:
+        for stale in [k for k in _DOCMETA_ROW_CACHE if k[0] == index.root]:
+            del _DOCMETA_ROW_CACHE[stale]
+        cache = _DOCMETA_ROW_CACHE[key] = {}
+    missing = [int(d) for d in doc_ids if d not in cache]
+    if missing:
+        if len(cache) + len(missing) > _DOCMETA_ROW_MAX:
+            cache.clear()
+        for r in (
+            docmeta_cached(spark, index)
+            .filter(F.col("doc_id").isin(missing))
+            .collect()
+        ):
+            cache[r["doc_id"]] = (r["repo"], r["path"], r["lang"])
+    return {d: cache[d] for d in doc_ids if d in cache}
+
+
+def _positive_terms(plan) -> list[str]:
+    """All dictionary terms a plan's positive side needs stats for:
+    singleton phrase groups contribute their tokens AND bigram pair
+    terms; everything else contributes its member text."""
+    out: list[str] = []
+    for g in plan.groups:
+        if len(g.members) == 1 and len(g.members[0].phrase) > 1:
+            toks, pairs = _phrase_terms(g.members[0])
+            out.extend(toks)
+            out.extend(pairs)
+        else:
+            out.extend(m.text for m in g.members)
+    return out
+
+
+def _scan_blocks(
+    spark: SparkSession, index: Index, word_ids: list[int], pair_ids: list[int]
+) -> DataFrame:
+    """Pruned postings scan for the WAND kernel.  positions_enc (the
+    largest column) is read ONLY for the bigram pair termlists a phrase
+    chain needs — scoring termlists ride a scan that never touches the
+    position bytes (two pushed-filter scans unioned; the pair side is
+    tiny by construction)."""
+    base = index.postings.read(spark)
+    word_ids = [t for t in word_ids if t not in set(pair_ids)]
+    scan = base.filter(F.col("term_id").isin(word_ids)).drop("positions_enc")
+    if not pair_ids:
+        return scan
+    return scan.withColumn(
+        "positions_enc", F.lit(None).cast("binary")
+    ).unionByName(base.filter(F.col("term_id").isin(pair_ids)))
+
+
 def search_wand(
     spark: SparkSession,
     index: Index,
@@ -325,9 +487,14 @@ def search_wand(
     """BM25 top-k via per-shard block-max WAND.
 
     Supports AND queries of terms AND of OR-groups (slot-max member
-    scoring, incl. weighted synonym members — U3), fielded terms, and
-    ``-neg`` terms (excluded inside the kernel); quoted phrases take the
-    general plan in plans.exec.search.
+    scoring, incl. weighted synonym members — U3), fielded terms,
+    ``-neg`` terms (excluded inside the kernel), and — on a bigram index
+    — quoted phrases natively (J4, r3 verdict #4): pair termlists join
+    the intersect loop as zero-weight slots (the rarest pair is the
+    candidate source, exactly PosdbTable evaluating quoted terms inside
+    intersectLists) and survivors are positionally verified in-kernel
+    before they can enter the heap, so the block-max prune bound stays
+    sound.  Only a bigram-less index falls back to the general plan.
 
     ``lang_boost`` factors must be >= 1.0 on this path: the block prune
     bound scales by the factor, which is only an upper bound for
@@ -350,27 +517,11 @@ def search_wand(
         from ..functions.synonyms import expand_plan
 
         plan = expand_plan(plan, None if synonyms is True else synonyms)
-    if any(m.phrase for g in plan.groups for m in g.members):
-        # quoted phrases take the general plan (bigram pair-termlist
-        # candidate pruning + positional verify); scoring semantics match
-        if with_prune_stats:
-            raise ValueError(
-                "phrase queries run via plans.exec.search (no WAND "
-                "prune-stats available)"
-            )
-        return _exhaustive_search(
-            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
-        )
-    if lang_boost is not None and float(lang_boost[1]) < 1.0:
-        if with_prune_stats:
-            raise ValueError(
-                "lang_boost factor < 1.0 is unsound for the WAND prune "
-                "bound; use plans.exec.search for de-boosting"
-            )
-        return _exhaustive_search(
-            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
-        )
     if use_cache:
+        # cache check BEFORE the fallback branches (r3 advice: a repeated
+        # phrase / de-boost query must hit the serp cache too — the
+        # compute lambda re-enters with use_cache=False and takes
+        # whatever plan shape applies)
         from ..plans.exec import cached_result
         from ..plans.query import plan_key
 
@@ -385,7 +536,30 @@ def search_wand(
                 with_prune_stats=with_prune_stats, lang_boost=lang_boost,
             ),
         )
-    all_pos = [m.text for g in plan.groups for m in g.members]
+    has_phrase = any(
+        len(m.phrase) > 1 for g in plan.groups for m in g.members
+    )
+    if has_phrase and not index.features().get("bigrams", False):
+        # no pair termlists in this index: the general plan's positional
+        # scan over member termlists is the only exact path
+        if with_prune_stats:
+            raise ValueError(
+                "phrase queries on a bigram-less index run via "
+                "plans.exec.search (no WAND prune-stats available)"
+            )
+        return _exhaustive_search(
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+        )
+    if lang_boost is not None and float(lang_boost[1]) < 1.0:
+        if with_prune_stats:
+            raise ValueError(
+                "lang_boost factor < 1.0 is unsound for the WAND prune "
+                "bound; use plans.exec.search for de-boosting"
+            )
+        return _exhaustive_search(
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+        )
+    all_pos = _positive_terms(plan)
     if not all_pos:
         raise ValueError("query has no positive terms")
     neg_terms = [t.text for t in plan.negatives]
@@ -398,7 +572,7 @@ def search_wand(
     built = _build_slots(plan, stats, n_docs)
     if built is None:
         return _empty_result(spark, enrich, with_prune_stats)
-    slots, rarest_slot = built
+    slots, rarest_slot, phrase_chains = built
     neg_ids = [stats[t][0] for t in neg_terms if t in stats]
     from .merge import deleted_doc_ids
 
@@ -416,6 +590,7 @@ def search_wand(
         "avgdl": avgdl,
         "neg_ids": neg_ids,
         "dead": dead,
+        "phrases": phrase_chains,
     }
     extra_ids: list[int] = []
     if boost_term is not None and boost_term in stats and lang_boost is not None:
@@ -423,14 +598,8 @@ def search_wand(
         qmeta["boost_factor"] = float(lang_boost[1])
         extra_ids.append(stats[boost_term][0])
     pos_ids = sorted({t for s in slots for t in s})
-
-    # prune positions_enc (the largest column — unused by the kernel) so
-    # the parquet scan reads only scoring columns
-    blocks = (
-        index.postings.read(spark)
-        .filter(F.col("term_id").isin(pos_ids + neg_ids + extra_ids))
-        .drop("positions_enc")
-    )
+    pair_ids = sorted({t for c in phrase_chains for t in c})
+    blocks = _scan_blocks(spark, index, pos_ids + neg_ids + extra_ids, pair_ids)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         return _wand_kernel(tbl, qmeta, k)
@@ -450,18 +619,36 @@ def search_wand(
         topk = topk.select("doc_id", "score")
     if not enrich:
         return topk
-    docmeta = docmeta_cached(spark, index)
-    cols = ["doc_id", "score", "repo", "path", "lang"] + (
+    # J5 enrich via the driver-side title-rec cache (Msg20/Msg22: the
+    # reference keeps doc metadata resident next to the serp builder).
+    # The k merged rows are already on the driver after the ONE kernel
+    # job; probing a per-snapshot doc_id->meta LRU makes a warm enriched
+    # query cost exactly one Spark job instead of two (broadcast-exchange
+    # materialization + join scan).  Cache misses fetch ONLY the missing
+    # ids with one pushed-filter scan of the cached docmeta projection.
+    rows = topk.collect()
+    meta = _docmeta_rows(spark, index, [r["doc_id"] for r in rows])
+    stat_cols = (
         ["blocks_scored", "blocks_skipped", "other_blocks_decoded"]
         if with_prune_stats
         else []
     )
-    return (
-        F.broadcast(topk)
-        .join(docmeta, "doc_id")
-        .select(*cols)
-        .orderBy(F.desc("score"), F.asc("doc_id"))
-    )
+    out_rows = [
+        (r["doc_id"], r["score"], *meta[r["doc_id"]])
+        + tuple(r[c] for c in stat_cols)
+        for r in rows
+        if r["doc_id"] in meta  # inner-join semantics preserved
+    ]
+    schema = "doc_id long, score double, repo string, path string, lang string"
+    if with_prune_stats:
+        schema += ", blocks_scored int, blocks_skipped int, other_blocks_decoded int"
+    return spark.createDataFrame(out_rows, schema)
+
+
+def _phrase_terms(m) -> tuple[list[str], list[str]]:
+    """(tokens, bigram pair terms) of a phrase member."""
+    toks = list(m.phrase)
+    return toks, [f"{toks[j]} {toks[j + 1]}" for j in range(len(toks) - 1)]
 
 
 def _build_slots(plan, stats, n_docs):
@@ -469,11 +656,47 @@ def _build_slots(plan, stats, n_docs):
 
     slots: {term_id: weight*idf}; an OR-group survives if ANY member is
     present, a 1-member slot (plain AND term) must be present.  Returns
-    (slots, rarest_slot_index) or None when some slot has no member in
-    the dictionary (the AND can never match)."""
+    (slots, rarest_slot_index, phrase_chains) or None when some slot has
+    no member in the dictionary (the AND can never match).
+
+    A singleton quoted-phrase group (J4) expands to:
+    - one SCORING slot per token (sum of token BM25 contributions — the
+      same scoring the general plan gives phrases);
+    - one ZERO-WEIGHT presence slot per adjacent bigram pair termlist
+      (vectorized pre-filter; also lets the rarest-slot candidate source
+      be a pair list, which is both sound — every phrase match contains
+      the pair — and far tighter than any token list);
+    - an entry in phrase_chains: the ordered pair tids the kernel
+      positionally verifies (common start p, pair_j at p+j).
+    A missing token OR pair term makes the phrase (hence the AND query)
+    unsatisfiable — parity with plans.exec.search's bigram branch.
+    Phrase members inside multi-member OR-groups score as the pair term
+    itself (exact parity with the general plan's non-singleton branch).
+    """
     slots: list[dict[int, float]] = []
     slot_dfs: list[int] = []
+    phrase_chains: list[list[int]] = []
+
+    def idf(df_: int) -> float:
+        return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+
     for g in plan.groups:
+        if len(g.members) == 1 and len(g.members[0].phrase) > 1:
+            toks, pairs = _phrase_terms(g.members[0])
+            if any(t not in stats for t in toks + pairs):
+                return None
+            for t in toks:
+                st = stats[t]
+                slots.append({st[0]: idf(st[1])})
+                slot_dfs.append(st[1])
+            chain = []
+            for b in pairs:
+                sb = stats[b]
+                slots.append({sb[0]: 0.0})
+                slot_dfs.append(sb[1])
+                chain.append(sb[0])
+            phrase_chains.append(chain)
+            continue
         slot: dict[int, float] = {}
         df_sum = 0
         for m in g.members:
@@ -481,14 +704,14 @@ def _build_slots(plan, stats, n_docs):
             if st is None:
                 continue
             w = getattr(m, "weight", 1.0)
-            idf = math.log(1.0 + (n_docs - st[1] + 0.5) / (st[1] + 0.5))
-            slot[st[0]] = max(slot.get(st[0], 0.0), w * idf)
+            slot[st[0]] = max(slot.get(st[0], 0.0), w * idf(st[1]))
             df_sum += st[1]
         if not slot:
             return None
         slots.append(slot)
         slot_dfs.append(df_sum)
-    return slots, int(min(range(len(slots)), key=lambda i: slot_dfs[i]))
+    rarest = int(min(range(len(slots)), key=lambda i: slot_dfs[i]))
+    return slots, rarest, phrase_chains
 
 
 def search_wand_batch(
@@ -497,8 +720,9 @@ def search_wand_batch(
     queries: list,
     k: int = 10,
     enrich: bool = False,
+    lang_boost: tuple[str, float] | None = None,
 ) -> DataFrame:
-    """N term/OR-group queries answered in ONE Spark job.
+    """N queries answered in ONE Spark job.
 
     The reference is a resident process whose per-query floor is a network
     round-trip; local Spark pays a job-dispatch floor (~0.5 s on this VM)
@@ -510,10 +734,16 @@ def search_wand_batch(
     one scatter serves many queries).
 
     Same semantics as ``search_wand`` per query: AND of slots, OR-groups
-    slot-max, ``-neg`` terms, merge-on-read tombstones.  Queries whose
-    mandatory slot has no indexed member simply yield no rows.  Phrases /
-    lang-boost / prune-stats are per-query concerns — route those through
-    ``search_wand``.  Output: (query, doc_id, score), top-k per query.
+    slot-max, ``-neg`` terms, quoted phrases (bigram-index kernel slots +
+    in-kernel positional verify), merge-on-read tombstones, and a batch-
+    wide ``lang_boost`` (factor >= 1 rides the kernel's boost tid).
+    Queries whose mandatory slot has no indexed member simply yield no
+    rows.  States the kernel can't serve — more tombstones than fit in
+    qmeta, lang_boost < 1, phrases without a bigram index — DEGRADE to a
+    per-query exhaustive union instead of raising (r3 verdict #3: the
+    resident-server analog must not throw on states the single-query path
+    handles).  Output: (query, doc_id, score[, enrich cols]), top-k per
+    query.
     """
     from pyspark.sql import Window
 
@@ -526,24 +756,31 @@ def search_wand_batch(
     if not plans:
         raise ValueError("empty query batch")
     for p in plans:
-        if any(m.phrase for g in p.groups for m in g.members):
-            raise ValueError(
-                "phrase queries are per-query plans; use search_wand"
-            )
         if not p.groups:
             raise ValueError("query has no positive terms")
 
+    has_phrase = any(
+        len(m.phrase) > 1 for p in plans for g in p.groups for m in g.members
+    )
+    dead = deleted_doc_ids(spark, index)
+    if (
+        len(dead) > MAX_DEAD_INLINE
+        or (lang_boost is not None and float(lang_boost[1]) < 1.0)
+        or (has_phrase and not index.features().get("bigrams", False))
+    ):
+        # graceful degradation: correctness over the one-job plan shape
+        return _batch_exhaustive_fallback(
+            spark, index, plans, qlabels, k, enrich, lang_boost
+        )
+
     all_terms = sorted(
-        {m.text for p in plans for g in p.groups for m in g.members}
+        {t for p in plans for t in _positive_terms(p)}
         | {t.text for p in plans for t in p.negatives}
     )
+    boost_term = f"lang:{lang_boost[0].lower()}" if lang_boost else None
+    if boost_term:
+        all_terms = sorted(set(all_terms) | {boost_term})
     n_docs, avgdl, stats = _stats_cached(spark, index, all_terms)
-    dead = deleted_doc_ids(spark, index)
-    if len(dead) > MAX_DEAD_INLINE:
-        raise ValueError(
-            f"{len(dead)} tombstones exceed MAX_DEAD_INLINE; compact the "
-            "index before batch querying (or use search_wand's fallback)"
-        )
 
     qmetas: list[dict | None] = []
     for p in plans:
@@ -551,29 +788,37 @@ def search_wand_batch(
         if built is None:
             qmetas.append(None)
             continue
-        slots, rarest = built
-        qmetas.append(
-            {
-                "slots": slots,
-                "rarest_slot": rarest,
-                "avgdl": avgdl,
-                "neg_ids": [stats[t.text][0] for t in p.negatives if t.text in stats],
-                "dead": dead,
-            }
-        )
+        slots, rarest, chains = built
+        qm = {
+            "slots": slots,
+            "rarest_slot": rarest,
+            "avgdl": avgdl,
+            "neg_ids": [stats[t.text][0] for t in p.negatives if t.text in stats],
+            "dead": dead,
+            "phrases": chains,
+        }
+        if boost_term is not None and boost_term in stats:
+            qm["boost_tid"] = stats[boost_term][0]
+            qm["boost_factor"] = float(lang_boost[1])
+        qmetas.append(qm)
 
+    pair_ids = sorted(
+        {t for qm in qmetas if qm for c in qm["phrases"] for t in c}
+    )
     want_ids = sorted(
         {t for qm in qmetas if qm for s in qm["slots"] for t in s}
         | {t for qm in qmetas if qm for t in qm["neg_ids"]}
+        | ({stats[boost_term][0]} if boost_term and boost_term in stats else set())
     )
     if not want_ids:
-        out = spark.createDataFrame([], "query string, doc_id long, score double")
-        return out
-    blocks = (
-        index.postings.read(spark)
-        .filter(F.col("term_id").isin(want_ids))
-        .drop("positions_enc")
-    )
+        # schema must match the non-empty path's (r3 advice): enriched
+        # callers get the full enriched column set even when no query
+        # term is in the dictionary
+        schema = "query string, doc_id long, score double"
+        if enrich:
+            schema += ", repo string, path string, lang string"
+        return spark.createDataFrame([], schema)
+    blocks = _scan_blocks(spark, index, want_ids, pair_ids)
 
     def kernel(tbl: pa.Table) -> pa.Table:
         outs = []
@@ -627,6 +872,38 @@ def search_wand_batch(
         .select("query", "doc_id", "score", "repo", "path", "lang")
         .orderBy("query", F.desc("score"), F.asc("doc_id"))
     )
+
+
+def _batch_exhaustive_fallback(
+    spark: SparkSession,
+    index: Index,
+    plans: list,
+    qlabels: list[str],
+    k: int,
+    enrich: bool,
+    lang_boost: tuple[str, float] | None,
+) -> DataFrame:
+    """Degraded batch mode: union of per-query exhaustive plans.  Used
+    when the kernel can't serve the batch (huge tombstone sets ride the
+    exhaustive plan's distributed anti-join; lang_boost < 1 applies after
+    scoring; phrases without pair termlists need the positional scan).
+    Costs one job per query instead of one total — correct under any
+    state, the way search_wand degrades (R3's compaction is the real
+    fix)."""
+    from ..plans.exec import search as _exhaustive_search
+
+    out = None
+    for label, p in zip(qlabels, plans):
+        r = _exhaustive_search(
+            spark, index, p, k=k, enrich=enrich, lang_boost=lang_boost
+        ).withColumn("query", F.lit(label))
+        cols = ["query", "doc_id", "score"] + (
+            ["repo", "path", "lang"] if enrich else []
+        )
+        r = r.select(*cols)
+        out = r if out is None else out.unionByName(r)
+    order = ["query", F.desc("score"), F.asc("doc_id")]
+    return out.orderBy(*order)
 
 
 def _empty_result(spark: SparkSession, enrich: bool, with_prune_stats: bool) -> DataFrame:

@@ -30,6 +30,11 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 
+# (applicationId, table dir, snapshot version) -> analyzed DataFrame.
+# Dead-session and stale-version entries are evicted inside read().
+_READ_CACHE: dict = {}
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -154,10 +159,39 @@ class SnapshotTable:
         return Snapshot(d["version"], d["segments"], d["operation"], d.get("meta", {}))
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
+        """DataFrame over the snapshot's live segments.
+
+        The returned (unresolved-plan) DataFrame is memoized per
+        (application, table, snapshot version): re-analyzing
+        ``spark.read.parquet(paths...)`` re-lists segment directories and
+        re-reads footers — a driver-side job (~0.3-0.5 s on this VM) that
+        every warm query was paying per table touch.  Snapshot versions
+        are immutable, so reuse is always sound; stale versions for the
+        same table are evicted on advance (the Msg5 'termlist reader
+        keeps its file handles open' analog)."""
         snap = self.latest() if version is None else self.at(version)
         if snap is None or not snap.segments:
             return None
-        return spark.read.parquet(*snap.segments)
+        # the snapshot FILE's inode+mtime joins the key: an index root
+        # deleted and rebuilt in place restarts version numbering, and a
+        # bare (dir, version) key would alias the old build's DataFrame
+        try:
+            stv = os.stat(os.path.join(self.snap_dir, f"v{snap.version}.json"))
+            ident = (stv.st_ino, stv.st_mtime_ns)
+        except OSError:
+            ident = ()
+        key = (spark.sparkContext.applicationId, self.dir, snap.version, ident)
+        df = _READ_CACHE.get(key)
+        if df is None:
+            for stale in [
+                k
+                for k in _READ_CACHE
+                if k[:2] == key[:2] or k[0] != key[0]
+            ]:
+                del _READ_CACHE[stale]
+            df = spark.read.parquet(*snap.segments)
+            _READ_CACHE[key] = df
+        return df
 
     def history(self) -> list[int]:
         out = []

@@ -114,11 +114,23 @@ def test_batch_enrich(spark, wand_index):
     assert {r["query"] for r in rows} == {"def", "binarysearchtree"}
 
 
-def test_batch_rejects_phrases(spark, wand_index):
+def test_batch_phrase_fallback_on_bigramless(spark, wand_index):
+    """wand_index has no pair termlists, so a batch containing a phrase
+    DEGRADES to the per-query exhaustive union (r4: no more raise) —
+    results must equal individual search() calls."""
     from open_source_search_engine_spark.operators.topk import search_wand_batch
 
-    with pytest.raises(ValueError, match="phrase"):
-        search_wand_batch(spark, wand_index, ['"def return"', "def"], k=5)
+    batch_qs = ['"def return"', "def"]
+    got = {}
+    rows = search_wand_batch(spark, wand_index, batch_qs, k=5).collect()
+    for r in rows:
+        got.setdefault(r["query"], []).append((r["doc_id"], round(r["score"], 9)))
+    for q in batch_qs:
+        want = [
+            (r["doc_id"], round(r["score"], 9))
+            for r in search(spark, wand_index, q, k=5, enrich=False).collect()
+        ]
+        assert sorted(got.get(q, []), key=lambda x: (-x[1], x[0])) == want, q
 
 
 def _mk_block(term_id, salt, n_salts, bid, doc_ids, tfs, doclens):

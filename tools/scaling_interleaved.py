@@ -86,7 +86,9 @@ def main() -> None:
             r["trial"] = t
             runs.append(r)
             print(json.dumps(r), flush=True)
-    lo, hi = LEVELS
+    # first/last, not 2-tuple unpack: a 3-level sweep via SCALING_LEVELS
+    # must not crash at summary time after all trials have run
+    lo, hi = LEVELS[0], LEVELS[-1]
     out = {"n_docs": N_DOCS, "levels": list(LEVELS), "runs": runs}
     for cores in LEVELS:
         tps = [r["docs_per_sec"] for r in runs if r["cores"] == cores]
