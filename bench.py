@@ -157,6 +157,40 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
         bt.append(time.time() - t0)
     batch_secs = statistics.median(bt)
 
+    # phrase through the WAND kernel (r4: pair-termlist slots +
+    # in-kernel positional verify — no fallback to the general plan)
+    for q in phrase_queries:
+        search_wand(spark, idx, q, k=10).collect()
+    lat_pk: list[float] = []
+    for _ in range(3):
+        for q in phrase_queries:
+            t0 = time.time()
+            search_wand(spark, idx, q, k=10).collect()
+            lat_pk.append((time.time() - t0) * 1000)
+
+    # post-compaction path (r4: compaction preserves the doc-shard
+    # scatter — the kernel must still fan out, and latency must not
+    # regress vs the fresh multi-segment index)
+    from open_source_search_engine_spark.operators.merge import (
+        compact_postings,
+        delete_docs,
+    )
+
+    victims = [r["doc_id"] for r in idx.docstats.read(spark).limit(20).collect()]
+    delete_docs(spark, idx, victims)
+    t0 = time.time()
+    compact_postings(spark, idx)
+    compact_secs = time.time() - t0
+    compact_shards = idx.postings.read(spark).select("shard").distinct().count()
+    for q in queries:
+        search_wand(spark, idx, q, k=10).collect()
+    lat_comp: list[float] = []
+    for _ in range(3):
+        for q in queries:
+            t0 = time.time()
+            search_wand(spark, idx, q, k=10).collect()
+            lat_comp.append((time.time() - t0) * 1000)
+
     # serp result cache (Msg17 analog): repeated-query latency
     for q in queries:
         search_wand(spark, idx, q, k=10, use_cache=True).collect()
@@ -175,6 +209,10 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
         "query_p50_ms": round(statistics.median(both), 1),
         "query_p95_ms": round(both[int(len(both) * 0.95) - 1], 1),
         "wand_p50_ms": round(statistics.median(lat["wand"]), 1),
+        "phrase_kernel_p50_ms": round(statistics.median(lat_pk), 1),
+        "compact_secs": round(compact_secs, 2),
+        "compacted_shards": int(compact_shards),
+        "compacted_wand_p50_ms": round(statistics.median(lat_comp), 1),
         "batch32_secs": round(batch_secs, 3),
         "batch_amortized_ms": round(batch_secs / len(batch_qs) * 1000, 1),
         "exhaustive_p50_ms": round(statistics.median(lat["exhaustive"]), 1),
@@ -224,6 +262,10 @@ def main():
         "batch_amortized_ms": build["batch_amortized_ms"],
         "exhaustive_p50_ms": build["exhaustive_p50_ms"],
         "phrase_p50_ms": build["phrase_p50_ms"],
+        "phrase_kernel_p50_ms": build["phrase_kernel_p50_ms"],
+        "compact_secs": build["compact_secs"],
+        "compacted_shards": build["compacted_shards"],
+        "compacted_wand_p50_ms": build["compacted_wand_p50_ms"],
         "cached_p50_ms": build["cached_p50_ms"],
         "cores": cores,
     }

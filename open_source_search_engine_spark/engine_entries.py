@@ -181,7 +181,14 @@ def engine_index_compacted(spark: SparkSession, sf_dir: str) -> Index:
     base = engine_index(spark, key)
     root = base.root + "_compact"
     meta_p = os.path.join(root, "_compact_meta.json")
-    fp = {"base": base.root, "deleted": TOMBSTONED_DOC_IDS, "op": "compact"}
+    # "v" busts caches produced by the pre-r4 compaction (which collapsed
+    # the index to one WAND shard; r4 preserves doc-shard parallelism)
+    fp = {
+        "base": base.root,
+        "deleted": TOMBSTONED_DOC_IDS,
+        "op": "compact",
+        "v": "r4-sharded",
+    }
     ok = False
     if os.path.exists(meta_p):
         try:
@@ -325,10 +332,16 @@ def q_engine_bm25_exhaustive(spark, sf_dir):
 
 
 def q_engine_phrase(spark, sf_dir):
-    """J4 through stored positions: quoted-phrase adjacency from the
-    per-doc delta+varint position streams."""
+    """J4 through stored positions — since r4 via the WAND KERNEL path
+    (search_wand): the bigram pair termlist joins the intersect loop as a
+    zero-weight candidate-source slot and adjacency is verified in-kernel
+    from the per-doc delta+varint position streams.  The general plan's
+    phrase path stays certified by the pytest parity matrix
+    (test_phrase_bigram.py) and the golden set."""
+    from .operators.topk import search_wand
+
     idx = engine_index(spark, sf_dir)
-    res = search(spark, idx, '"fast table"', k=10_000, enrich=False)
+    res = search_wand(spark, idx, '"fast table"', k=10_000, enrich=False)
     return res.select("doc_id").orderBy("doc_id")
 
 

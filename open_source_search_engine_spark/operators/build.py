@@ -141,7 +141,11 @@ def docmeta_cached(spark: SparkSession, index: Index) -> DataFrame:
     e.g. multi-level benchmarks) would raise "stopped SparkContext"."""
     snap = index.docstats.latest()
     app = spark.sparkContext.applicationId
-    key = (f"{app}|{index.root}", snap.version if snap else -1)
+    # snapshot-file identity joins the key (r4): an index root deleted and
+    # rebuilt in place restarts version numbering, and a bare version key
+    # would alias the old build's cached projection
+    ident = index.docstats.snapshot_ident(snap.version) if snap else ()
+    key = (f"{app}|{index.root}", snap.version if snap else -1, ident)
     df = _DOCMETA_CACHE.get(key)
     if df is None:
         # evict: dead-session entries (other app ids) + this root's stale

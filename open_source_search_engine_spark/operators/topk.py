@@ -421,7 +421,9 @@ def _docmeta_rows(
     """{doc_id: (repo, path, lang)} for the given ids; misses are fetched
     in ONE pushed-filter scan of the cached docmeta projection."""
     snap = index.docstats.latest()
-    key = (index.root, snap.version if snap else -1)
+    # snapshot-file identity guards against in-place rebuilds
+    ident = index.docstats.snapshot_ident(snap.version) if snap else ()
+    key = (index.root, snap.version if snap else -1, ident)
     cache = _DOCMETA_ROW_CACHE.get(key)
     if cache is None:
         for stale in [k for k in _DOCMETA_ROW_CACHE if k[0] == index.root]:
@@ -642,7 +644,15 @@ def search_wand(
     schema = "doc_id long, score double, repo string, path string, lang string"
     if with_prune_stats:
         schema += ", blocks_scored int, blocks_skipped int, other_blocks_decoded int"
-    return spark.createDataFrame(out_rows, schema)
+    import pandas as pd
+
+    cols = ["doc_id", "score", "repo", "path", "lang"] + stat_cols
+    # pandas input -> LocalTableScan: collecting the returned frame is
+    # job-FREE (python-row input would build an ExistingRDD plan whose
+    # collect dispatches one more Spark job)
+    return spark.createDataFrame(
+        pd.DataFrame(out_rows, columns=cols), schema
+    )
 
 
 def _phrase_terms(m) -> tuple[list[str], list[str]]:

@@ -407,6 +407,8 @@ def cached_result(
 ) -> DataFrame:
     """Return a DataFrame for (tag, extra), serving repeated queries from
     the collected-row cache (the reference's serp cache, Msg17)."""
+    import pandas as pd
+
     key = _result_cache_key(index, tag, extra)
     hit = _RESULT_CACHE.get(key)
     if hit is None:
@@ -416,7 +418,10 @@ def cached_result(
             _RESULT_CACHE.pop(next(iter(_RESULT_CACHE)))
         hit = _RESULT_CACHE[key] = (df.collect(), df.schema)
     rows, schema = hit
-    return spark.createDataFrame(rows, schema)
+    # pandas input -> LocalTableScan: a cache hit's collect is job-free
+    # (python-row input builds an ExistingRDD plan costing one dispatch)
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=schema.names)
+    return spark.createDataFrame(pdf, schema)
 
 
 def _py_idf(df_: int, n_docs: float) -> float:

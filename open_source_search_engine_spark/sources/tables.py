@@ -124,6 +124,18 @@ class SnapshotTable:
         return snap
 
     # -- read side ----------------------------------------------------------
+    def snapshot_ident(self, version: int) -> tuple:
+        """Filesystem identity (inode, mtime_ns) of a snapshot's version
+        file.  Caches keyed by (table, version) alone would alias across
+        an index root deleted and rebuilt in place (version numbering
+        restarts at 0); joining this identity to the key makes that
+        impossible."""
+        try:
+            st = os.stat(os.path.join(self.snap_dir, f"v{version}.json"))
+            return (st.st_ino, st.st_mtime_ns)
+        except OSError:
+            return ()
+
     def latest(self) -> Snapshot | None:
         snap = self._latest_raw()
         if snap is None:
@@ -172,15 +184,12 @@ class SnapshotTable:
         snap = self.latest() if version is None else self.at(version)
         if snap is None or not snap.segments:
             return None
-        # the snapshot FILE's inode+mtime joins the key: an index root
-        # deleted and rebuilt in place restarts version numbering, and a
-        # bare (dir, version) key would alias the old build's DataFrame
-        try:
-            stv = os.stat(os.path.join(self.snap_dir, f"v{snap.version}.json"))
-            ident = (stv.st_ino, stv.st_mtime_ns)
-        except OSError:
-            ident = ()
-        key = (spark.sparkContext.applicationId, self.dir, snap.version, ident)
+        key = (
+            spark.sparkContext.applicationId,
+            self.dir,
+            snap.version,
+            self.snapshot_ident(snap.version),
+        )
         df = _READ_CACHE.get(key)
         if df is None:
             for stale in [

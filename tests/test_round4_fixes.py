@@ -123,6 +123,22 @@ def test_compaction_salts_are_shard_local(spark, sharded_index):
     assert bad == 0
 
 
+def test_warm_enriched_query_job_budget(spark, sharded_index):
+    """r4 hot-path work (PLANS.md §10): with snapshot-memoized reads and
+    the driver-side docmeta LRU, a WARM enriched WAND query must not
+    spawn more than 2 Spark jobs (the kernel+merge action, plus at most
+    one AQE final-stage job) — no re-listing job, no broadcast-exchange
+    job, no docmeta join scan."""
+    st = spark.sparkContext.statusTracker()
+    for _ in range(2):  # warm: caches, codegen, docmeta rows
+        search_wand(spark, sharded_index, "common alpha", k=5).collect()
+    before = set(st.getJobIdsForGroup(None))
+    rows = search_wand(spark, sharded_index, "common alpha", k=5).collect()
+    after = set(st.getJobIdsForGroup(None))
+    assert rows
+    assert len(after - before) <= 2, f"warm query ran {len(after - before)} jobs"
+
+
 def test_corpus_fingerprint_content_sensitive(tmp_path):
     """A fixture whose text changes but whose row count and doc_id sum are
     preserved must produce a different fingerprint (rebuild trigger)."""
