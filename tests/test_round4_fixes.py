@@ -139,6 +139,25 @@ def test_warm_enriched_query_job_budget(spark, sharded_index):
     assert len(after - before) <= 2, f"warm query ran {len(after - before)} jobs"
 
 
+def test_serp_cache_hit_is_job_free(spark, sharded_index):
+    """A serp-cache hit re-creates the result from pandas, which Catalyst
+    plans as LocalTableScan — collecting it must dispatch ZERO Spark jobs
+    (python-row input would build an ExistingRDD plan costing one job per
+    hit; this was the r3 'dispatch floor' on the cached path)."""
+    st = spark.sparkContext.statusTracker()
+    for _ in range(2):  # populate + settle
+        search_wand(
+            spark, sharded_index, "common alpha", k=5, use_cache=True
+        ).collect()
+    before = set(st.getJobIdsForGroup(None))
+    rows = search_wand(
+        spark, sharded_index, "common alpha", k=5, use_cache=True
+    ).collect()
+    after = set(st.getJobIdsForGroup(None))
+    assert rows
+    assert len(after - before) == 0, f"cache hit ran {len(after - before)} jobs"
+
+
 def test_corpus_fingerprint_content_sensitive(tmp_path):
     """A fixture whose text changes but whose row count and doc_id sum are
     preserved must produce a different fingerprint (rebuild trigger)."""
