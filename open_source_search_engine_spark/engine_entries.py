@@ -275,6 +275,52 @@ def engine_index_incremental(spark: SparkSession, sf_dir: str) -> Index:
     return idx
 
 
+def engine_index_minor_merged(spark: SparkSession, sf_dir: str) -> Index:
+    """The incremental (2-delta) index after a TIERED minor merge
+    (compact_deltas keep_largest=0): both delta segments rewritten into
+    one sorted shard-pure segment, stats and tombstones untouched —
+    query results must equal the unmerged index's (same oracle as
+    engine_incremental)."""
+    key = os.path.abspath(sf_dir)
+    hit = _CACHE.get((key, "minor"))
+    if hit is not None:
+        return hit
+    base = engine_index_incremental(spark, key)
+    root = base.root + "_minor"
+    meta_p = os.path.join(root, "_minor_meta.json")
+    fp = {"base": base.root, "op": "minor", "v": "r4"}
+    ok = False
+    if os.path.exists(meta_p):
+        try:
+            with open(meta_p) as f:
+                ok = json.load(f) == fp
+        except Exception:
+            ok = False
+    if not ok:
+        from .operators.merge import compact_deltas
+
+        shutil.rmtree(root, ignore_errors=True)
+        shutil.copytree(base.root, root)
+        os.remove(os.path.join(root, "_corpus_meta.json"))
+        idx = Index(root)
+        n = compact_deltas(spark, idx, keep_largest=0, salt_target=50, block_size=64)
+        assert n >= 2, f"expected >=2 segments merged, got {n}"
+        with open(meta_p, "w") as f:
+            json.dump(fp, f)
+    idx = Index(root)
+    _CACHE[(key, "minor")] = idx
+    return idx
+
+
+def q_engine_minor_merge(spark, sf_dir):
+    """R3 tiered mode under the oracle: the RdbBase subset-merge —
+    delta segments merged WITHOUT annihilation or stats rebuild; the
+    oracle (identical to engine_incremental's) certifies the merge is a
+    pure physical rewrite."""
+    idx = engine_index_minor_merged(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "spark join", k=20, enrich=False), 10)
+
+
 def _round_topk(results: DataFrame, k: int) -> DataFrame:
     """Re-rank by ROUNDED score (ties by doc_id) to mirror the oracle's
     ``ORDER BY round(s,4) DESC, doc_id LIMIT k`` selection exactly."""
@@ -758,6 +804,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_lang_boost": q_engine_lang_boost,
         "engine_proximity": q_engine_proximity,
         "engine_sortby": q_engine_sortby,
+        "engine_minor_merge": q_engine_minor_merge,
         # spell / termstats / tf / collstats / gigabits now run
         # index-backed under their original entry names (entry_queries)
         "engine_gigabits": q_engine_gigabits,
@@ -790,6 +837,8 @@ def engine_registry() -> tuple[dict, dict]:
             ["table"], exclude_from_corpus=TOMBSTONED_DOC_IDS
         ),
         "engine_incremental": _bm25_engine_oracle(["spark", "join"]),
+        # minor merge is a pure physical rewrite: same oracle as above
+        "engine_minor_merge": _bm25_engine_oracle(["spark", "join"]),
         "engine_total_hits": SQL_ENGINE_TOTAL_HITS,
         "engine_facets": SQL_ENGINE_FACETS,
         "engine_gigabits": SQL_ENGINE_GIGABITS,

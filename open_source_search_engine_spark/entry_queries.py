@@ -1497,6 +1497,10 @@ _TAIL = [
     "except_op",
     # LSH ANN: same full-probe==exact oracle as in-window ann_ivf
     "ann_lsh",
+    # R3 tiered mode (r4): delta segments merged without annihilation —
+    # oracle identical to in-window engine_incremental; certified every
+    # CI run by tests/test_registry_tail_oracles.py
+    "engine_minor_merge",
 ]
 
 

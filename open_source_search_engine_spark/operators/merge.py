@@ -157,6 +157,87 @@ def decode_to_postings(blocks: DataFrame, with_positions: bool = True) -> DataFr
     return blocks.select(*cols).mapInArrow(decode, schema)
 
 
+def compact_deltas(
+    spark: SparkSession,
+    idx: Index,
+    keep_largest: int = 2,
+    salt_target: int = 50_000,
+    block_size: int = 4096,
+    run_id: str = "minor",
+) -> int:
+    """Tiered (minor) merge — the RdbBase 'merge a SUBSET of files'
+    mode: rewrite all but the ``keep_largest`` biggest postings segments
+    into ONE sorted, shard-pure segment.  Cost is O(merged deltas), not
+    O(index) — the steady-state maintenance op for an index taking
+    continuous small adds, with ``compact_postings`` as the major
+    compaction that also annihilates tombstones.
+
+    Semantics: pure merge.  Tombstones are NOT consumed (they stay in
+    the deletes table and both query paths keep honoring them);
+    docstats / termstats / collstats are untouched (no postings are
+    added or dropped, so df/cf/N/avgdl are unchanged by construction).
+    The merged segment takes FRESH shard ids (max existing + 1 ...)
+    disjoint from every kept segment's, preserving the per-(shard,term)
+    salt-modulus invariant the WAND probe routing relies on; docs from
+    different add-batches never collide because each batch owns its
+    doc_ids.
+
+    Returns the number of segments merged (0 = no-op).
+    """
+    import os
+
+    from pyspark import StorageLevel
+
+    snap = idx.postings.latest()
+    if snap is None or len(snap.segments) <= keep_largest + 1:
+        return 0
+
+    def seg_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    by_size = sorted(snap.segments, key=seg_bytes, reverse=True)
+    merge_these = by_size[keep_largest:]
+    blocks_df = spark.read.parquet(*merge_these)
+    max_shard = (
+        spark.read.parquet(*snap.segments)
+        .agg(F.max("shard").alias("m"))
+        .collect()[0]["m"]
+    )
+    n_sub = max(int(blocks_df.select("shard").distinct().count()), 1)
+    posts = decode_to_postings(blocks_df).withColumn(
+        "shard",
+        (F.lit(int(max_shard) + 1) + F.pmod(F.col("doc_id"), F.lit(n_sub))).cast(
+            "int"
+        ),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    merged = encode_blocks(
+        posts, salt_target=salt_target, block_size=block_size, sharded=True
+    )
+    merged_sorted = merged.repartitionByRange("term_id").sortWithinPartitions(
+        "term_id", "salt", "block_id"
+    )
+    seg = idx.postings.write_segment(merged_sorted, label="minor")
+    posts.unpersist()
+    idx.postings.commit(
+        add=[seg],
+        remove=list(merge_these),
+        operation="minor-merge",
+        meta={
+            "run_id": run_id,
+            "merged_segments": len(merge_these),
+            "max_shard": int(max_shard) + n_sub,
+        },
+    )
+    return len(merge_these)
+
+
 def compact_postings(
     spark: SparkSession,
     idx: Index,
@@ -222,6 +303,11 @@ def compact_postings(
             "run_id": run_id,
             "tombstones_dropped": int(len(dead)),
             "n_shards": int(n_shards),
+            # a later add_documents allocates shard ids ABOVE this: the
+            # compacted segment occupies 0..n_shards-1, and a colliding
+            # delta shard id would break the per-(shard,term) salt-modulus
+            # invariant the WAND probe routing relies on
+            "max_shard": int(n_shards) - 1,
         },
     )
     prev_tsp = idx.termstats_partial.latest()

@@ -115,6 +115,67 @@ def lsh_bucketed_topk(
     )
 
 
+def _cell_expr(cents: list) -> Column:
+    """Nearest-centroid cell id of column ``_v`` as a pure (codegen'd)
+    expression: lexicographic max of (similarity, -index) structs — ties
+    resolve to the SMALLEST centroid index (ORDER BY sim DESC, idx ASC),
+    the closed-form rule an external SQL oracle can replay."""
+    sims = [
+        F.struct(
+            cosine_col(
+                F.col("_v"), F.array(*[F.lit(float(x)) for x in c])
+            ).alias("s"),
+            F.lit(-i).alias("ni"),
+        )
+        for i, c in enumerate(cents)
+    ]
+    return -F.array_max(F.array(*sims))["ni"]
+
+
+def kmeans_centroids(
+    v: DataFrame, nlist: int, iters: int, id_col: str
+) -> list[list[float]]:
+    """Deterministic spherical k-means over ``v`` (columns: id_col, _v).
+
+    Init = the ``nlist`` smallest-id vectors (the previous seed-sample
+    rule, so iters=0 reproduces it exactly); each Lloyd round assigns
+    cells with the SAME codegen'd expression queries use, then reduces
+    per-(cell, dimension) sums in one shuffle — only ``nlist * dim``
+    aggregate rows ever reach the driver, so a round costs one job
+    regardless of corpus size.  Means are L2-normalized (spherical:
+    cosine argmax == dot argmax against unit centroids); an emptied cell
+    keeps its previous centroid.  No RNG anywhere — same input, same
+    centroids (the driver-oracle determinism requirement)."""
+    rows = v.orderBy(F.col(id_col)).limit(nlist).collect()
+    cents = [list(map(float, r["_v"])) for r in rows]
+    if not cents:
+        return cents
+    for _ in range(max(0, iters)):
+        assigned = v.withColumn("_cell", _cell_expr(cents))
+        agg = (
+            assigned.select("_cell", F.posexplode("_v").alias("_i", "_x"))
+            .groupBy("_cell", "_i")
+            .agg(F.sum("_x").alias("_s"), F.count("*").alias("_n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in agg:
+            by_cell.setdefault(int(r["_cell"]), {})[int(r["_i"])] = (
+                float(r["_s"]) / float(r["_n"])
+            )
+        new_cents = []
+        for i, old in enumerate(cents):
+            mean = by_cell.get(i)
+            if not mean:
+                new_cents.append(old)  # emptied cell keeps its centroid
+                continue
+            vec = np.array([mean[j] for j in range(len(old))])
+            n = float(np.linalg.norm(vec))
+            new_cents.append((vec / n).tolist() if n > 0 else old)
+        cents = new_cents
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     query_vec: list[float],
@@ -123,6 +184,7 @@ def ivf_topk(
     k: int = 10,
     nlist: int = 16,
     nprobe: int = 2,
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: vectors are partitioned into ``nlist``
     Voronoi cells around coarse centroids; the query scores exactly only
@@ -130,34 +192,26 @@ def ivf_topk(
     nlist`` probes every cell == exact brute force (the same oracle trick
     as ``lsh_bucketed_topk``'s full probe).
 
-    Centroids are a deterministic seed sample (the ``nlist`` smallest
-    ids) rather than k-means: centroid quality moves recall at a given
-    nprobe, never correctness, and a closed-form rule lets an external
-    SQL oracle replay the cell assignment.  At 100 TB ``_cell`` is a
-    partition column — probing prunes whole files/row-groups at the
-    parquet scan, so query cost tracks nprobe/nlist of the corpus rather
-    than the corpus; the nlist-literal assignment expression stays
-    codegen'd and the centroid set rides the closure like the query
-    vector itself (no shuffle anywhere on the query path)."""
+    ``kmeans_iters=0`` (default): centroids are the deterministic seed
+    sample (``nlist`` smallest ids) — replayable in closed form by a SQL
+    oracle.  ``kmeans_iters>0`` runs that many deterministic spherical
+    Lloyd rounds (``kmeans_centroids``): better-placed centroids raise
+    recall at a given nprobe; correctness is centroid-independent (full
+    probe is exact either way).  At 100 TB ``_cell`` is a partition
+    column written at ingest with the SAME assignment expression —
+    probing prunes whole files/row-groups at the parquet scan, so query
+    cost tracks nprobe/nlist of the corpus rather than the corpus; the
+    nlist-literal assignment expression stays codegen'd and the centroid
+    set rides the closure like the query vector itself (no shuffle
+    anywhere on the query path)."""
     v = vectors.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
     )
-    # nlist rows to the driver — same footprint class as query_vec itself
-    cents = v.orderBy(F.col(id_col)).limit(nlist).collect()
+    # nlist * dim floats to the driver — same footprint class as query_vec
+    cents = kmeans_centroids(v, nlist, kmeans_iters, id_col)
     if not cents:  # empty input: no cells to probe, exact scan is free
         return brute_force_topk(vectors, query_vec, id_col, vec_col, k)
-    sims = [
-        F.struct(
-            cosine_col(
-                F.col("_v"), F.array(*[F.lit(float(x)) for x in r["_v"]])
-            ).alias("s"),
-            F.lit(-i).alias("ni"),
-        )
-        for i, r in enumerate(cents)
-    ]
-    # nearest centroid = lexicographic max of (similarity, -index): ties
-    # resolve to the SMALLEST centroid index (ORDER BY sim DESC, idx ASC)
-    assigned = v.withColumn("_cell", -F.array_max(F.array(*sims))["ni"])
+    assigned = v.withColumn("_cell", _cell_expr(cents))
     qv = np.asarray(query_vec, dtype=np.float64)
 
     def _cos(c) -> float:
@@ -165,9 +219,7 @@ def ivf_topk(
         d = float(np.linalg.norm(c) * np.linalg.norm(qv))
         return float(c @ qv) / d if d else 0.0
 
-    order = sorted(
-        range(len(cents)), key=lambda i: (-_cos(cents[i]["_v"]), i)
-    )
+    order = sorted(range(len(cents)), key=lambda i: (-_cos(cents[i]), i))
     probes = order[: max(1, min(nprobe, len(cents)))]
     return brute_force_topk(
         assigned.filter(F.col("_cell").isin(probes)), query_vec, id_col, "_v", k

@@ -44,10 +44,28 @@ from ..functions.tokenize import tokenize_to_postings
 
 
 def _next_shard_id(idx: Index) -> int:
+    """Smallest shard id guaranteed above every id any live OR historical
+    segment ever used.  Derived from the whole commit history (driver-side
+    JSON walk, no Spark job): build commits carry (shard, n_shards),
+    delta/minor/compact commits carry max_shard.  Scanning only the
+    LATEST commit's meta under-estimated whenever the newest commit was
+    e.g. an orphan-cleanup — and a reused shard id breaks the
+    per-(shard,term) salt-modulus invariant of WAND probe routing."""
     snap = idx.postings.latest()
     if snap is None:
         return 0
-    return int(snap.meta.get("max_shard", len(snap.segments))) + 1
+    best = len(snap.segments)  # conservative floor
+    t = idx.postings
+    for v in t.history():
+        m = t.at(v).meta or {}
+        for cand in (
+            m.get("max_shard"),
+            m.get("shard"),
+            (m.get("n_shards") - 1) if isinstance(m.get("n_shards"), int) else None,
+        ):
+            if isinstance(cand, int) and cand > best:
+                best = cand
+    return best + 1
 
 
 def add_documents(

@@ -92,3 +92,61 @@ def test_cell_assignment_partitions_all_rows(spark, vecs):
     c0 = assigned.filter(F.col("vec_id") == 0).collect()[0]["_cell"]
     cd = assigned.filter(F.col("vec_id") == dup_id).collect()[0]["_cell"]
     assert c0 == cd == 0
+
+
+# ---- r4: deterministic spherical k-means centroids (kmeans_iters > 0) ----
+
+
+def test_kmeans_full_probe_still_exact(spark, vecs):
+    """Centroid quality moves recall, never correctness: full probe with
+    k-means centroids == brute force, same as the seed-sample mode."""
+    q = [1.0] * 8
+    exact = _ids(similarity.brute_force_topk(vecs, q, k=10))
+    got = _ids(
+        similarity.ivf_topk(vecs, q, k=10, nlist=8, nprobe=8, kmeans_iters=3)
+    )
+    assert got == exact
+
+
+def test_kmeans_is_deterministic(spark, vecs):
+    v = vecs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    a = similarity.kmeans_centroids(v, 8, 3, "vec_id")
+    b = similarity.kmeans_centroids(v, 8, 3, "vec_id")
+    assert a == b
+    assert len(a) == 8
+    for c in a:  # spherical: means are unit-normalized
+        assert abs(float(np.linalg.norm(np.array(c))) - 1.0) < 1e-9
+
+
+def test_kmeans_iters_zero_reproduces_seed_sample(spark, vecs):
+    v = vecs.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    seed = similarity.kmeans_centroids(v, 4, 0, "vec_id")
+    raw = [list(map(float, r["_v"])) for r in v.orderBy("vec_id").limit(4).collect()]
+    assert seed == raw
+
+
+def test_kmeans_improves_blob_recall_at_nprobe1(spark, vecs):
+    """The fixture is 3 tight blobs but the seed-sample centroids all
+    come from blob 0 (smallest ids) — with Lloyd rounds the centroids
+    spread to the blobs, so nprobe=1 recall for a query AT a non-seed
+    blob member must not regress and, on this data, must reach 1.0."""
+    q = [float(x) for x in vecs.filter(F.col("vec_id") == 90).collect()[0][1]]
+    exact = set(_ids(similarity.brute_force_topk(vecs, q, k=10)))
+
+    def recall(iters):
+        got = set(
+            _ids(
+                similarity.ivf_topk(
+                    vecs, q, k=10, nlist=3, nprobe=1, kmeans_iters=iters
+                )
+            )
+        )
+        return len(got & exact) / len(exact)
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 >= r0
+    assert r3 == 1.0
