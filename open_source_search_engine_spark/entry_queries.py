@@ -1090,6 +1090,57 @@ ORDER BY dist, cf DESC, term LIMIT 5
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Stateful-operator twin (r4): gap sessionization of the events
+    table — the BATCH semantics of streaming/stateful.sessionize_stream
+    (applyInPandasWithState), here as lag + running-sum windows so a SQL
+    oracle can replay it.  30-min gap; per-session bounds + aggregates."""
+    from .streaming.stateful import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_secs=1800)
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT event_id, user_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT event_id, user_id, ts, value,
+         CASE WHEN prev IS NULL
+                   OR (epoch_us(ts) - epoch_us(prev)) > 1800000000
+              THEN 1 ELSE 0 END AS newf
+  FROM o
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(newf) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+  FROM f
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(count(*) AS INT) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, seq
+ORDER BY user_id, session_start
+"""
+
+
 def q_bigrams(spark, sf_dir):
     """X3: adjacent-pair bigram counts (Phrases.cpp) — top 15."""
     docs = _t(spark, sf_dir, "documents")
@@ -1501,6 +1552,9 @@ _TAIL = [
     # oracle identical to in-window engine_incremental; certified every
     # CI run by tests/test_registry_tail_oracles.py
     "engine_minor_merge",
+    # stateful-operator twin (r4): batch semantics of the
+    # applyInPandasWithState streaming sessionizer, lag+running-sum oracle
+    "sessionize",
 ]
 
 
@@ -1546,6 +1600,7 @@ def build_registry() -> tuple[
         "serp_dedup": q_serp_dedup,
         "facet_ranges": q_facet_ranges,
         "spell_suggest": q_spell_suggest,
+        "sessionize": q_sessionize,
         "bigrams": q_bigrams,
         "rollup": q_rollup,
         "except_op": q_except,
@@ -1604,6 +1659,7 @@ def build_registry() -> tuple[
         "serp_dedup": SQL_SERP_DEDUP,
         "facet_ranges": SQL_FACET_RANGES,
         "spell_suggest": SQL_SPELL_SUGGEST,
+        "sessionize": SQL_SESSIONIZE,
         "bigrams": SQL_BIGRAMS,
         "rollup": SQL_ROLLUP,
         "except_op": SQL_EXCEPT,

@@ -77,6 +77,12 @@ def _norm_unit(unit: str) -> Term | None:
     if m and m.group(1).lower() in FIELD_PREFIXES:
         prefix = m.group(1).lower()
         rest = m.group(2).lower()
+        # reference query-surface aliases mapped to this corpus's indexed
+        # field terms: Gigablast's site: restricts by hostname (the repo
+        # plays that role here — F5 whitelist) and url: matches URL words
+        # (path: terms).  intitle: has no analog column and stays its own
+        # prefix (absent from the dictionary => correctly yields nothing).
+        prefix = {"site": "repo", "url": "path"}.get(prefix, prefix)
         # repo values keep their slash; others tokenize to the first token
         if prefix == "repo":
             return Term(f"repo:{rest}")

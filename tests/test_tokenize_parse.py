@@ -41,3 +41,16 @@ def test_parser_phrase():
     phrase_groups = [g for g in p.groups if g.members[0].phrase]
     assert len(phrase_groups) == 1
     assert phrase_groups[0].members[0].phrase == ("binary", "search")
+
+
+def test_field_alias_site_url_map_to_indexed_prefixes():
+    """Reference query-surface aliases (r4): ``site:`` restricts by host
+    — the repo plays that role here (F5) — and ``url:`` matches URL
+    words (path: terms).  ``intitle:`` stays its own (unindexed) prefix."""
+    from open_source_search_engine_spark.plans.query import parse_query
+
+    p = parse_query("def site:org1/proj2 url:Widget intitle:readme")
+    texts = [m.text for g in p.groups for m in g.members]
+    assert "repo:org1/proj2" in texts
+    assert "path:widget" in texts
+    assert "intitle:readme" in texts
