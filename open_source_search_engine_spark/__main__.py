@@ -57,6 +57,13 @@ def main(argv: list[str] | None = None) -> None:
 
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
+    c.add_argument(
+        "--minor",
+        action="store_true",
+        help="tiered subset merge of delta segments only (no tombstone "
+        "annihilation, stats untouched; keeps the K largest segments)",
+    )
+    c.add_argument("--keep-largest", type=int, default=2)
 
     g = sub.add_parser("synth", help="generate the synthetic corpus")
     g.add_argument("--out", required=True)
@@ -94,10 +101,16 @@ def main(argv: list[str] | None = None) -> None:
 
     if args.cmd == "compact":
         from .operators.build import Index
-        from .operators.merge import compact_postings
+        from .operators.merge import compact_deltas, compact_postings
 
-        compact_postings(spark, Index(args.index))
-        print(json.dumps({"compacted": args.index}))
+        if args.minor:
+            n = compact_deltas(
+                spark, Index(args.index), keep_largest=args.keep_largest
+            )
+            print(json.dumps({"minor_merged_segments": n, "index": args.index}))
+        else:
+            compact_postings(spark, Index(args.index))
+            print(json.dumps({"compacted": args.index}))
         return
 
     if args.cmd == "search":
