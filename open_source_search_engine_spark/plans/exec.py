@@ -289,13 +289,27 @@ def search(
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not enrich:
         return topk
-    docmeta = docmeta_cached(spark, index)
-    # broadcast the tiny top-k side (J5 Msg20 enrich)
-    return (
-        F.broadcast(topk)
-        .join(docmeta, "doc_id")
-        .select("doc_id", "score", "repo", "path", "lang")
-        .orderBy(F.desc("score"), F.asc("doc_id"))
+    # J5 enrich via the driver-side title-rec cache (same Msg20 shape as
+    # the WAND path): the k merged rows are already on the driver after
+    # the one aggregation action; probing the per-snapshot docmeta LRU
+    # costs zero Spark jobs warm, and the pandas-built local result plans
+    # as LocalTableScan (job-free collect).
+    import pandas as pd
+
+    from ..operators.topk import _docmeta_rows
+
+    rows = topk.collect()
+    meta = _docmeta_rows(spark, index, [r["doc_id"] for r in rows])
+    out_rows = [
+        (r["doc_id"], r["score"], *meta[r["doc_id"]])
+        for r in rows
+        if r["doc_id"] in meta  # inner-join semantics preserved
+    ]
+    return spark.createDataFrame(
+        pd.DataFrame(
+            out_rows, columns=["doc_id", "score", "repo", "path", "lang"]
+        ),
+        "doc_id long, score double, repo string, path string, lang string",
     )
 
 

@@ -140,6 +140,30 @@ def test_minor_merge_fresh_shard_ids(spark, delta_index):
     assert bad == 0
 
 
+def test_cli_minor_compact(spark, delta_index, tmp_path, monkeypatch):
+    """python -m ... compact --minor drives compact_deltas (S10 CLI
+    surface).  Reuses the session via getOrCreate."""
+    import json
+    import shutil
+
+    from open_source_search_engine_spark.__main__ import main
+
+    root = str(tmp_path / "climinor")
+    shutil.copytree(delta_index.root, root)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--cores", "4", "compact", "--index", root, "--minor",
+              "--keep-largest", "2"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["minor_merged_segments"] == 3
+    from open_source_search_engine_spark.operators.build import Index
+
+    assert Index(root).postings.latest().operation == "minor-merge"
+
+
 def test_minor_merge_noop_when_few_segments(spark, tmp_path):
     idx = build_index(
         spark,
