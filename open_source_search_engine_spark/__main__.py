@@ -65,6 +65,12 @@ def main(argv: list[str] | None = None) -> None:
     )
     c.add_argument("--keep-largest", type=int, default=2)
 
+    st = sub.add_parser(
+        "stats", help="index stats page (PageStats analog): segments, "
+        "postings shape, density, tombstones"
+    )
+    st.add_argument("--index", required=True)
+
     g = sub.add_parser("synth", help="generate the synthetic corpus")
     g.add_argument("--out", required=True)
     g.add_argument("--n", type=int, default=20_000)
@@ -97,6 +103,13 @@ def main(argv: list[str] | None = None) -> None:
         )
         secs = time.time() - t0
         print(json.dumps({"index": args.index, "build_secs": round(secs, 1)}))
+        return
+
+    if args.cmd == "stats":
+        from .operators.build import Index
+        from .operators.stats import describe_index
+
+        print(json.dumps(describe_index(spark, Index(args.index))))
         return
 
     if args.cmd == "compact":

@@ -50,3 +50,19 @@ def test_lineage_rows_per_shard(spark, micro_index):
     }
     assert all(r["transform"] == "build_shard" for r in rows)
     assert all(r["input_snapshot"].startswith("shard=") for r in rows)
+
+
+def test_describe_index(spark, micro_index):
+    """PageStats analog: the stats dict reflects the stored index's
+    actual shape, computed from block metadata only."""
+    from open_source_search_engine_spark.operators.stats import describe_index
+
+    d = describe_index(spark, micro_index)
+    assert d["tables"]["postings"]["segments"] >= 1
+    p = d["postings"]
+    assert p["n_shards"] == 1 and p["n_terms"] > 0 and p["blocks"] > 0
+    assert p["postings"] >= p["blocks"]
+    assert 0 < p["bytes_per_posting"] < 50
+    assert d["collstats"]["n_docs"] == 5
+    assert d["tombstones"] == 0
+    assert d["features"] == {"bigrams": False, "numeric_fields": []}
