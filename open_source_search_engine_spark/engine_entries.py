@@ -784,6 +784,150 @@ GROUP BY term ORDER BY cnt DESC, term LIMIT 20
 """
 
 
+MLT_DOC_ID = 7
+MLT_M_TERMS = 5
+
+
+def q_engine_mlt(spark, sf_dir):
+    """More-like-this (A7 gigabits scorer applied to ONE doc + U1
+    match-any retrieval): top-5 tf*idf terms of doc 7 against the STORED
+    termstats, run as a disjunctive-sum BM25 query through the exhaustive
+    plan's match_mode='any', source doc excluded.  The oracle replays
+    term selection AND retrieval from raw text."""
+    from .plans.mlt import more_like_this
+
+    idx = engine_index(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    res = more_like_this(
+        spark, idx, MLT_DOC_ID, k=20, m_terms=MLT_M_TERMS,
+        corpus=docs, enrich=False, code_aware=False,
+    )
+    return _round_topk(res, 10)
+
+
+SQL_ENGINE_MLT = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
+occ AS (SELECT doc_id, doclen, unnest(toks) AS term FROM dd),
+src_tf AS (
+  SELECT term, CAST(count(*) AS DOUBLE) AS tf FROM occ
+  WHERE doc_id = {MLT_DOC_ID} GROUP BY term
+),
+alldf AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM occ
+  WHERE term IN (SELECT term FROM src_tf) GROUP BY term
+),
+sel AS (
+  SELECT s.term
+  FROM src_tf s JOIN alldf USING (term) CROSS JOIN stats
+  ORDER BY s.tf * ln(1.0 + (stats.n - alldf.df + 0.5) / (alldf.df + 0.5))
+           DESC, s.term
+  LIMIT {MLT_M_TERMS}
+),
+tf AS (
+  SELECT doc_id, term, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ WHERE term IN (SELECT term FROM sel)
+  GROUP BY doc_id, term, doclen
+),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(s, 4) AS score
+FROM scored WHERE doc_id <> {MLT_DOC_ID}
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: WAND BM25 ranks for 'spark join' fused with
+    exact-cosine ranks for the vec_id=0 embedding via RRF (k_rrf=60,
+    50 candidates/side).  Embedding row ids ARE the corpus doc_ids, so
+    both sources rank the same entity space."""
+    from .plans.hybrid import hybrid_rrf
+
+    idx = engine_index(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return hybrid_rrf(
+        spark, idx, emb, "spark join", [float(x) for x in qv],
+        k=10, k_rrf=60, n_candidates=50,
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl FROM dd),
+occ AS (SELECT doc_id, doclen, unnest(toks) AS term FROM dd),
+tf AS (
+  SELECT doc_id, term, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ WHERE term IN ('spark', 'join')
+  GROUP BY doc_id, term, doclen
+),
+dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, count(*) AS nt,
+         sum( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
+  FROM tf JOIN dfx USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bmr AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS r
+  FROM scored WHERE nt = 2
+),
+bm AS (SELECT doc_id, r FROM bmr WHERE r <= 50),
+q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+cs AS (
+  SELECT vec_id AS doc_id,
+         round(
+           list_reduce(list_prepend(0.0,
+             list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)), qv)
+               .list_transform(p -> p[1] * p[2])), (a, x) -> a + x)
+           / (sqrt(list_reduce(list_prepend(0.0,
+                list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+                (a, x) -> a + x))
+              * sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(qv, x -> x * x)), (a, x) -> a + x))), 4) AS c
+  FROM embeddings CROSS JOIN q
+),
+annr AS (
+  SELECT doc_id, row_number() OVER (ORDER BY c DESC, doc_id) AS r FROM cs
+),
+ann AS (SELECT doc_id, r FROM annr WHERE r <= 50),
+fused AS (
+  SELECT coalesce(bm.doc_id, ann.doc_id) AS doc_id,
+         coalesce(bm.r, 0) AS bm25_rank,
+         coalesce(ann.r, 0) AS ann_rank
+  FROM bm FULL OUTER JOIN ann ON bm.doc_id = ann.doc_id
+)
+SELECT doc_id, bm25_rank, ann_rank,
+       round( (CASE WHEN bm25_rank > 0 THEN 1.0 / (60 + bm25_rank) ELSE 0.0 END)
+            + (CASE WHEN ann_rank > 0 THEN 1.0 / (60 + ann_rank) ELSE 0.0 END),
+            6) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 def engine_registry() -> tuple[dict, dict]:
     queries = {
         "engine_bm25_batch": q_engine_bm25_batch,
@@ -808,6 +952,8 @@ def engine_registry() -> tuple[dict, dict]:
         # spell / termstats / tf / collstats / gigabits now run
         # index-backed under their original entry names (entry_queries)
         "engine_gigabits": q_engine_gigabits,
+        "engine_mlt": q_engine_mlt,
+        "hybrid_rrf": q_hybrid_rrf,
     }
     batch_items = [
         ("spark", ["spark"], "and"),
@@ -847,5 +993,7 @@ def engine_registry() -> tuple[dict, dict]:
         ),
         "engine_proximity": SQL_ENGINE_PROXIMITY,
         "engine_sortby": SQL_ENGINE_SORTBY,
+        "engine_mlt": SQL_ENGINE_MLT,
+        "hybrid_rrf": SQL_HYBRID_RRF,
     }
     return queries, oracles

@@ -1511,7 +1511,15 @@ _WINDOW = [
     "quality_full",
     "langid",
     "fingerprint",
-    "ann_cosine",
+    # r4: more-like-this (A7 single-doc gigabits -> U1 match-any BM25)
+    # and hybrid BM25+cosine RRF fusion — the two new operators take the
+    # window seats of ann_cosine (its exact-cosine oracle is embedded
+    # verbatim inside hybrid_rrf's ann CTE, and ann_ivf's full-probe
+    # oracle is the identical SQL) and multimodal_meta (the weaker twin
+    # of in-window multimodal_features); both moved to the tail where
+    # test_registry_tail_oracles certifies them every CI run
+    "engine_mlt",
+    "hybrid_rrf",
     # IVF is the strictly newer ANN claim (r3); ann_lsh moved to the tail —
     # both share the identical full-probe==exact oracle (SQL_ANN_COSINE)
     "ann_ivf",
@@ -1519,12 +1527,17 @@ _WINDOW = [
     "embed_facets",
     "minhash_lsh",
     "simhash",
-    "multimodal_meta",
     "multimodal_features",
 ]
 
 _TAIL = [
     # analog twins / grouping-set demo, each certified by an in-window entry
+    # (ann_cosine / multimodal_meta moved here r4: ann_cosine's oracle is
+    # the embedded ann CTE of in-window hybrid_rrf + identical to
+    # in-window ann_ivf's; multimodal_meta is the weaker plumbing twin of
+    # in-window multimodal_features)
+    "ann_cosine",
+    "multimodal_meta",
     "engine_bm25_or",
     "sortby_field",
     "rollup",

@@ -590,7 +590,10 @@ def build_index(
             )
     else:
         idx.write_features(
-            bigrams=bigram_terms, numeric_fields=sorted(numeric_fields)
+            bigrams=bigram_terms,
+            numeric_fields=sorted(numeric_fields),
+            code_aware=code_aware,
+            n_shards=n_shards,
         )
 
     # a small source parquet may expose fewer splits than cores, capping

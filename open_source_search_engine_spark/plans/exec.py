@@ -56,8 +56,15 @@ def search(
     lang_boost: tuple[str, float] | None = None,
     proximity_bonus: float = 0.0,
     use_cache: bool = False,
+    match_mode: str = "all",
 ) -> DataFrame:
     """Top-k BM25 search against a built index.
+
+    ``match_mode``: 'all' (default) is the conjunctive AND of the
+    reference's default query mode; 'any' scores the disjunctive SUM over
+    whichever slots a doc matches (>= 1 required) — the match-any shape
+    more-like-this queries need (Gigablast only reaches it via explicit
+    boolean OR; here it is the same plan with the HAVING clause relaxed).
 
     ``synonyms``: True expands each positive term into its weighted
     OR-group from the default table (X5); pass a dict table to override.
@@ -81,10 +88,15 @@ def search(
         plan = expand_plan(plan, None if synonyms is True else synonyms)
     if not plan.groups:
         raise ValueError("query has no positive terms")
+    if match_mode not in ("all", "any"):
+        raise ValueError(f"match_mode must be 'all' or 'any', got {match_mode!r}")
+    if match_mode == "any" and proximity_bonus > 0:
+        raise ValueError("proximity_bonus requires match_mode='all' "
+                         "(minspan is defined over all slots present)")
     if use_cache:
         from .query import plan_key
 
-        extra = (plan_key(plan), k, enrich, lang_boost, proximity_bonus)
+        extra = (plan_key(plan), k, enrich, lang_boost, proximity_bonus, match_mode)
         return cached_result(
             spark,
             index,
@@ -93,6 +105,7 @@ def search(
             lambda: search(
                 spark, index, plan, k=k, enrich=enrich,
                 lang_boost=lang_boost, proximity_bonus=proximity_bonus,
+                match_mode=match_mode,
             ),
         )
 
@@ -146,7 +159,11 @@ def search(
     # For OR groups the group survives if at least one member is present.
     required_slots = sorted({r[1] for r in member_rows})
     live_slots = sorted({r[1] for r in present_members})
-    if len(live_slots) < len(required_slots):
+    if match_mode == "any":
+        # match-any: only an entirely-absent vocabulary empties the result
+        if not live_slots:
+            return _empty_result(spark, enrich)
+    elif len(live_slots) < len(required_slots):
         return _empty_result(spark, enrich)
 
     qt_rows = [
@@ -202,10 +219,15 @@ def search(
     present = None
     for s in required_slots:
         c = F.col(f"_s{s}").isNotNull()
-        present = c if present is None else (present & c)
+        if match_mode == "any":
+            present = c if present is None else (present | c)
+        else:
+            present = c if present is None else (present & c)
     total = None
     for s in required_slots:
         c = F.col(f"_s{s}")
+        if match_mode == "any":
+            c = F.coalesce(c, F.lit(0.0))
         total = c if total is None else (total + c)
     scored = g.filter(present).select("doc_id", total.alias("score"))
 
