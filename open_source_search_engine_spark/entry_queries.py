@@ -1451,6 +1451,115 @@ ORDER BY a, b
 """
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS (r4): simhash pairs (hamming<=3, md5 mode — the
+    fully-SQL-replayable signature) -> connected components via star
+    contraction (O(log n) rounds of DataFrame shuffles, operators/dedup.py
+    connected_components) -> per-doc keep/drop sheet (doc_id, cluster_id =
+    component min, cluster_size, is_canonical).  The transitive-closure
+    step pairs alone can't express; the oracle replays it with a
+    recursive CTE over the identical simhash pair set."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text", hash_mode="md5").cache()
+    pairs = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    return (
+        dedup.dedup_clusters(pairs)
+        .select(
+            "doc_id",
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "is_canonical",
+        )
+        .orderBy("cluster_id", "doc_id")
+    )
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS t
+  FROM documents
+),
+votes AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN (md5_number_lower(t) >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM toks CROSS JOIN range(64) r(j)
+  GROUP BY doc_id, j
+),
+sig0 AS (
+  SELECT doc_id,
+         bit_or(CASE WHEN v > 0 THEN (1::UBIGINT << j) ELSE 0::UBIGINT END) AS s
+  FROM votes GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, coalesce(sig0.s, 0::UBIGINT) AS s
+  FROM documents d LEFT JOIN sig0 USING (doc_id)
+),
+pairs AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM sig l JOIN sig r ON l.doc_id < r.doc_id
+  WHERE bit_count(xor(l.s, r.s)) <= 3
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s
+),
+comp AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS is_canonical
+FROM comp
+ORDER BY cluster_id, doc_id
+"""
+
+
+def q_prefix_suggest(spark, sf_dir):
+    """Typeahead / query-completion over the STORED term dictionary:
+    word terms with a given prefix ranked by document frequency (the
+    completion source a serp front-end needs; kin of X16 spell_suggest
+    but a pure pushed-StartsWith parquet scan — no edit-distance kernel,
+    O(matching band) not O(vocab)).  Bigram pair terms (contain ' ') and
+    field terms (contain ':') are not completion candidates."""
+    from .engine_entries import engine_index
+
+    idx = engine_index(spark, sf_dir)
+    ts = idx.termstats.read(spark)
+    ts = ts.filter(
+        F.col("term").startswith("s")
+        & ~F.col("term").contains(" ")
+        & ~F.col("term").contains(":")
+    )
+    return (
+        ts.select(
+            "term",
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.desc("cf"), "term")
+        .limit(10)
+    )
+
+
+SQL_PREFIX_SUGGEST = f"""
+WITH occ AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS term
+  FROM documents
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+  FROM occ WHERE term LIKE 's%' GROUP BY term
+)
+SELECT term, df, cf FROM vocab
+ORDER BY df DESC, cf DESC, term LIMIT 10
+"""
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 registry
 # entries (r2 verdict: the engine_* entries sat at positions 52-66 and were
 # never driver-checked).  ORDER below pins the window composition: positions
@@ -1506,7 +1615,12 @@ _WINDOW = [
     "engine_sortby",
     # training-data pipeline ops
     "dedup_exact",
-    "ngram_jaccard",
+    # r4: near-dup CLUSTERING (simhash pairs -> connected components ->
+    # canonical keep/drop sheet) takes ngram_jaccard's seat — the exact
+    # n-gram jaccard verify it adds over minhash_lsh is already the
+    # in-window minhash_lsh entry's ORACLE (SQL_MINHASH_LSH is the exact
+    # all-pairs jaccard); ngram_jaccard moves to the tail
+    "dedup_clusters",
     "token_stats_bpe",
     "quality_full",
     "langid",
@@ -1524,7 +1638,11 @@ _WINDOW = [
     # both share the identical full-probe==exact oracle (SQL_ANN_COSINE)
     "ann_ivf",
     "pairwise_cosine",
-    "embed_facets",
+    # r4: typeahead prefix completion over the stored dictionary takes
+    # embed_facets' seat (facet aggregation is certified in-window three
+    # ways: engine_facets, search_facets, facet_ranges); embed_facets
+    # moves to the tail
+    "prefix_suggest",
     "minhash_lsh",
     "simhash",
     "multimodal_features",
@@ -1538,6 +1656,12 @@ _TAIL = [
     # in-window multimodal_features)
     "ann_cosine",
     "multimodal_meta",
+    # ngram_jaccard / embed_facets moved here r4 (seats taken by
+    # dedup_clusters / prefix_suggest): ngram_jaccard's exact-jaccard
+    # verify is in-window minhash_lsh's oracle; facet aggregation is
+    # in-window three ways
+    "ngram_jaccard",
+    "embed_facets",
     "engine_bm25_or",
     "sortby_field",
     "rollup",
@@ -1633,6 +1757,8 @@ def build_registry() -> tuple[
         "embed_facets": q_embed_facets,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
+        "prefix_suggest": q_prefix_suggest,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1693,6 +1819,9 @@ def build_registry() -> tuple[
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
         "minhash_lsh": SQL_MINHASH_LSH,  # candidates -> exact-jaccard verify
         "simhash": SQL_SIMHASH,  # full md5-simhash replay, exact O(n^2) hamming
+        # recursive-CTE closure over the identical simhash pair set
+        "dedup_clusters": SQL_DEDUP_CLUSTERS,
+        "prefix_suggest": SQL_PREFIX_SUGGEST,
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

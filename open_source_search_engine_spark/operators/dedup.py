@@ -457,3 +457,123 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= min_jaccard)
         .select("a", "b", "jaccard")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``, where
+    component = the minimum node id reachable through the pair graph —
+    the cluster step that turns near-dup PAIRS into dedup GROUPS with a
+    canonical representative (reference analog: Gigablast dedups against
+    a single stored content hash, J8; transitive near-dup clusters have
+    no analog there — this is the LLM-pipeline extension).
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SOCC'14) — the
+    two-operation fixpoint that provably converges in O(log^2 n) rounds
+    even on adversarial shapes (a path graph defeats naive
+    min-propagation at O(diameter)).  Each round is pure DataFrame
+    shuffles (a groupBy-min + a join per star op), never a driver-side
+    graph.  At the fixpoint the edge set is a forest of stars
+    (member -> component-min), which IS the output mapping.  Lineage is
+    truncated per round with localCheckpoint so the plan doesn't grow
+    exponentially.
+
+    Determinism: min() labels make the fixpoint unique regardless of
+    iteration count or partitioning.
+    """
+    e0 = pairs.select(
+        F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    # canonical orientation big -> small: (u, v) with u > v
+    edges = (
+        e0.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # for every x: m = min(Γ(x) ∪ {x}); emit (y, m) for y ∈ Γ(x), y > x
+        sym = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        m = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select(F.col("u").alias("_x"), F.least("u", "_mn").alias("_m"))
+        )
+        return (
+            sym.join(m, sym["u"] == m["_x"])
+            .filter(F.col("v") > F.col("u"))  # y > x, and y > x >= m
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # edges come oriented big -> small; for every x: m = min of its
+        # smaller neighbors; re-point those neighbors and x itself at m
+        m = (
+            e.groupBy("u")
+            .agg(F.min("v").alias("_m"))
+            .select(F.col("u").alias("_x"), "_m")
+        )
+        repointed = (
+            e.join(m, e["u"] == m["_x"])
+            .filter(F.col("v") != F.col("_m"))
+            .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+        )
+        selfedge = m.select(F.col("_x").alias("u"), F.col("_m").alias("v"))
+        return (
+            repointed.union(selfedge)
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+
+    for _ in range(max_iter):
+        if edges.isEmpty():
+            break
+        nxt = small_star(large_star(edges)).localCheckpoint()
+        # fixpoint iff the (distinct, canonically oriented) edge sets match
+        if nxt.count() == edges.count() and nxt.subtract(edges).isEmpty():
+            edges = nxt
+            break
+        edges = nxt
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    # converged edge set is stars (member -> min); roots map to themselves
+    return (
+        nodes.join(edges, nodes["node"] == edges["u"], "left")
+        .select("node", F.coalesce("v", "node").alias("component"))
+    )
+
+
+def dedup_clusters(
+    pairs: DataFrame, a_col: str = "a", b_col: str = "b"
+) -> DataFrame:
+    """Near-dup pairs -> per-doc cluster rows: (doc_id, cluster_id,
+    cluster_size, is_canonical) where cluster_id = min doc_id of the
+    connected component and the canonical doc is that minimum — the
+    keep/drop decision sheet of a training-data dedup pass (only docs
+    that appear in >=1 pair are listed; singletons are trivially kept)."""
+    comp = connected_components(pairs, a_col, b_col)
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

@@ -65,4 +65,9 @@ def test_describe_index(spark, micro_index):
     assert 0 < p["bytes_per_posting"] < 50
     assert d["collstats"]["n_docs"] == 5
     assert d["tombstones"] == 0
-    assert d["features"] == {"bigrams": False, "numeric_fields": []}
+    assert d["features"] == {
+        "bigrams": False,
+        "numeric_fields": [],
+        "code_aware": False,
+        "n_shards": 1,
+    }
