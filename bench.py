@@ -80,6 +80,33 @@ def run_headline(spark, sf_dir: str) -> tuple[dict[str, float], float]:
     return times, cold_secs
 
 
+# Round-4 additions timed as their own series so the HEADLINE battery
+# stays comparable across rounds (r3 verdict: like with like).  Warm
+# timings, same protocol as the battery's warm pass.
+EXTRAS = [
+    "engine_mlt",
+    "hybrid_rrf",
+    "dedup_clusters",
+    "prefix_suggest",
+    "mmr_diversify",
+    "sessionize",
+]
+
+
+def run_extras(spark, sf_dir: str) -> dict[str, float]:
+    from open_source_search_engine_spark.entry_queries import build_registry
+
+    qs, _ = build_registry()
+    for name in EXTRAS:  # warm pass (codegen + caches)
+        qs[name](spark, sf_dir).collect()
+    times: dict[str, float] = {}
+    for name in EXTRAS:
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        times[name] = round(time.time() - t0, 3)
+    return times
+
+
 def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
     """North-rule metric: index-build docs/sec on the synthetic
     (repo,path,commit,lang,content) corpus + warm query latency."""
@@ -241,6 +268,7 @@ def main():
 
     spark = get_spark(app_name="bench", cores=cores)
     times, cold_secs = run_headline(spark, sf_dir)
+    extras = run_extras(spark, sf_dir)
     build = run_index_build(
         spark, N_BENCH_DOCS, "/tmp/bench_idx", n_shards=2
     )
@@ -249,6 +277,7 @@ def main():
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "extras": extras,
         "headline_cold_secs": cold_secs,
         "sf": sf,
         "build_docs_per_sec": build["docs_per_sec"],
