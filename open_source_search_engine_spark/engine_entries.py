@@ -532,6 +532,24 @@ def q_engine_compacted(spark, sf_dir):
     return _round_topk(search_wand(spark, idx, "table", k=20, enrich=False), 10)
 
 
+def q_engine_time_travel(spark, sf_dir):
+    """Iceberg-style AS-OF read (operators/timetravel.py): the compacted
+    index — which has delete + compact mutations on top of the shared
+    build — queried AT the pre-mutation snapshot pins.  Results must
+    equal the never-mutated full-corpus BM25 (the oracle): commits only
+    add manifests and never delete segment files, so history stays
+    readable (the audit/reproducibility read a training pipeline needs;
+    no Rdb analog — the reference keeps only the live file set)."""
+    from .operators.timetravel import as_of, index_versions
+
+    base = engine_index(spark, sf_dir)
+    pins = index_versions(base)
+    comp = engine_index_compacted(spark, sf_dir)
+    return _round_topk(
+        search_wand(spark, as_of(comp, pins), "table", k=20, enrich=False), 10
+    )
+
+
 def q_engine_incremental(spark, sf_dir):
     """R1/S3 under the oracle: the corpus indexed as two add_documents
     delta batches with aggressive salting (salt_target=50) — results
@@ -942,6 +960,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_boolean": q_engine_boolean,
         "engine_latest_wins": q_engine_latest_wins,
         "engine_compacted": q_engine_compacted,
+        "engine_time_travel": q_engine_time_travel,
         "engine_incremental": q_engine_incremental,
         "engine_total_hits": q_engine_total_hits,
         "engine_facets": q_engine_facets,
@@ -982,6 +1001,8 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_compacted": _bm25_engine_oracle(
             ["table"], exclude_from_corpus=TOMBSTONED_DOC_IDS
         ),
+        # AS-OF the pre-mutation pins == the never-mutated full corpus
+        "engine_time_travel": _bm25_engine_oracle(["table"]),
         "engine_incremental": _bm25_engine_oracle(["spark", "join"]),
         # minor merge is a pure physical rewrite: same oracle as above
         "engine_minor_merge": _bm25_engine_oracle(["spark", "join"]),

@@ -1642,7 +1642,11 @@ _WINDOW = [
     # stored-index engine lifecycle (build -> WAND/exhaustive -> serp)
     "engine_bm25_single",
     "engine_bm25_and2",
-    "engine_bm25_and3",
+    # engine_bm25_and3 moved to the tail r4 (a slot-count twin of and2 —
+    # same J1 N-way intersection; 3-term ANDs also ride in-window via
+    # engine_bm25_batch's members); its seat goes to the AS-OF snapshot
+    # read, a genuinely new capability
+    "engine_time_travel",
     "engine_bm25_neg",
     # engine_bm25_or moved to the tail: OR-group slot semantics stay
     # in-window twice over (engine_synonyms weighted OR-groups + the OR
@@ -1743,6 +1747,9 @@ _TAIL = [
     # in-window dedup_clusters oracle replays the identical banded pair
     # set through the recursive closure
     "simhash",
+    # and3 moved here r4 (seat taken by engine_time_travel) — twin of
+    # in-window and2 + the batch entry's 3-term members
+    "engine_bm25_and3",
     "engine_bm25_or",
     "sortby_field",
     "rollup",

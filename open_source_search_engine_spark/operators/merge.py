@@ -28,6 +28,12 @@ from .build import Index, _write_tiny_segment, encode_blocks, finalize_stats
 
 
 def deletes_table(idx: Index) -> SnapshotTable:
+    # time-travel views (operators/timetravel.IndexAsOf) pin the deletes
+    # snapshot too — tombstones are part of what the index served at a
+    # point in time
+    override = getattr(idx, "_deletes_override", None)
+    if override is not None:
+        return override
     return SnapshotTable(idx.root, "deletes")
 
 

@@ -1,0 +1,129 @@
+"""Snapshot time travel: query the index AS OF an earlier snapshot.
+
+The snapshot layer (sources/tables.py) is Iceberg-shaped: every commit
+writes a new immutable manifest and never deletes prior segment files,
+so any historical version stays readable.  The reference's Rdb keeps
+only the live file set (RdbBase manifest, SURVEY §1.3) — time travel is
+the Iceberg-native extension this rebuild gets for free, and the audit
+tool a training-data pipeline needs ("what did the index serve LAST
+week?", reproducing a past training snapshot, diffing pre/post-delete).
+
+``as_of(index, versions)`` returns an object duck-typed to Index whose
+tables are pinned to the given snapshot versions; every query plan
+(WAND, exhaustive, boolean, serp) works unchanged because the query
+paths only touch ``root`` / ``features()`` / table ``.read()`` /
+``.latest()`` / ``.snapshot_ident()`` — and the version-keyed driver
+caches (stats, docmeta, serp results) key on the PINNED versions, so
+as-of reads and head reads never poison each other.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..sources.tables import Snapshot, SnapshotTable
+
+_TABLES = (
+    "postings",
+    "docstats",
+    "termdict",
+    "termstats_partial",
+    "termstats",
+    "collstats",
+    "checkpoints",
+    "metrics",
+    "lineage",
+)
+
+
+class PinnedTable:
+    """A SnapshotTable view frozen at one version (None = follow HEAD)."""
+
+    def __init__(self, table: SnapshotTable, version: int | None):
+        self._table = table
+        self._version = version
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return self._table.read(spark, version=self._version)
+
+    def latest(self) -> Snapshot | None:
+        if self._version is None:
+            return self._table.latest()
+        return self._table.at(self._version)
+
+    def __getattr__(self, name):
+        # snapshot_ident, history, dir, ... passthrough (read-only use;
+        # write-side methods would mutate the underlying table, which the
+        # as-of contract forbids — queries never call them)
+        return getattr(self._table, name)
+
+
+class _EmptyTable:
+    """Stand-in for a table that did not exist at the pinned time —
+    behaves like a never-committed SnapshotTable (latest() None,
+    read() None), which every consumer already handles (a fresh index
+    has no deletes commits)."""
+
+    def __init__(self, table: SnapshotTable):
+        self._table = table
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        return None
+
+    def latest(self) -> Snapshot | None:
+        return None
+
+    def snapshot_ident(self, version: int) -> tuple:
+        return ()
+
+    def __getattr__(self, name):
+        return getattr(self._table, name)
+
+
+class IndexAsOf:
+    """Duck-typed Index with per-table pinned snapshot versions."""
+
+    def __init__(self, index, versions: dict[str, int]):
+        self._index = index
+        self._versions = dict(versions)
+        self.root = index.root
+        # the deletes table is addressed by root (operators/merge.py
+        # deletes_table reads this override), so it pins here; an absent
+        # key means "no tombstones existed at the pinned time" — a table
+        # whose history started after the pin must NOT fall through to
+        # HEAD
+        live = SnapshotTable(index.root, "deletes")
+        if "deletes" in versions:
+            self._deletes_override = PinnedTable(live, versions["deletes"])
+        else:
+            self._deletes_override = _EmptyTable(live)
+
+    def features(self) -> dict:
+        return self._index.features()
+
+    def __getattr__(self, name):
+        if name in _TABLES:
+            return PinnedTable(
+                getattr(self._index, name), self._versions.get(name)
+            )
+        return getattr(self._index, name)
+
+
+def index_versions(index) -> dict[str, int]:
+    """Current snapshot version of every table — capture BEFORE a
+    mutation to be able to query as-of it later."""
+    from .merge import deletes_table
+
+    out: dict[str, int] = {}
+    for name in _TABLES:
+        snap = getattr(index, name).latest()
+        if snap is not None:
+            out[name] = snap.version
+    dsnap = deletes_table(index).latest()
+    if dsnap is not None:
+        out["deletes"] = dsnap.version
+    return out
+
+
+def as_of(index, versions: dict[str, int]) -> IndexAsOf:
+    return IndexAsOf(index, versions)
