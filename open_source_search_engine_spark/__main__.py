@@ -75,6 +75,31 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--out", required=True)
     g.add_argument("--n", type=int, default=20_000)
 
+    vc = sub.add_parser(
+        "vacuum",
+        help="expire old snapshots of every index table (Iceberg "
+        "expire_snapshots): bounds disk growth; as-of reads older than "
+        "the retention fail afterwards",
+    )
+    vc.add_argument("--index", required=True)
+    vc.add_argument("--keep-last", type=int, default=2)
+
+    sg = sub.add_parser(
+        "suggest", help="typeahead completion from the stored dictionary"
+    )
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--prefix", required=True)
+    sg.add_argument("-k", type=int, default=10)
+
+    ml = sub.add_parser(
+        "mlt", help="more-like-this: top-k docs similar to --doc-id"
+    )
+    ml.add_argument("--index", required=True)
+    ml.add_argument("--src", required=True, help="corpus parquet (doc text)")
+    ml.add_argument("--doc-id", type=int, required=True)
+    ml.add_argument("-k", type=int, default=10)
+    ml.add_argument("--terms", type=int, default=5)
+
     args = p.parse_args(argv)
 
     from .session import get_spark
@@ -110,6 +135,57 @@ def main(argv: list[str] | None = None) -> None:
         from .operators.stats import describe_index
 
         print(json.dumps(describe_index(spark, Index(args.index))))
+        return
+
+    if args.cmd == "vacuum":
+        from .operators.build import Index
+        from .operators.timetravel import vacuum_index
+
+        stats = vacuum_index(Index(args.index), keep_last=args.keep_last)
+        print(json.dumps({"index": args.index, "expired": stats}))
+        return
+
+    if args.cmd == "suggest":
+        from pyspark.sql import functions as F
+
+        from .operators.build import Index
+
+        ts = Index(args.index).termstats.read(spark)
+        rows = (
+            ts.filter(
+                F.col("term").startswith(args.prefix)
+                & ~F.col("term").contains(" ")
+                & ~F.col("term").contains(":")
+            )
+            .orderBy(F.desc("df"), F.desc("cf"), "term")
+            .limit(args.k)
+            .collect()
+        )
+        print(
+            json.dumps(
+                [{"term": r["term"], "df": int(r["df"])} for r in rows]
+            )
+        )
+        return
+
+    if args.cmd == "mlt":
+        from .operators.build import Index
+        from .plans.mlt import more_like_this
+
+        docs = spark.read.parquet(args.src)
+        rows = more_like_this(
+            spark,
+            Index(args.index),
+            args.doc_id,
+            k=args.k,
+            m_terms=args.terms,
+            corpus=docs,
+        ).collect()
+        print(
+            json.dumps(
+                [{"doc_id": r["doc_id"], "score": round(r["score"], 4)} for r in rows]
+            )
+        )
         return
 
     if args.cmd == "compact":

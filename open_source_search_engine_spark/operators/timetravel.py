@@ -127,3 +127,17 @@ def index_versions(index) -> dict[str, int]:
 
 def as_of(index, versions: dict[str, int]) -> IndexAsOf:
     return IndexAsOf(index, versions)
+
+
+def vacuum_index(index, keep_last: int = 1) -> dict[str, dict]:
+    """Expire old snapshots of EVERY index table (incl. tombstones) —
+    the maintenance dual of as_of: retention bounds how far back AS-OF
+    reads may go, and disk stops growing with mutation history.  Returns
+    per-table {expired_snapshots, removed_segments}."""
+    from .merge import deletes_table
+
+    out: dict[str, dict] = {}
+    for name in _TABLES:
+        out[name] = getattr(index, name).expire_snapshots(keep_last)
+    out["deletes"] = deletes_table(index).expire_snapshots(keep_last)
+    return out

@@ -88,6 +88,12 @@ def more_like_this(
     if text is None:
         if corpus is None:
             raise ValueError("more_like_this needs text= or corpus=")
+        if "doc_id" not in corpus.columns:
+            # raw (repo,path,commit,lang,content) source: derive the same
+            # xxhash64 ids the build derived
+            from ..operators.build import derive_ids
+
+            corpus = derive_ids(corpus)
         col = "content" if "content" in corpus.columns else "text"
         rows = (
             corpus.filter(F.col("doc_id") == int(doc_id))

@@ -208,3 +208,43 @@ class SnapshotTable:
             if fn.startswith("v") and fn.endswith(".json"):
                 out.append(int(fn[1:-5]))
         return sorted(out)
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Physically delete expired manifests and the segment files only
+        they reference (Iceberg expire_snapshots) — the disk-growth bound
+        time travel needs at scale: without expiry every compaction
+        doubles stored postings forever.
+
+        Keeps the newest ``keep_last`` snapshots; AS-OF reads older than
+        the retention window fail fast afterwards (FileNotFoundError on
+        the manifest).  Run with retention >= the longest as-of horizon
+        in use.  Segment dirs referenced by NO snapshot (in-flight
+        uncommitted writes) are never touched — only segments reachable
+        exclusively from expired manifests are removed.
+        """
+        import shutil
+
+        head = self._latest_raw()
+        if head is None:
+            return {"expired_snapshots": 0, "removed_segments": 0}
+        versions = self.history()
+        keep = set(versions[-max(1, keep_last):])
+        expired = [v for v in versions if v not in keep]
+        kept_segs = set()
+        for v in keep:
+            kept_segs.update(self._at_raw(v).segments)
+        expired_segs = set()
+        for v in expired:
+            expired_segs.update(self._at_raw(v).segments)
+        removed = 0
+        for rel in expired_segs - kept_segs:
+            path = self._abs(rel)
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+                removed += 1
+        for v in expired:
+            try:
+                os.remove(os.path.join(self.snap_dir, f"v{v}.json"))
+            except OSError:
+                pass
+        return {"expired_snapshots": len(expired), "removed_segments": removed}

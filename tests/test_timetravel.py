@@ -75,3 +75,31 @@ def test_exhaustive_plan_as_of(spark, tt_setup):
     idx, v0, v1, before, victims = tt_setup
     old = search(spark, as_of(idx, v0), "binary", k=10, enrich=False).collect()
     assert _ids(old) == _ids(before)
+
+
+def test_vacuum_bounds_history_and_keeps_head(spark, micro_docs, tmp_path_factory):
+    from open_source_search_engine_spark.operators.timetravel import vacuum_index
+
+    root = str(tmp_path_factory.mktemp("vacidx"))
+    idx = build_index(
+        spark, micro_docs, root, n_shards=1, code_aware=False,
+        block_size=4, salt_target=1000,
+    )
+    v0 = index_versions(idx)
+    before = search_wand(spark, idx, "binary", k=10, enrich=False).collect()
+    victims = [r["doc_id"] for r in before[:1]]
+    delete_docs(spark, idx, victims)
+    compact_postings(spark, idx)
+    hist_before = idx.postings.history()
+    assert len(hist_before) > 1
+    stats = vacuum_index(idx, keep_last=1)
+    assert stats["postings"]["expired_snapshots"] == len(hist_before) - 1
+    assert stats["postings"]["removed_segments"] >= 1
+    # head query unaffected
+    now = search_wand(spark, idx, "binary", k=10, enrich=False).collect()
+    assert set(victims).isdisjoint({r["doc_id"] for r in now})
+    assert len(now) == len(before) - len(victims)
+    # expired pins fail fast (manifest gone)
+    assert idx.postings.history() == [hist_before[-1]]
+    with pytest.raises(FileNotFoundError):
+        search_wand(spark, as_of(idx, v0), "binary", k=10, enrich=False).collect()
