@@ -54,6 +54,10 @@ def main(argv: list[str] | None = None) -> None:
         "--cache", action="store_true",
         help="serp result cache (Msg17 analog; invalidated by snapshot version)",
     )
+    s.add_argument(
+        "--explain", action="store_true",
+        help="print the formatted physical plan instead of executing",
+    )
 
     c = sub.add_parser("compact", help="merge segments, drop tombstones")
     c.add_argument("--index", required=True)
@@ -234,11 +238,17 @@ def main(argv: list[str] | None = None) -> None:
         if args.lang_boost:
             lang, factor = args.lang_boost.rsplit(":", 1)
             lb = (lang, float(factor))
+        # t0 covers fn() too: search_wand does its kernel work eagerly and
+        # returns a locally-materialized result (the job-free path)
         t0 = time.time()
-        rows = fn(
+        df = fn(
             spark, idx, args.query, k=args.k,
             synonyms=args.synonyms, lang_boost=lb, use_cache=args.cache,
-        ).collect()
+        )
+        if args.explain:
+            df.explain("formatted")
+            return
+        rows = df.collect()
         ms = (time.time() - t0) * 1000
         for r in rows:
             print(

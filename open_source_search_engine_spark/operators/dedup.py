@@ -542,14 +542,16 @@ def connected_components(
         )
 
     for _ in range(max_iter):
-        if edges.isEmpty():
-            break
         nxt = small_star(large_star(edges)).localCheckpoint()
-        # fixpoint iff the (distinct, canonically oriented) edge sets match
-        if nxt.count() == edges.count() and nxt.subtract(edges).isEmpty():
-            edges = nxt
-            break
+        # fixpoint iff the (distinct, canonically oriented) edge sets
+        # match — ONE action via symmetric set difference (an empty edge
+        # set is trivially a fixpoint, so no separate isEmpty probe)
+        converged = (
+            nxt.subtract(edges).union(edges.subtract(nxt)).isEmpty()
+        )
         edges = nxt
+        if converged:
+            break
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
