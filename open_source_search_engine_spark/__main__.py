@@ -79,6 +79,14 @@ def main(argv: list[str] | None = None) -> None:
     g.add_argument("--out", required=True)
     g.add_argument("--n", type=int, default=20_000)
 
+    fs = sub.add_parser(
+        "fsck",
+        help="index consistency check: manifests, cross-table invariants; "
+        "--deep decodes every block",
+    )
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--deep", action="store_true")
+
     vc = sub.add_parser(
         "vacuum",
         help="expire old snapshots of every index table (Iceberg "
@@ -140,6 +148,14 @@ def main(argv: list[str] | None = None) -> None:
 
         print(json.dumps(describe_index(spark, Index(args.index))))
         return
+
+    if args.cmd == "fsck":
+        from .operators.build import Index
+        from .operators.stats import fsck_index
+
+        report = fsck_index(spark, Index(args.index), deep=args.deep)
+        print(json.dumps(report))
+        sys.exit(0 if report["ok"] else 1)
 
     if args.cmd == "vacuum":
         from .operators.build import Index

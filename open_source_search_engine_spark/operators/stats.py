@@ -86,3 +86,129 @@ def describe_index(spark, index) -> dict:
 
     out["tombstones"] = int(len(deleted_doc_ids(spark, index)))
     return out
+
+
+def fsck_index(spark, index, deep: bool = False) -> dict:
+    """Consistency check of a stored index — the Repair.cpp
+    verify-before-rebuild analog for the snapshot-log layout.  Checks,
+    cheapest first:
+
+    - manifest integrity: every table's HEAD snapshot resolves and every
+      referenced segment directory exists on disk;
+    - cross-table invariants (driver-side, tiny reads): collstats.n_docs
+      == docstats row count; termstats.n_blocks sum == postings block
+      count; every posting term_id appears in the termstats dictionary;
+    - ``deep=True`` additionally decodes every posting block and
+      re-verifies the sorted-run invariant (doc_ids strictly increasing
+      within a block) — O(index), the full RdbMap scan.
+
+    Returns {ok: bool, issues: [str], checked: {…counts…}} — never
+    raises on findings, so operators can run it against a live index.
+    """
+    import os
+
+    issues: list[str] = []
+    checked: dict = {}
+    tables = (
+        "postings", "docstats", "termdict", "termstats",
+        "termstats_partial", "collstats", "checkpoints",
+    )
+    broken: set[str] = set()
+    for name in tables:
+        t = getattr(index, name)
+        snap = t.latest()
+        if snap is None:
+            if name in ("postings", "docstats", "collstats", "termstats"):
+                issues.append(f"{name}: no snapshot (index incomplete?)")
+            continue
+        missing = [s for s in snap.segments if not os.path.isdir(s)]
+        if missing:
+            broken.add(name)
+            issues.append(
+                f"{name}: v{snap.version} references {len(missing)} "
+                f"missing segment dir(s), e.g. {os.path.basename(missing[0])}"
+            )
+    checked["tables"] = len(tables)
+
+    # cross-table scans only over tables whose segments all exist — a
+    # missing dir is already reported above and would otherwise abort the
+    # whole check with a mid-scan FileNotFound
+    def _read(name):
+        return None if name in broken else getattr(index, name).read(spark)
+
+    blocks = _read("postings")
+    ds = _read("docstats")
+    cs = _read("collstats")
+    ts = _read("termstats")
+    if ds is not None and cs is not None:
+        n_ds = ds.count()
+        n_cs = int(cs.collect()[0]["n_docs"])
+        checked["docstats_rows"] = n_ds
+        if n_ds != n_cs:
+            issues.append(
+                f"collstats.n_docs={n_cs} != docstats rows={n_ds} "
+                "(stats not finalized after last mutation?)"
+            )
+    if blocks is not None and ts is not None:
+        n_blocks = blocks.count()
+        ts_blocks = ts.agg(F.sum("n_blocks").alias("b")).collect()[0]["b"]
+        checked["postings_blocks"] = n_blocks
+        if ts_blocks is not None and int(ts_blocks) != n_blocks:
+            issues.append(
+                f"termstats n_blocks sum={int(ts_blocks)} != postings "
+                f"block count={n_blocks} (orphan or missing segments?)"
+            )
+        orphan_terms = (
+            blocks.select("term_id")
+            .distinct()
+            .join(ts.select("term_id"), "term_id", "left_anti")
+            .count()
+        )
+        if orphan_terms:
+            issues.append(
+                f"{orphan_terms} posting term_id(s) absent from termstats"
+            )
+    if deep and blocks is not None:
+        # full decode in an Arrow kernel: per block the delta-decoded
+        # doc_ids must be strictly increasing in shifted-uint64 space
+        # (the sorted-run invariant T5) and the first/last ids must equal
+        # the stored [min_doc_id, max_doc_id] bounds the WAND kernel
+        # prunes by
+        import numpy as np
+        import pandas as pd
+
+        from ..functions import codec
+
+        def _verify(batches):
+            for pdf in batches:
+                bad = 0
+                for row in pdf.itertuples(index=False):
+                    ids, _tfs, _pos, _b = codec.decode_postings_block(
+                        row.doc_ids_enc, row.tfs_enc, b"", int(row.n_docs)
+                    )
+                    u = ids.astype(np.uint64) + np.uint64(1 << 63)
+                    if (
+                        ids.size != int(row.n_docs)
+                        or (ids.size and ids[0] != row.min_doc_id)
+                        or (ids.size and ids[-1] != row.max_doc_id)
+                        or (ids.size > 1 and not (np.diff(u) > 0).all())
+                    ):
+                        bad += 1
+                yield pd.DataFrame({"bad": [bad]})
+
+        bad = int(
+            blocks.select(
+                "n_docs", "min_doc_id", "max_doc_id", "doc_ids_enc", "tfs_enc"
+            )
+            .mapInPandas(_verify, "bad long")
+            .agg(F.sum("bad").alias("bad"))
+            .collect()[0]["bad"]
+            or 0
+        )
+        checked["deep_blocks"] = True
+        if bad:
+            issues.append(
+                f"{bad} block(s) fail decode invariants (unsorted ids or "
+                "[min,max] metadata mismatch)"
+            )
+    return {"ok": not issues, "issues": issues, "checked": checked}

@@ -71,3 +71,27 @@ def test_describe_index(spark, micro_index):
         "code_aware": False,
         "n_shards": 1,
     }
+
+
+def test_fsck_clean_and_corrupted(spark, micro_docs, tmp_path_factory):
+    """fsck (Repair.cpp verify analog): green on a healthy index; red on
+    a missing segment dir with the specific invariant named."""
+    import shutil
+
+    from open_source_search_engine_spark.operators.build import build_index
+    from open_source_search_engine_spark.operators.stats import fsck_index
+
+    root = str(tmp_path_factory.mktemp("fsckidx"))
+    idx = build_index(
+        spark, micro_docs, root, n_shards=1, code_aware=False,
+        block_size=4, salt_target=1000,
+    )
+    report = fsck_index(spark, idx, deep=True)
+    assert report["ok"], report["issues"]
+    assert report["checked"]["deep_blocks"]
+    # corrupt: remove one live postings segment dir from disk
+    victim = idx.postings.latest().segments[0]
+    shutil.rmtree(victim)
+    report2 = fsck_index(spark, idx)
+    assert not report2["ok"]
+    assert any("missing segment" in i for i in report2["issues"])
