@@ -19,19 +19,28 @@ def get_spark(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    master: str | None = None,
 ) -> SparkSession:
     """Build (or fetch) the session.
 
     shuffle partitions default to 2x cores: enough tasks for AQE to
     coalesce, few enough that task-launch overhead stays negligible at
     local scale.  On a real cluster this is ~2-3x total executor cores.
+
+    ``master`` overrides ``local[cores]`` — pass
+    ``local-cluster[n,cores,mem_mb]`` for a faithful multi-executor
+    simulation (separate executor JVMs + block managers; the topology a
+    real cluster has).  ``cores`` should then be the TOTAL core count so
+    shuffle sizing stays consistent.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cores)
+    if master is None:
+        master = f"local[{cores}]"
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -61,6 +70,15 @@ def get_spark(
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", shm)
+    if master.startswith("local-cluster"):
+        # separate executor JVMs: they don't inherit the driver's
+        # sys.path, and each needs an explicit memory budget
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", repo_root
+        ).config(
+            "spark.executor.memory", os.environ.get("SPARK_EXECUTOR_MEM", "6g")
+        )
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)

@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 20000
 TRIALS = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-LEVELS = (8, 32)
+LEVELS = tuple(
+    int(x) for x in os.environ.get("SCALING_LEVELS", "8,32").split(",")
+)
 SRC = f"/tmp/scaling_src_{N_DOCS}"
 
 
@@ -100,8 +102,11 @@ def main() -> None:
         for cores in LEVELS:
             vals = [r[metric] for r in runs if r["cores"] == cores]
             out[f"median_{metric}_{cores}"] = statistics.median(vals)
+        lo, hi = LEVELS[0], LEVELS[-1]
         out[f"efficiency_{metric}"] = round(
-            (out[f"median_{metric}_32"] / out[f"median_{metric}_8"]) / 4.0, 3
+            (out[f"median_{metric}_{hi}"] / out[f"median_{metric}_{lo}"])
+            / (hi / lo),
+            3,
         )
     with open("/tmp/profile_build.json", "w") as f:
         json.dump(out, f, indent=1)
