@@ -1,0 +1,149 @@
+"""Link-graph operators — the J7 link join, re-expressed Spark-first.
+
+Reference analog (SURVEY.md §2.3 J7): Gigablast's Linkdb stores inlink
+keys per (siteHash, urlHash); ``Msg25`` aggregates a page's inlinkers and
+the derived ``siteNumInlinks`` is joined into ranking as a static quality
+prior (``XmlDoc::getSiteNumInlinks``, ``SiteGetter``).  The Spark rebuild
+keeps the three roles and maps each to the operator Catalyst already
+optimizes:
+
+- **extraction** (`extract_links`): one ``regexp_extract_all`` +
+  ``explode`` over the content column — the XmlDoc outlink parse — then a
+  join against the module/path dictionary to resolve references to target
+  doc ids.  Pure column expressions; the resolve join broadcasts when the
+  dictionary is small and shuffles on the module key otherwise.
+- **inversion** (`inlink_counts`): Linkdb's by-target key order is a
+  ``groupBy(dst)`` count — one shuffle keyed by the target id, partial
+  aggregation map-side.
+- **rank join** (`static_rank_join`): the Msg25-into-ranking step is a
+  broadcast left join of the (small) per-doc rank table into the serp,
+  blending ``score * (1 + alpha * ln(1 + inlinks))``.
+
+At 10^12 docs the edge table is the big shuffle (edges ~ O(docs *
+fan-out)); it is keyed by ``dst_doc_id`` exactly once, and the rank table
+that reaches the query path is one row per *ranked doc* — small enough to
+broadcast, the same reduction Gigablast bakes into tagdb/sitedb.
+
+For corpora with no link markup (the driver fixture's word-soup text),
+``derive_edges`` synthesizes a deterministic closed-form graph — the
+OPERATOR under test is extract→invert→join; the rule is replayable in
+ANSI SQL so the DuckDB oracle certifies the whole pipeline value-exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def extract_links(
+    docs: DataFrame,
+    pattern: str = r"use ([a-z][a-z0-9_]*)",
+    content_col: str = "content",
+    path_col: str = "path",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Parse ``use <module>`` references out of source text and resolve
+    them to target docs by module name (basename of ``path`` sans
+    extension).  Returns distinct (src_doc_id, dst_doc_id) edges,
+    self-loops dropped.
+
+    The extraction is a single vectorized regexp pass (no UDF); the
+    resolve is an equi-join on the module key.  Ambiguous module names
+    (two files with the same basename) fan out to all targets — the
+    reference's link: term does the same for duplicated URLs.
+    """
+    modules = docs.select(
+        F.col(id_col).alias("dst_doc_id"),
+        F.regexp_extract(
+            F.element_at(F.split(F.col(path_col), "/"), -1), r"^([a-z0-9_]+)", 1
+        ).alias("_module"),
+    ).filter(F.col("_module") != "")
+    refs = docs.select(
+        F.col(id_col).alias("src_doc_id"),
+        F.explode(
+            F.regexp_extract_all(F.col(content_col), F.lit(pattern), F.lit(1))
+        ).alias("_module"),
+    )
+    return (
+        refs.join(modules, "_module")
+        .filter(F.col("src_doc_id") != F.col("dst_doc_id"))
+        .select("src_doc_id", "dst_doc_id")
+        .distinct()
+    )
+
+
+def derive_edges(
+    docs: DataFrame,
+    fan_out: int = 3,
+    id_col: str = "doc_id",
+    seed_col: str = "n_chars",
+) -> DataFrame:
+    """Deterministic synthetic link graph for corpora without link markup:
+    doc ``s`` links to ``(s*131 + seed + j*37) mod N`` for ``j`` in
+    ``0..fan_out-1`` (N = corpus size, ids assumed dense 0..N-1 as in the
+    driver fixture).  Self-loops dropped, edges distinct.  The rule is a
+    pure column expression on both engines, so the DuckDB oracle replays
+    it exactly — what is being certified is the invert + rank-join
+    pipeline, not the (synthetic) graph itself.
+    """
+    n = docs.agg(F.count("*").cast("long").alias("_n_total"))
+    fanned = (
+        docs.select(
+            F.col(id_col).cast("long").alias("src_doc_id"),
+            F.col(seed_col).cast("long").alias("_seed"),
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "src_doc_id",
+            F.explode(F.sequence(F.lit(0), F.lit(fan_out - 1))).alias("_j"),
+            "_seed",
+            "_n_total",
+        )
+    )
+    dst = F.pmod(
+        F.col("src_doc_id") * F.lit(131) + F.col("_seed") + F.col("_j") * F.lit(37),
+        F.col("_n_total"),
+    ).cast("long")
+    return (
+        fanned.select("src_doc_id", dst.alias("dst_doc_id"))
+        .filter(F.col("src_doc_id") != F.col("dst_doc_id"))
+        .distinct()
+    )
+
+
+def inlink_counts(edges: DataFrame) -> DataFrame:
+    """Linkdb inversion: distinct-inlinker count per target doc — one
+    shuffle keyed by ``dst_doc_id`` with map-side partial counts (edges
+    are already distinct by construction in both extractors)."""
+    return edges.groupBy(F.col("dst_doc_id").alias("doc_id")).agg(
+        F.count("*").cast("long").alias("inlinks")
+    )
+
+
+def static_rank_join(
+    results: DataFrame,
+    inlinks: DataFrame,
+    alpha: float = 0.1,
+    score_col: str = "score",
+    k: int | None = None,
+) -> DataFrame:
+    """Blend a static link-popularity prior into a scored result set
+    (the Msg25 -> ranking join): ``rank_score = round(score * (1 +
+    alpha*ln(1+inlinks)), 4)``, docs with no inlinks get the neutral
+    factor.  ``inlinks`` is broadcast — after `inlink_counts` it is one
+    row per doc, and only the ranked docs' rows survive the join."""
+    ink = F.coalesce(F.col("inlinks"), F.lit(0)).cast("long")
+    blended = F.round(
+        F.col(score_col)
+        * (F.lit(1.0) + F.lit(alpha) * F.log(F.lit(1.0) + ink.cast("double"))),
+        4,
+    )
+    out = (
+        results.join(F.broadcast(inlinks), "doc_id", "left")
+        .select("doc_id", ink.alias("inlinks"), blended.alias("rank_score"))
+        .orderBy(F.desc("rank_score"), F.asc("doc_id"))
+    )
+    if k is not None:
+        out = out.limit(k)
+    return out

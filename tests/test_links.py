@@ -1,0 +1,89 @@
+"""J7 link-join operators: extraction, inversion, rank blending."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from open_source_search_engine_spark.operators import links
+
+
+@pytest.fixture(scope="module")
+def linked_corpus(spark):
+    # a tiny repo whose files reference each other with `use <module>`
+    rows = [
+        # doc_id, path, content
+        (0, "src/a/alpha.py", "def f(): pass use beta use gamma"),
+        (1, "src/b/beta.py", "use gamma x = 1"),
+        (2, "src/c/gamma.py", "no refs here"),
+        (3, "src/d/delta.py", "use alpha use beta use beta"),  # dup ref
+        (4, "src/e/alpha.py", "use nonexistent"),  # ambiguous module name
+    ]
+    return spark.createDataFrame(rows, "doc_id long, path string, content string")
+
+
+def test_extract_links_resolves_modules(linked_corpus):
+    edges = links.extract_links(linked_corpus).collect()
+    got = {(r.src_doc_id, r.dst_doc_id) for r in edges}
+    # alpha is ambiguous (docs 0 and 4 both define it): refs fan out to both
+    assert got == {
+        (0, 1), (0, 2),          # alpha -> beta, gamma
+        (1, 2),                  # beta -> gamma
+        (3, 0), (3, 4), (3, 1),  # delta -> both alphas + beta (dup deduped)
+    }
+
+
+def test_extract_links_no_self_loops_and_distinct(linked_corpus):
+    pdf = links.extract_links(linked_corpus).toPandas()
+    assert (pdf.src_doc_id != pdf.dst_doc_id).all()
+    assert len(pdf) == len(pdf.drop_duplicates())
+
+
+def test_derive_edges_matches_closed_form(spark):
+    docs = spark.createDataFrame(
+        [(i, 10 * i + 3) for i in range(7)], "doc_id long, n_chars long"
+    )
+    got = {
+        (r.src_doc_id, r.dst_doc_id)
+        for r in links.derive_edges(docs, fan_out=2).collect()
+    }
+    want = set()
+    for s in range(7):
+        for j in range(2):
+            d = (s * 131 + (10 * s + 3) + j * 37) % 7
+            if d != s:
+                want.add((s, d))
+    assert got == want
+
+
+def test_inlink_counts_sum_equals_edge_count(linked_corpus):
+    edges = links.extract_links(linked_corpus)
+    counts = links.inlink_counts(edges)
+    assert counts.agg(F.sum("inlinks")).collect()[0][0] == edges.count()
+
+
+def test_static_rank_join_neutral_at_alpha_zero(spark, linked_corpus):
+    ranks = links.inlink_counts(links.extract_links(linked_corpus))
+    base = spark.createDataFrame(
+        [(0, 3.5), (1, 2.0), (2, 1.0)], "doc_id long, score double"
+    )
+    out = links.static_rank_join(base, ranks, alpha=0.0).collect()
+    assert [(r.doc_id, r.rank_score) for r in out] == [(0, 3.5), (1, 2.0), (2, 1.0)]
+
+
+def test_static_rank_join_boosts_popular_docs(spark, linked_corpus):
+    ranks = links.inlink_counts(links.extract_links(linked_corpus))
+    # doc 2 (gamma) has 2 inlinks, doc 3 (delta) has none: equal base
+    # scores must reorder in gamma's favor
+    base = spark.createDataFrame(
+        [(2, 1.0), (3, 1.0)], "doc_id long, score double"
+    )
+    out = links.static_rank_join(base, ranks, alpha=0.5).collect()
+    assert out[0].doc_id == 2 and out[0].inlinks == 2
+    assert out[1].doc_id == 3 and out[1].inlinks == 0
+    assert out[0].rank_score > out[1].rank_score
+
+
+def test_rank_join_is_broadcast(spark, linked_corpus):
+    ranks = links.inlink_counts(links.extract_links(linked_corpus))
+    base = spark.createDataFrame([(2, 1.0)], "doc_id long, score double")
+    plan = links.static_rank_join(base, ranks)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
