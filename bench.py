@@ -90,6 +90,9 @@ EXTRAS = [
     "prefix_suggest",
     "mmr_diversify",
     "sessionize",
+    "url_filters",
+    "link_rank",
+    "sample_stratified",
 ]
 
 

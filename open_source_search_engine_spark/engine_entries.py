@@ -806,6 +806,46 @@ MLT_DOC_ID = 7
 MLT_M_TERMS = 5
 
 
+def q_engine_link_rank(spark, sf_dir):
+    """J7 through the STORED index: WAND top-50 base (rounded-score
+    selection), then the broadcast static-rank blend of inlink counts —
+    the Msg25/siteNumInlinks prior applied to a real index-backed serp.
+    Gigablast packs siterank into the posdb key; the Spark analog keeps
+    it a broadcast rank join over the bounded top-k, which preserves
+    WAND admissibility (the prior re-ranks a fetched window, it never
+    has to inflate kernel upper bounds)."""
+    from .operators import links
+
+    idx = engine_index(spark, sf_dir)
+    base = _round_topk(search_wand(spark, idx, "table", k=60, enrich=False), 50)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ranks = links.inlink_counts(links.derive_edges(docs, fan_out=3))
+    return links.static_rank_join(base, ranks, alpha=0.1, k=20)
+
+
+def _sql_engine_link_rank() -> str:
+    # identical blend as entry_queries._sql_link_rank, over the ENGINE
+    # BM25 oracle (stored-index scoring semantics) as the base
+    return f"""
+WITH base AS ({_bm25_engine_oracle(["table"], k=50)}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+edges AS (
+  SELECT DISTINCT d.doc_id AS src_doc_id,
+         ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) AS dst_doc_id
+  FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2)) AS j(j)
+  WHERE ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) <> d.doc_id
+),
+inl AS (SELECT dst_doc_id AS doc_id, CAST(count(*) AS BIGINT) AS inlinks
+        FROM edges GROUP BY dst_doc_id)
+SELECT b.doc_id,
+       coalesce(inl.inlinks, 0) AS inlinks,
+       round(b.score * (1.0 + 0.1 * ln(1.0 + coalesce(inl.inlinks, 0))), 4) AS rank_score
+FROM base b LEFT JOIN inl USING (doc_id)
+ORDER BY rank_score DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_engine_mlt(spark, sf_dir):
     """More-like-this (A7 gigabits scorer applied to ONE doc + U1
     match-any retrieval): top-5 tf*idf terms of doc 7 against the STORED
@@ -972,6 +1012,7 @@ def engine_registry() -> tuple[dict, dict]:
         # index-backed under their original entry names (entry_queries)
         "engine_gigabits": q_engine_gigabits,
         "engine_mlt": q_engine_mlt,
+        "engine_link_rank": q_engine_link_rank,
         "hybrid_rrf": q_hybrid_rrf,
     }
     batch_items = [
@@ -1015,6 +1056,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_proximity": SQL_ENGINE_PROXIMITY,
         "engine_sortby": SQL_ENGINE_SORTBY,
         "engine_mlt": SQL_ENGINE_MLT,
+        "engine_link_rank": _sql_engine_link_rank(),
         "hybrid_rrf": SQL_HYBRID_RRF,
     }
     return queries, oracles

@@ -1936,6 +1936,9 @@ _TAIL = [
     # r4 deterministic-sampling ops (quota-by-stratum, Bernoulli-by-hash)
     "sample_stratified",
     "sample_hash",
+    # J7 through the STORED index (in-window link_rank's engine twin):
+    # WAND top-50 base -> broadcast inlink-prior blend
+    "engine_link_rank",
 ]
 
 
