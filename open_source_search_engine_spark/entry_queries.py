@@ -682,6 +682,47 @@ ORDER BY jaccard DESC, a, b LIMIT 20
 """
 
 
+def q_decontam_ngram(spark, sf_dir):
+    """train/test decontamination: train docs sharing >=1 distinct 8-gram
+    with the eval split (doc_id % 10 == 0 plays the eval set — the split
+    rule is engine-portable so the oracle replays it exactly).  The eval
+    gram set is broadcast; the train corpus is never shuffled."""
+    from .operators import decontam
+
+    docs = _t(spark, sf_dir, "documents")
+    is_test = F.col("doc_id") % 10 == 0
+    report = decontam.decontaminate(
+        docs.where(~is_test), docs.where(is_test), "doc_id", "text", n=8
+    )
+    return report.orderBy("doc_id")
+
+
+SQL_DECONTAM_NGRAM = f"""
+WITH d AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks,
+         (doc_id % 10 = 0) AS is_test
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, is_test,
+         list_distinct(CASE WHEN len(toks) >= 8 THEN
+           list_transform(range(len(toks) - 7),
+             i -> list_aggregate(toks[i+1:i+8], 'string_agg', ' '))
+           ELSE [] END) AS grams
+  FROM d
+),
+test_grams AS (SELECT DISTINCT unnest(grams) AS g FROM sh WHERE is_test),
+train AS (
+  SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+  FROM sh WHERE NOT is_test
+)
+SELECT t.doc_id, count(*) AS n_hit, any_value(t.n_grams) AS n_grams,
+       round(CAST(count(*) AS DOUBLE) / any_value(t.n_grams), 4) AS hit_ratio
+FROM train t JOIN test_grams USING (g)
+GROUP BY t.doc_id HAVING count(*) >= 1 ORDER BY doc_id
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """token counting per doc (BPE-ish proxy): total + distinct."""
     docs = _t(spark, sf_dir, "documents")
@@ -1833,7 +1874,12 @@ _WINDOW = [
     "paging",
     "metrics_rollup",
     "json_flatten",
-    "set_ops",
+    # r4: train/test decontamination (n-gram collision vs a broadcast eval
+    # set) takes set_ops' seat — U2's EXCEPT/INTERSECT semantics stay
+    # certified in-window by engine_bm25_neg (anti-join/EXCEPT) and
+    # semi_join (INTERSECT); set_ops moves to the tail where
+    # test_registry_tail_oracles certifies it every CI run
+    "decontam_ngram",
     # T4 from the stored index (num: lookup termlist) — the relational
     # orderBy twin "sortby_field" moved to the tail, its semantics being
     # covered in-window by paging (sort+limit) and this entry
@@ -1896,6 +1942,10 @@ _TAIL = [
     # in-window dedup_clusters oracle replays the identical banded pair
     # set through the recursive closure
     "simhash",
+    # set_ops moved here r4 (seat taken by decontam_ngram): EXCEPT ==
+    # in-window engine_bm25_neg's anti-join, INTERSECT == in-window
+    # semi_join
+    "set_ops",
     # and3 moved here r4 (seat taken by engine_time_travel) — twin of
     # in-window and2 + the batch entry's 3-term members
     "engine_bm25_and3",
@@ -1991,6 +2041,7 @@ def build_registry() -> tuple[
         # training-data ops
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
+        "decontam_ngram": q_decontam_ngram,
         "token_stats": q_token_stats,
         "token_stats_bpe": q_token_stats_bpe,
         "quality": q_quality,
@@ -2057,6 +2108,7 @@ def build_registry() -> tuple[
         "except_op": SQL_EXCEPT,
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "decontam_ngram": SQL_DECONTAM_NGRAM,
         "token_stats": SQL_TOKEN_STATS,
         "token_stats_bpe": SQL_TOKEN_STATS_BPE,
         "quality": SQL_QUALITY,
