@@ -723,6 +723,89 @@ GROUP BY t.doc_id HAVING count(*) >= 1 ORDER BY doc_id
 """
 
 
+def _frontier_requests(spark, sf_dir):
+    """Deterministic spiderdb-shaped frontier derived from the events
+    table (host=ip bucket, priority from event class, synthetic error
+    counts) — the derivation is plain arithmetic so the oracle replays
+    it exactly."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        F.pmod(F.col("user_id"), F.lit(20)).alias("host"),
+        F.col("event_id").alias("url_id"),
+        F.col("ts").alias("added_ts"),
+        F.when(F.col("event_type") == "error", 2)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(0)
+        .alias("priority"),
+        F.pmod(F.col("event_id"), F.lit(6)).alias("err_count"),
+    )
+
+
+_FRONTIER_NOW = "2024-01-20 00:00:00"
+_FRONTIER_REQ_SQL = """
+  SELECT user_id % 20 AS host, event_id AS url_id, ts AS added_ts,
+         CASE event_type WHEN 'error' THEN 2 WHEN 'click' THEN 1 ELSE 0 END
+           AS priority,
+         event_id % 6 AS err_count
+  FROM events
+"""
+
+
+def q_frontier_dole(spark, sf_dir):
+    """doledb dequeue (R5): top-2 eligible requests per host at a fixed
+    'now' — priority desc, FIFO within priority, exponential error
+    backoff, err>4 given up."""
+    from .operators import frontier
+
+    req = _frontier_requests(spark, sf_dir)
+    return frontier.dole_ready(
+        req, _FRONTIER_NOW, k_per_host=2, backoff_base_secs=86400, max_err=4
+    ).orderBy("host", "dole_rank")
+
+
+SQL_FRONTIER_DOLE = f"""
+WITH req AS ({_FRONTIER_REQ_SQL}),
+elig AS (
+  SELECT * FROM req
+  WHERE err_count <= 4
+    AND floor(epoch(added_ts)) + 86400 * pow(2, err_count)
+        <= floor(epoch(TIMESTAMP '{_FRONTIER_NOW}'))
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY host ORDER BY priority DESC, added_ts ASC, url_id ASC
+    ) AS dole_rank
+  FROM elig
+)
+SELECT host, url_id, priority, added_ts, err_count, dole_rank
+FROM ranked WHERE dole_rank <= 2 ORDER BY host, dole_rank
+"""
+
+
+def q_frontier_quota(spark, sf_dir):
+    """waiting-tree counts (A8): pending per (host, priority) + remaining
+    per-host quota."""
+    from .operators import frontier
+
+    req = _frontier_requests(spark, sf_dir)
+    return frontier.spider_quota_stats(req, quota_per_host=600).orderBy(
+        "host", "priority"
+    )
+
+
+SQL_FRONTIER_QUOTA = f"""
+WITH req AS ({_FRONTIER_REQ_SQL}),
+per_prio AS (
+  SELECT host, priority, count(*) AS n_pending
+  FROM req GROUP BY host, priority
+)
+SELECT host, priority, n_pending,
+       CAST(600 - sum(n_pending) OVER (PARTITION BY host) AS BIGINT)
+         AS quota_remaining
+FROM per_prio ORDER BY host, priority
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """token counting per doc (BPE-ish proxy): total + distinct."""
     docs = _t(spark, sf_dir, "documents")
@@ -1871,7 +1954,14 @@ _WINDOW = [
     # to a first-class operator (graph inversion + static-prior rank join)
     "link_rank",
     "numeric_range",
-    "paging",
+    # r4: the crawl-frontier dole dequeue (R5 converted from out-of-scope
+    # to a first-class scheduling relation: per-host rank window +
+    # exponential error backoff) takes paging's seat — T3's
+    # sort+offset+limit stays certified in-window transitively (every
+    # engine entry is a sort+limit plan; engine_sortby is the sorted-scan
+    # path); paging moves to the tail where test_registry_tail_oracles
+    # certifies it every CI run
+    "frontier_dole",
     "metrics_rollup",
     "json_flatten",
     # r4: train/test decontamination (n-gram collision vs a broadcast eval
@@ -1946,6 +2036,12 @@ _TAIL = [
     # in-window engine_bm25_neg's anti-join, INTERSECT == in-window
     # semi_join
     "set_ops",
+    # paging moved here r4 (seat taken by frontier_dole) — sort+limit is
+    # in-window everywhere; offset is arithmetic over the same plan
+    "paging",
+    # A8 waiting-tree counts: agg-family twin of in-window metrics_rollup
+    # + window-sum; the R5 dequeue holds the frontier family's window seat
+    "frontier_quota",
     # and3 moved here r4 (seat taken by engine_time_travel) — twin of
     # in-window and2 + the batch entry's 3-term members
     "engine_bm25_and3",
@@ -2042,6 +2138,8 @@ def build_registry() -> tuple[
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "decontam_ngram": q_decontam_ngram,
+        "frontier_dole": q_frontier_dole,
+        "frontier_quota": q_frontier_quota,
         "token_stats": q_token_stats,
         "token_stats_bpe": q_token_stats_bpe,
         "quality": q_quality,
@@ -2109,6 +2207,8 @@ def build_registry() -> tuple[
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "decontam_ngram": SQL_DECONTAM_NGRAM,
+        "frontier_dole": SQL_FRONTIER_DOLE,
+        "frontier_quota": SQL_FRONTIER_QUOTA,
         "token_stats": SQL_TOKEN_STATS,
         "token_stats_bpe": SQL_TOKEN_STATS_BPE,
         "quality": SQL_QUALITY,
