@@ -806,6 +806,81 @@ FROM per_prio ORDER BY host, priority
 """
 
 
+def q_fetch_sim(spark, sf_dir):
+    """S9 fetch pipeline on the fake transport: frontier dequeue ->
+    robots exclusion (broadcast anti-join) -> Arrow-batched fetch kernel.
+    Status/content are closed-form functions of the URL, so even the
+    stubbed transport is oracle-certified end to end."""
+    from .operators import frontier
+    from .sources import fetch as fetchmod
+
+    req = _frontier_requests(spark, sf_dir)
+    doled = frontier.dole_ready(
+        req, _FRONTIER_NOW, k_per_host=2, backoff_base_secs=86400, max_err=4
+    ).withColumn(
+        "url",
+        F.concat_ws(
+            "",
+            F.lit("http://h"),
+            F.col("host").cast("string"),
+            F.lit(".example/p/"),
+            F.col("url_id").cast("string"),
+        ),
+    )
+    robots = spark.createDataFrame(
+        [(h, f"http://h{h}.example/p/1") for h in range(0, 20, 5)],
+        "host long, disallow_prefix string",
+    )
+    allowed = fetchmod.robots_filter(doled, robots)
+    return fetchmod.fetch_documents(allowed, fetcher="fake").orderBy("url")
+
+
+SQL_FETCH_SIM = f"""
+WITH req AS ({_FRONTIER_REQ_SQL}),
+elig AS (
+  SELECT * FROM req
+  WHERE err_count <= 4
+    AND floor(epoch(added_ts)) + 86400 * pow(2, err_count)
+        <= floor(epoch(TIMESTAMP '{_FRONTIER_NOW}'))
+),
+doled AS (
+  SELECT host,
+         'http://h' || host || '.example/p/' || url_id AS url,
+         row_number() OVER (
+           PARTITION BY host ORDER BY priority DESC, added_ts ASC, url_id ASC
+         ) AS dole_rank
+  FROM elig
+),
+robots AS (
+  SELECT * FROM (VALUES (0, 'http://h0.example/p/1'),
+                        (5, 'http://h5.example/p/1'),
+                        (10, 'http://h10.example/p/1'),
+                        (15, 'http://h15.example/p/1'))
+    AS r(host, disallow_prefix)
+),
+allowed AS (
+  SELECT d.url FROM doled d
+  WHERE d.dole_rank <= 2 AND NOT EXISTS (
+    SELECT 1 FROM robots r
+    WHERE r.host = d.host AND starts_with(d.url, r.disallow_prefix)
+  )
+),
+fetched AS (
+  SELECT url, (('0x' || substr(md5(url), 1, 8))::BIGINT % 17 = 0) AS miss
+  FROM allowed
+)
+SELECT url,
+       CASE WHEN miss THEN 404 ELSE 200 END AS status,
+       CASE WHEN miss THEN '' ELSE
+         '<html><title>' || url || '</title><body>doc at ' || url
+         || '</body></html>' END AS content,
+       CAST(CASE WHEN miss THEN 0 ELSE
+         strlen('<html><title>' || url || '</title><body>doc at ' || url
+         || '</body></html>') END AS INT) AS n_bytes
+FROM fetched ORDER BY url
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """token counting per doc (BPE-ish proxy): total + distinct."""
     docs = _t(spark, sf_dir, "documents")
@@ -2042,6 +2117,10 @@ _TAIL = [
     # A8 waiting-tree counts: agg-family twin of in-window metrics_rollup
     # + window-sum; the R5 dequeue holds the frontier family's window seat
     "frontier_quota",
+    # S9 fetch pipeline on the fake transport (real transport honestly
+    # stubbed — no sockets in the sandbox); the dequeue feeding it is the
+    # in-window frontier_dole entry
+    "fetch_sim",
     # and3 moved here r4 (seat taken by engine_time_travel) — twin of
     # in-window and2 + the batch entry's 3-term members
     "engine_bm25_and3",
@@ -2140,6 +2219,7 @@ def build_registry() -> tuple[
         "decontam_ngram": q_decontam_ngram,
         "frontier_dole": q_frontier_dole,
         "frontier_quota": q_frontier_quota,
+        "fetch_sim": q_fetch_sim,
         "token_stats": q_token_stats,
         "token_stats_bpe": q_token_stats_bpe,
         "quality": q_quality,
@@ -2209,6 +2289,7 @@ def build_registry() -> tuple[
         "decontam_ngram": SQL_DECONTAM_NGRAM,
         "frontier_dole": SQL_FRONTIER_DOLE,
         "frontier_quota": SQL_FRONTIER_QUOTA,
+        "fetch_sim": SQL_FETCH_SIM,
         "token_stats": SQL_TOKEN_STATS,
         "token_stats_bpe": SQL_TOKEN_STATS_BPE,
         "quality": SQL_QUALITY,
