@@ -92,6 +92,7 @@ EXTRAS = [
     "sessionize",
     "url_filters",
     "link_rank",
+    "engine_anchor",
     "sample_stratified",
 ]
 

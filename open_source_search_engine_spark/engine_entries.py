@@ -67,7 +67,7 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
         "n": int(n),
         "sum_doc_id": int(s),
         "content_hash": str(h),
-        "cfg": "bigrams-fields-num-r3",
+        "cfg": "bigrams-fields-num-anchors-r4",
     }
 
 
@@ -113,9 +113,18 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
         tmp = f"{root}.building-{os.getpid()}"
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
+        from .operators import links
+
+        corpus = _docs_as_corpus(spark, key)
+        # J7 LinkInfo analog: inbound anchor-text terms (anchor:<tok>)
+        # indexed into the TARGET doc, over the same deterministic edge
+        # rule the link_rank oracle replays
+        anchors = links.anchor_postings(
+            corpus, links.derive_edges(corpus, fan_out=3), n_tokens=3
+        )
         build_index(
             spark,
-            _docs_as_corpus(spark, key),
+            corpus,
             tmp,
             n_shards=2,
             code_aware=False,  # fixture text is plain lowercase tokens
@@ -123,6 +132,8 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
             bigram_terms=True,  # X3: phrase pair-termlist fast path
             numeric_fields=("n_chars",),  # F7/T4: num: lookup termlist
             block_size=256,
+            extra_postings=anchors,
+            extra_label="anchors:first3",
         )
         with open(os.path.join(tmp, "_corpus_meta.json"), "w") as f:
             json.dump(fp, f)
@@ -846,6 +857,42 @@ LIMIT 20
 """
 
 
+def q_engine_anchor(spark, sf_dir):
+    """J7 LinkInfo parity: inbound anchor-text retrieval from the STORED
+    index.  The build injected ``anchor:<tok>`` termlists (first-3 tokens
+    of each inlinking doc, counted per target — XmlDoc::hashLinkInfo's
+    anchor words hashed into the target's posdb lists), so this is ONE
+    pruned termlist scan: docs most-cited-with 'the', no link-graph
+    recompute, no corpus scan.  The oracle rebuilds the whole chain from
+    raw text: closed-form edges -> src head tokens -> count per target."""
+    from .operators import links
+
+    idx = engine_index(spark, sf_dir)
+    return links.search_anchor(spark, idx, "the", k=15, enrich=False)
+
+
+SQL_ENGINE_ANCHOR = """
+WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+edges AS (
+  SELECT DISTINCT d.doc_id AS src_doc_id,
+         ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) AS dst_doc_id
+  FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2)) AS j(j)
+  WHERE ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) <> d.doc_id
+),
+heads AS (
+  SELECT doc_id AS src_doc_id,
+         unnest(list_slice(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1, 3)) AS tok
+  FROM documents
+)
+SELECT e.dst_doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_anchor
+FROM edges e JOIN heads h USING (src_doc_id)
+WHERE h.tok = 'the'
+GROUP BY e.dst_doc_id
+ORDER BY n_anchor DESC, doc_id
+LIMIT 15
+"""
+
+
 def q_engine_mlt(spark, sf_dir):
     """More-like-this (A7 gigabits scorer applied to ONE doc + U1
     match-any retrieval): top-5 tf*idf terms of doc 7 against the STORED
@@ -1013,6 +1060,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_gigabits": q_engine_gigabits,
         "engine_mlt": q_engine_mlt,
         "engine_link_rank": q_engine_link_rank,
+        "engine_anchor": q_engine_anchor,
         "hybrid_rrf": q_hybrid_rrf,
     }
     batch_items = [
@@ -1057,6 +1105,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_sortby": SQL_ENGINE_SORTBY,
         "engine_mlt": SQL_ENGINE_MLT,
         "engine_link_rank": _sql_engine_link_rank(),
+        "engine_anchor": SQL_ENGINE_ANCHOR,
         "hybrid_rrf": SQL_HYBRID_RRF,
     }
     return queries, oracles

@@ -2006,7 +2006,12 @@ _WINDOW = [
     # index-backed stats / serp ops under their original names
     "tf",
     "termstats",
-    "collstats",
+    # r4: collstats moved to the tail — N/avgdl are transitively certified
+    # by every in-window engine BM25 hash (they feed the scoring math);
+    # its seat goes to engine_anchor, the LinkInfo anchor-text-in-target
+    # feature (J7 parity: injected anchor: termlists answered from the
+    # stored index)
+    "engine_anchor",
     "gigabits",
     "spell_suggest",
     "serp_dedup",
@@ -2164,6 +2169,11 @@ _TAIL = [
     # J7 through the STORED index (in-window link_rank's engine twin):
     # WAND top-50 base -> broadcast inlink-prior blend
     "engine_link_rank",
+    # moved out of the window r4 (seat taken by engine_anchor): N/avgdl
+    # feed every in-window engine BM25 row's scoring math, so a wrong
+    # collstats would turn all of them red; certified directly every CI
+    # run by tests/test_registry_tail_oracles.py
+    "collstats",
 ]
 
 

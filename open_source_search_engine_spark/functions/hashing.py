@@ -27,6 +27,25 @@ def term_hash_py(token: str) -> int:
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def term_hash_udf(term: Column) -> Column:
+    """Arrow-vectorized blake2b term id for DataFrames whose term strings
+    must resolve against the STORED index (same bytes as `term_hash_py`).
+    Pandas-UDF path, so keep it off hot per-occurrence grain — posting
+    sources like `links.anchor_postings` apply it AFTER aggregation, on
+    one row per (doc, term)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    def _h(s: pd.Series) -> pd.Series:
+        return s.map(lambda t: term_hash_py(t or ""))
+
+    # real (non-string) annotations: `from __future__ import annotations`
+    # would stringify inline hints against a locally-imported pandas
+    _h.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(_h, LongType())(term)
+
+
 def term_id_col(term: Column) -> Column:
     """JVM-side term id for column pipelines that never meet the stored
     index (ad-hoc oracle queries etc.)."""

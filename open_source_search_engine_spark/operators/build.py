@@ -539,8 +539,20 @@ def build_index(
     resume: bool = True,
     fail_after_shard: int | None = None,
     shard_parallelism: int = 2,
+    extra_postings: DataFrame | None = None,
+    extra_label: str = "",
 ) -> Index:
     """Full resumable build.
+
+    ``extra_postings`` injects externally-derived posting rows (schema
+    ``term_id long, doc_id long, doclen int, tf int, pos_enc binary,
+    term string``) into the build — the Msg4-injected-termlist analog:
+    Gigablast's link-text indexer hashes INBOUND anchor words into the
+    target doc's posdb lists (XmlDoc::hashLinkInfo), terms the doc's own
+    content never produced.  Rows are routed to the target doc's shard
+    (same ``pmod(doc_id, n_shards)`` as the corpus) so doc-disjoint WAND
+    sharding still holds.  ``extra_label`` names the source in the index
+    features for the resume-configuration guard.
 
     Shards are independent jobs; ``shard_parallelism`` > 1 submits them
     from concurrent driver threads so Spark interleaves their stages and
@@ -588,12 +600,22 @@ def build_index(
                 "use the same setting (mixed segments would make num: "
                 "termlists incomplete)"
             )
+        if idx.features().get("extra_postings", "") != (
+            extra_label if extra_postings is not None else ""
+        ):
+            raise ValueError(
+                f"index root {index_root} was built with extra_postings="
+                f"{idx.features().get('extra_postings', '')!r}; a resume "
+                "must supply the same posting source (mixed segments would "
+                "make the injected termlists incomplete)"
+            )
     else:
         idx.write_features(
             bigrams=bigram_terms,
             numeric_fields=sorted(numeric_fields),
             code_aware=code_aware,
             n_shards=n_shards,
+            extra_postings=extra_label if extra_postings is not None else "",
         )
 
     # a small source parquet may expose fewer splits than cores, capping
@@ -625,6 +647,13 @@ def build_index(
             num = numeric_postings(d, numeric_fields)
             if num is not None:
                 posts = posts.unionByName(num)
+        if extra_postings is not None:
+            posts = posts.unionByName(
+                extra_postings.filter(
+                    F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
+                    == F.lit(shard)
+                ).select("term_id", "doc_id", "doclen", "tf", "pos_enc", "term")
+            )
         posts = posts.persist(StorageLevel.MEMORY_AND_DISK)
         dict_df = (
             posts.filter(F.col("term").isNotNull())

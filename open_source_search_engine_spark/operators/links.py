@@ -32,8 +32,10 @@ ANSI SQL so the DuckDB oracle certifies the whole pipeline value-exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..functions.hashing import term_hash_py, term_hash_udf
 
 
 def extract_links(
@@ -101,8 +103,14 @@ def derive_edges(
             "_n_total",
         )
     )
+    # reduce mod N BEFORE the multiply: for the dense 0..N-1 fixture ids
+    # the value is identical (pmod(s,N)==s), and for full-range xxhash64
+    # doc ids (derive_ids corpora) it keeps the product inside int64 —
+    # s*131 on a raw hash id overflows under ANSI arithmetic
     dst = F.pmod(
-        F.col("src_doc_id") * F.lit(131) + F.col("_seed") + F.col("_j") * F.lit(37),
+        F.pmod(F.col("src_doc_id"), F.col("_n_total")) * F.lit(131)
+        + F.col("_seed")
+        + F.col("_j") * F.lit(37),
         F.col("_n_total"),
     ).cast("long")
     return (
@@ -119,6 +127,112 @@ def inlink_counts(edges: DataFrame) -> DataFrame:
     return edges.groupBy(F.col("dst_doc_id").alias("doc_id")).agg(
         F.count("*").cast("long").alias("inlinks")
     )
+
+
+def anchor_postings(
+    docs: DataFrame,
+    edges: DataFrame,
+    n_tokens: int = 3,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    token_re: str = "[a-z0-9_]+",
+) -> DataFrame:
+    """Inbound anchor-text terms indexed into the TARGET doc — Gigablast's
+    signature LinkInfo feature (Msg25 collects inlinkers' anchor text;
+    ``XmlDoc::hashLinkInfo`` hashes those words into the target's posdb
+    termlists, SURVEY §2.3 J7): a page ranks for words *other pages* use
+    when linking to it.
+
+    The code-corpus analog takes each edge's anchor text to be the first
+    ``n_tokens`` tokens of the SOURCE doc (the citing context).  Output is
+    posting rows ready for ``build_index(extra_postings=...)``::
+
+        (term_id, doc_id=dst, doclen=0, tf, pos_enc=b'', term)
+
+    where ``term = 'anchor:<tok>'`` and ``tf`` counts inbound (src, token)
+    occurrences — the inlink-weighted anchor frequency.  Like ``num:``
+    lookup termlists these carry no positions and doclen 0 (they never
+    contribute to the doc's length norm); the colon prefix keeps them out
+    of word-term paths (spell candidates filter ``':'``).
+
+    Shape at scale: one vectorized regexp+slice over docs (no UDF), an
+    equi-join keyed by ``src_doc_id`` (broadcastable when the edge table
+    is the small side, shuffled otherwise), and one groupBy on
+    ``(dst, term)`` with map-side partial counts — the same single-shuffle
+    inversion as `inlink_counts`.
+    """
+    heads = docs.select(
+        F.col(id_col).alias("src_doc_id"),
+        F.slice(
+            F.regexp_extract_all(
+                F.lower(F.col(content_col)), F.lit(token_re), F.lit(0)
+            ),
+            1,
+            n_tokens,
+        ).alias("_toks"),
+    )
+    pairs = (
+        edges.join(heads, "src_doc_id")
+        .select(
+            F.col("dst_doc_id").alias("doc_id"),
+            F.explode("_toks").alias("_tok"),
+        )
+        .groupBy("doc_id", "_tok")
+        .agg(F.count("*").cast("int").alias("tf"))
+    )
+    term = F.concat(F.lit("anchor:"), F.col("_tok"))
+    return pairs.select(
+        # blake2b (the stored index's term-id space), Arrow-vectorized —
+        # applied post-aggregation, one row per (doc, anchor term)
+        term_hash_udf(term).alias("term_id"),
+        "doc_id",
+        F.lit(0).cast("int").alias("doclen"),
+        "tf",
+        F.lit(b"").alias("pos_enc"),
+        term.alias("term"),
+    )
+
+
+def search_anchor(
+    spark: SparkSession,
+    index,
+    token: str,
+    k: int = 20,
+    enrich: bool = False,
+) -> DataFrame:
+    """Top-k docs by inbound anchor frequency for one anchor token,
+    answered from the STORED ``anchor:<tok>`` termlist alone (the same
+    pruned single-termlist plan as ``plans.sortby.search_sortby``: term_id
+    pushed to the parquet row groups, Arrow decode without positions,
+    tombstone anti-join, ``TakeOrderedAndProject``).  No corpus scan, no
+    link-graph recompute at query time — the build already inverted the
+    graph into the index, which is the whole Linkdb point."""
+    from .build import docmeta_cached
+    from .merge import decode_to_postings, deletes_table
+
+    tid = int(term_hash_py(f"anchor:{token.lower()}"))
+    blocks = index.postings.read(spark)
+    if blocks is None:
+        raise RuntimeError(f"postings snapshot absent under {index.root!r}")
+    rows = decode_to_postings(
+        blocks.filter(F.col("term_id") == F.lit(tid)), with_positions=False
+    ).select("doc_id", F.col("tf").cast("long").alias("n_anchor"))
+    ddf = deletes_table(index).read(spark)
+    if ddf is not None:
+        rows = rows.join(
+            F.broadcast(ddf.select("doc_id").distinct()), "doc_id", "left_anti"
+        )
+    order = [F.desc("n_anchor"), F.asc("doc_id")]
+    topk = rows.orderBy(*order).limit(k)
+    if enrich:
+        meta = docmeta_cached(spark, index)
+        topk = (
+            F.broadcast(topk)
+            .join(meta, "doc_id")
+            .select("doc_id", "n_anchor", "repo", "path", "lang")
+            .orderBy(*order)
+        )
+    return topk
 
 
 def static_rank_join(

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from ..functions.tokenize import _tokenize_one
 
-FIELD_PREFIXES = ("lang", "repo", "path", "site", "url", "intitle")
+FIELD_PREFIXES = ("lang", "repo", "path", "site", "url", "intitle", "anchor")
 
 
 @dataclass(frozen=True)

@@ -87,3 +87,108 @@ def test_rank_join_is_broadcast(spark, linked_corpus):
     base = spark.createDataFrame([(2, 1.0)], "doc_id long, score double")
     plan = links.static_rank_join(base, ranks)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+# ---- anchor-text indexing (LinkInfo parity: inbound anchor words
+# indexed into the TARGET doc's termlists) ----
+
+
+@pytest.fixture(scope="module")
+def anchor_corpus(spark):
+    rows = [
+        (0, "r/a", "doc/0", "c", "py", "alpha beta gamma delta"),
+        (1, "r/a", "doc/1", "c", "py", "beta beta gamma alpha"),
+        (2, "r/b", "doc/2", "c", "go", "gamma delta alpha beta"),
+        (3, "r/b", "doc/3", "c", "go", "delta alpha beta gamma"),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+
+
+@pytest.fixture(scope="module")
+def anchor_edges(spark):
+    # 0->2, 1->2, 1->3, 3->2  (doc 2 has three inlinkers)
+    return spark.createDataFrame(
+        [(0, 2), (1, 2), (1, 3), (3, 2)], "src_doc_id long, dst_doc_id long"
+    )
+
+
+def test_anchor_postings_counts(anchor_corpus, anchor_edges):
+    from open_source_search_engine_spark.functions.hashing import term_hash_py
+
+    rows = links.anchor_postings(anchor_corpus, anchor_edges, n_tokens=2).collect()
+    got = {(r.doc_id, r.term): r.tf for r in rows}
+    # first-2 tokens per src: 0->[alpha,beta] 1->[beta,beta] 3->[delta,alpha]
+    assert got == {
+        (2, "anchor:alpha"): 2,  # from src 0 and src 3
+        (2, "anchor:beta"): 3,   # src 0 once + src 1 twice
+        (2, "anchor:delta"): 1,  # src 3
+        (3, "anchor:beta"): 2,   # src 1's duplicated head token counts twice
+    }
+    for r in rows:
+        assert r.term_id == term_hash_py(r.term)
+        assert r.doclen == 0 and r.pos_enc == b""
+
+
+def test_anchor_stored_index_end_to_end(
+    spark, anchor_corpus, anchor_edges, tmp_path_factory
+):
+    from open_source_search_engine_spark.operators.build import build_index
+
+    root = str(tmp_path_factory.mktemp("anchoridx"))
+    idx = build_index(
+        spark,
+        anchor_corpus,
+        root,
+        n_shards=2,
+        code_aware=False,
+        block_size=4,
+        extra_postings=links.anchor_postings(anchor_corpus, anchor_edges, n_tokens=2),
+        extra_label="anchors:first2",
+    )
+    got = [
+        (r.doc_id, r.n_anchor)
+        for r in links.search_anchor(spark, idx, "beta", k=10).collect()
+    ]
+    assert got == [(2, 3), (3, 2)]
+    # enriched path joins doc metadata off the cached docstats
+    en = links.search_anchor(spark, idx, "alpha", k=10, enrich=True).collect()
+    assert [(r.doc_id, r.n_anchor, r.lang) for r in en] == [(2, 2, "go")]
+    # anchor: rides the query surface as a fielded slot: restriction
+    # semantics over the stored termlist (docs containing 'gamma' whose
+    # inbound anchors say 'delta' => doc 2 only)
+    from open_source_search_engine_spark.plans.exec import search
+
+    hits = search(spark, idx, "anchor:delta gamma", k=10).collect()
+    assert [r.doc_id for r in hits] == [2]
+
+
+def test_build_guards_extra_postings_mismatch(
+    spark, anchor_corpus, anchor_edges, tmp_path_factory
+):
+    from open_source_search_engine_spark.operators.build import build_index
+
+    root = str(tmp_path_factory.mktemp("anchorguard"))
+    build_index(
+        spark,
+        anchor_corpus,
+        root,
+        n_shards=1,
+        code_aware=False,
+        block_size=4,
+        extra_postings=links.anchor_postings(anchor_corpus, anchor_edges),
+        extra_label="anchors:first3",
+    )
+    with pytest.raises(ValueError, match="extra_postings"):
+        build_index(
+            spark,
+            anchor_corpus,
+            root,
+            n_shards=1,
+            code_aware=False,
+            block_size=4,
+            resume=True,
+        )

@@ -70,6 +70,7 @@ def test_describe_index(spark, micro_index):
         "numeric_fields": [],
         "code_aware": False,
         "n_shards": 1,
+        "extra_postings": "",
     }
 
 
