@@ -893,6 +893,51 @@ LIMIT 15
 """
 
 
+def q_engine_anchor_boost(spark, sf_dir):
+    """The RANKING half of LinkInfo: a doc cited with the query term in
+    inbound anchor text outranks an equal body match (Gigablast weights
+    anchor-text term matches above body matches).  WAND top-50 base for
+    'table' (rounded-score selection), then a broadcast blend of the
+    stored anchor:table termlist — term-SPECIFIC anchor evidence, vs
+    engine_link_rank's query-independent popularity prior."""
+    from .operators import links
+
+    idx = engine_index(spark, sf_dir)
+    base = _round_topk(search_wand(spark, idx, "table", k=60, enrich=False), 50)
+    return links.anchor_rank_join(
+        base, links.anchor_counts(spark, idx, "table"), beta=0.2, k=20
+    )
+
+
+def _sql_engine_anchor_boost() -> str:
+    return f"""
+WITH base AS ({_bm25_engine_oracle(["table"], k=50)}),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents),
+edges AS (
+  SELECT DISTINCT d.doc_id AS src_doc_id,
+         ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) AS dst_doc_id
+  FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2)) AS j(j)
+  WHERE ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) <> d.doc_id
+),
+heads AS (
+  SELECT doc_id AS src_doc_id,
+         unnest(list_slice(regexp_extract_all(lower(text), '[a-z0-9_]+'), 1, 3)) AS tok
+  FROM documents
+),
+anch AS (
+  SELECT e.dst_doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_anchor
+  FROM edges e JOIN heads h USING (src_doc_id)
+  WHERE h.tok = 'table' GROUP BY e.dst_doc_id
+)
+SELECT b.doc_id,
+       coalesce(a.n_anchor, 0) AS n_anchor,
+       round(b.score * (1.0 + 0.2 * ln(1.0 + coalesce(a.n_anchor, 0))), 4) AS boost_score
+FROM base b LEFT JOIN anch a USING (doc_id)
+ORDER BY boost_score DESC, doc_id
+LIMIT 20
+"""
+
+
 def q_engine_mlt(spark, sf_dir):
     """More-like-this (A7 gigabits scorer applied to ONE doc + U1
     match-any retrieval): top-5 tf*idf terms of doc 7 against the STORED
@@ -1061,6 +1106,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_mlt": q_engine_mlt,
         "engine_link_rank": q_engine_link_rank,
         "engine_anchor": q_engine_anchor,
+        "engine_anchor_boost": q_engine_anchor_boost,
         "hybrid_rrf": q_hybrid_rrf,
     }
     batch_items = [
@@ -1106,6 +1152,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_mlt": SQL_ENGINE_MLT,
         "engine_link_rank": _sql_engine_link_rank(),
         "engine_anchor": SQL_ENGINE_ANCHOR,
+        "engine_anchor_boost": _sql_engine_anchor_boost(),
         "hybrid_rrf": SQL_HYBRID_RRF,
     }
     return queries, oracles

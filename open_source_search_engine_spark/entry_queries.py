@@ -2174,6 +2174,10 @@ _TAIL = [
     # collstats would turn all of them red; certified directly every CI
     # run by tests/test_registry_tail_oracles.py
     "collstats",
+    # LinkInfo RANKING half: term-specific anchor-evidence blend over the
+    # WAND base — retrieval twin of in-window engine_anchor + blend twin
+    # of tail engine_link_rank; CI-certified via test_registry_tail_oracles
+    "engine_anchor_boost",
 ]
 
 

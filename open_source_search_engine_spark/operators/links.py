@@ -193,21 +193,13 @@ def anchor_postings(
     )
 
 
-def search_anchor(
-    spark: SparkSession,
-    index,
-    token: str,
-    k: int = 20,
-    enrich: bool = False,
-) -> DataFrame:
-    """Top-k docs by inbound anchor frequency for one anchor token,
-    answered from the STORED ``anchor:<tok>`` termlist alone (the same
-    pruned single-termlist plan as ``plans.sortby.search_sortby``: term_id
-    pushed to the parquet row groups, Arrow decode without positions,
-    tombstone anti-join, ``TakeOrderedAndProject``).  No corpus scan, no
-    link-graph recompute at query time — the build already inverted the
-    graph into the index, which is the whole Linkdb point."""
-    from .build import docmeta_cached
+def anchor_counts(spark: SparkSession, index, token: str) -> DataFrame:
+    """The full stored ``anchor:<tok>`` termlist as (doc_id, n_anchor) —
+    ONE pruned scan (term_id pushed to the parquet row groups, Arrow
+    decode without positions, tombstone anti-join).  No corpus scan, no
+    link-graph recompute: the build already inverted the graph into the
+    index, which is the whole Linkdb point.  One row per target doc, so
+    the result broadcasts into ranking joins the way inlink_counts does."""
     from .merge import decode_to_postings, deletes_table
 
     tid = int(term_hash_py(f"anchor:{token.lower()}"))
@@ -222,6 +214,22 @@ def search_anchor(
         rows = rows.join(
             F.broadcast(ddf.select("doc_id").distinct()), "doc_id", "left_anti"
         )
+    return rows
+
+
+def search_anchor(
+    spark: SparkSession,
+    index,
+    token: str,
+    k: int = 20,
+    enrich: bool = False,
+) -> DataFrame:
+    """Top-k docs by inbound anchor frequency for one anchor token
+    (`anchor_counts` + ``TakeOrderedAndProject``, the same bounded-heap
+    shape as ``plans.sortby.search_sortby``)."""
+    from .build import docmeta_cached
+
+    rows = anchor_counts(spark, index, token)
     order = [F.desc("n_anchor"), F.asc("doc_id")]
     topk = rows.orderBy(*order).limit(k)
     if enrich:
@@ -233,6 +241,37 @@ def search_anchor(
             .orderBy(*order)
         )
     return topk
+
+
+def anchor_rank_join(
+    results: DataFrame,
+    anchors: DataFrame,
+    beta: float = 0.2,
+    score_col: str = "score",
+    k: int | None = None,
+) -> DataFrame:
+    """Blend TERM-SPECIFIC inbound anchor evidence into a scored result
+    set — the ranking half of LinkInfo (Gigablast weights a query term's
+    match in inbound anchor text above a body match; SURVEY §2.3 J7):
+    ``boost_score = round(score * (1 + beta*ln(1+n_anchor)), 4)``, docs
+    nobody cites with the term keep the neutral factor.  ``anchors`` is
+    `anchor_counts` output — one row per cited doc, broadcast; only the
+    ranked docs' rows survive the join.  Unlike `static_rank_join`'s
+    query-independent popularity prior, this prior is per query term."""
+    na = F.coalesce(F.col("n_anchor"), F.lit(0)).cast("long")
+    blended = F.round(
+        F.col(score_col)
+        * (F.lit(1.0) + F.lit(beta) * F.log(F.lit(1.0) + na.cast("double"))),
+        4,
+    )
+    out = (
+        results.join(F.broadcast(anchors), "doc_id", "left")
+        .select("doc_id", na.alias("n_anchor"), blended.alias("boost_score"))
+        .orderBy(F.desc("boost_score"), F.asc("doc_id"))
+    )
+    if k is not None:
+        out = out.limit(k)
+    return out
 
 
 def static_rank_join(

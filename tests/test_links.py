@@ -192,3 +192,34 @@ def test_build_guards_extra_postings_mismatch(
             block_size=4,
             resume=True,
         )
+
+
+def test_anchor_rank_join_blend(spark, anchor_corpus, anchor_edges, tmp_path_factory):
+    import math
+
+    from open_source_search_engine_spark.operators.build import build_index
+
+    root = str(tmp_path_factory.mktemp("anchorblend"))
+    idx = build_index(
+        spark,
+        anchor_corpus,
+        root,
+        n_shards=1,
+        code_aware=False,
+        block_size=4,
+        extra_postings=links.anchor_postings(anchor_corpus, anchor_edges, n_tokens=2),
+        extra_label="anchors:first2",
+    )
+    base = spark.createDataFrame(
+        [(2, 1.0), (3, 1.0), (0, 1.0)], "doc_id long, score double"
+    )
+    got = {
+        r.doc_id: (r.n_anchor, r.boost_score)
+        for r in links.anchor_rank_join(
+            base, links.anchor_counts(spark, idx, "beta"), beta=0.2
+        ).collect()
+    }
+    # anchor:beta termlist: doc2 tf=3, doc3 tf=2; doc0 uncited -> neutral
+    assert got[0] == (0, 1.0)
+    assert got[2] == (3, round(1.0 * (1 + 0.2 * math.log(4.0)), 4))
+    assert got[3] == (2, round(1.0 * (1 + 0.2 * math.log(3.0)), 4))
