@@ -103,6 +103,14 @@ def main(argv: list[str] | None = None) -> None:
     sg.add_argument("--prefix", required=True)
     sg.add_argument("-k", type=int, default=10)
 
+    an = sub.add_parser(
+        "anchor", help="docs most-cited-with a token in inbound anchor text"
+    )
+    an.add_argument("--index", required=True)
+    an.add_argument("--token", required=True)
+    an.add_argument("-k", type=int, default=20)
+    an.add_argument("--enrich", action="store_true")
+
     ml = sub.add_parser(
         "mlt", help="more-like-this: top-k docs similar to --doc-id"
     )
@@ -184,6 +192,31 @@ def main(argv: list[str] | None = None) -> None:
         print(
             json.dumps(
                 [{"term": r["term"], "df": int(r["df"])} for r in rows]
+            )
+        )
+        return
+
+    if args.cmd == "anchor":
+        from .operators.build import Index
+        from .operators.links import search_anchor
+
+        rows = search_anchor(
+            spark, Index(args.index), args.token, k=args.k, enrich=args.enrich
+        ).collect()
+        print(
+            json.dumps(
+                [
+                    {
+                        "doc_id": r["doc_id"],
+                        "n_anchor": int(r["n_anchor"]),
+                        **(
+                            {"repo": r["repo"], "path": r["path"]}
+                            if args.enrich
+                            else {}
+                        ),
+                    }
+                    for r in rows
+                ]
             )
         )
         return

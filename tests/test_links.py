@@ -223,3 +223,40 @@ def test_anchor_rank_join_blend(spark, anchor_corpus, anchor_edges, tmp_path_fac
     assert got[0] == (0, 1.0)
     assert got[2] == (3, round(1.0 * (1 + 0.2 * math.log(4.0)), 4))
     assert got[3] == (2, round(1.0 * (1 + 0.2 * math.log(3.0)), 4))
+
+
+def test_cli_anchor_subcommand(
+    spark, anchor_corpus, anchor_edges, tmp_path_factory
+):
+    """python -m ... anchor drives search_anchor (S10 CLI surface)."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from open_source_search_engine_spark.__main__ import main
+    from open_source_search_engine_spark.operators.build import build_index
+
+    root = str(tmp_path_factory.mktemp("anchorcli"))
+    build_index(
+        spark,
+        anchor_corpus,
+        root,
+        n_shards=2,
+        code_aware=False,
+        block_size=4,
+        extra_postings=links.anchor_postings(anchor_corpus, anchor_edges, n_tokens=2),
+        extra_label="anchors:first2",
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--cores", "4", "anchor", "--index", root, "--token", "beta"])
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out == [{"doc_id": 2, "n_anchor": 3}, {"doc_id": 3, "n_anchor": 2}]
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(
+            ["--cores", "4", "anchor", "--index", root, "--token", "alpha",
+             "--enrich"]
+        )
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out == [{"doc_id": 2, "n_anchor": 2, "repo": "r/b", "path": "doc/2"}]
