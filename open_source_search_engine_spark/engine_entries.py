@@ -523,7 +523,7 @@ def _matched_docs(spark, idx: Index, terms: list[str]) -> DataFrame:
         return spark.createDataFrame([], "doc_id long")
     ids = [stats[t][0] for t in terms]
     rows = decode_to_postings(
-        idx.postings.read(spark).filter(F.col("term_id").isin(ids)),
+        idx.postings.read_pruned(spark, ids).filter(F.col("term_id").isin(ids)),
         with_positions=False,
     )
     return (

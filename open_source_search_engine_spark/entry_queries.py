@@ -493,7 +493,9 @@ def q_tf(spark, sf_dir):
     if "table" not in stats:
         return spark.createDataFrame([], "doc_id long, tf long")
     rows = decode_to_postings(
-        idx.postings.read(spark).filter(F.col("term_id") == stats["table"][0]),
+        idx.postings.read_pruned(spark, [stats["table"][0]]).filter(
+            F.col("term_id") == stats["table"][0]
+        ),
         with_positions=False,
     )
     return rows.select(

@@ -1,0 +1,157 @@
+"""Per-segment term bloom filters — the RdbMap *file-pruning* analog.
+
+The reference's Msg5 consults each RdbBase file's RdbMap (per-file key
+ranges, RdbMap.cpp getKeyRange / Msg5 readList in the public Gigablast
+tree) to skip on-disk runs that cannot contain the requested termlist, so
+a point termlist read touches only the files that hold the term.  The
+parquet analog already prunes *within* a segment (term-sorted row groups,
+PLANS.md §1), but an LSM index accumulates many small delta segments
+between compactions, and every query was paying a footer-read + scan-task
+per segment regardless of whether the segment contains any queried term.
+
+term_ids are blake2b64 hashes — uniformly distributed — so a min/max
+zonemap per segment cannot prune (every segment spans ~the whole int64
+range).  What does prune is per-segment *membership*: each postings
+segment carries a bloom filter over its distinct term_ids in a
+``_bloom.json`` sidecar (written once, immutable with the segment), and
+``SnapshotTable.read_pruned(spark, term_ids)`` skips segments whose
+bloom excludes every queried term.  False positives only cost an extra
+(pushed-filter, row-group-pruned) scan; false negatives are impossible.
+
+Scale shape: sidecar size is ~1.2 bytes per distinct term at 1% fpp
+(a few MB for a multi-million-term shard vocabulary), read once per
+driver process per segment and cached.  At 10^12 docs with hourly delta
+commits, a rare-term query touches the handful of segments that actually
+contain the term instead of listing/scanning thousands — the exact
+file-set narrowing RdbMap gives the reference.
+
+Everything is vectorized numpy (splitmix64 double hashing) — no Python
+loop over term_ids on either the build or the probe side.
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import math
+import os
+import uuid
+
+import numpy as np
+
+SIDECAR = "_bloom.json"
+
+# probe-side sidecar cache: segment dirs are immutable once committed, but
+# an index root can be deleted and rebuilt in place, so the file identity
+# (inode, mtime_ns) joins the key the same way SnapshotTable.snapshot_ident
+# guards the read cache.
+_SIDECAR_CACHE: dict[tuple, dict | None] = {}
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (wrapping arithmetic)."""
+    z = x.copy()
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _hash_pair(term_ids) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent 64-bit hashes per id for double hashing
+    (h_i = h1 + i*h2; h2 forced odd so the k probes never degenerate)."""
+    x = np.asarray(term_ids, dtype=np.int64).astype(np.uint64)
+    h1 = _splitmix64(x + np.uint64(0x9E3779B97F4A7C15))
+    h2 = _splitmix64(x ^ np.uint64(0xD6E8FEB86659FD93)) | np.uint64(1)
+    return h1, h2
+
+
+def build_bloom(term_ids, fpp: float = 0.01) -> dict:
+    """Bloom over the distinct ``term_ids`` (n=0 → the always-empty bloom,
+    which prunes unconditionally).  Returns the JSON-serializable sidecar
+    dict: {n, m, k, bits(base64)}."""
+    ids = np.unique(np.asarray(list(term_ids), dtype=np.int64))
+    n = int(ids.size)
+    if n == 0:
+        return {"n": 0, "m": 0, "k": 0, "bits": ""}
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n * math.log(2)))
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    h1, h2 = _hash_pair(ids)
+    with np.errstate(over="ignore"):
+        for i in range(k):
+            pos = (h1 + np.uint64(i) * h2) % np.uint64(m)
+            np.bitwise_or.at(
+                bits,
+                (pos >> np.uint64(3)).astype(np.int64),
+                np.left_shift(
+                    np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                ),
+            )
+    return {
+        "n": n,
+        "m": m,
+        "k": k,
+        "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
+    }
+
+
+def might_contain(bloom: dict, term_ids) -> np.ndarray:
+    """Vectorized membership probe: bool per queried id (True = the
+    segment MAY contain it; False = definitely absent)."""
+    ids = np.asarray(list(term_ids), dtype=np.int64)
+    if bloom["m"] == 0 or ids.size == 0:
+        return np.zeros(ids.size, dtype=bool)
+    bits = np.frombuffer(base64.b64decode(bloom["bits"]), dtype=np.uint8)
+    m = np.uint64(bloom["m"])
+    h1, h2 = _hash_pair(ids)
+    out = np.ones(ids.size, dtype=bool)
+    with np.errstate(over="ignore"):
+        for i in range(bloom["k"]):
+            pos = (h1 + np.uint64(i) * h2) % m
+            byte = bits[(pos >> np.uint64(3)).astype(np.int64)]
+            out &= (
+                byte >> (pos & np.uint64(7)).astype(np.uint8)
+            ) & np.uint8(1) == 1
+    return out
+
+
+def might_contain_any(bloom: dict, term_ids) -> bool:
+    return bool(might_contain(bloom, term_ids).any())
+
+
+def write_sidecar(segment_dir: str, bloom: dict) -> str:
+    """Atomic sidecar write INTO the (not-yet-committed) segment dir.
+    The leading underscore keeps it invisible to Spark's parquet reader
+    (Hadoop's hidden-file filter skips ``_``/``.``-prefixed files), and
+    expire_snapshots' rmtree removes it with the segment."""
+    path = os.path.join(segment_dir, SIDECAR)
+    tmp = os.path.join(segment_dir, f".bloom.{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(bloom, f)
+    os.replace(tmp, path)
+    return path
+
+
+def load_sidecar(segment_dir: str) -> dict | None:
+    """Cached sidecar read; None = segment has no bloom (pre-bloom
+    segment or non-postings table) and must always be scanned."""
+    path = os.path.join(segment_dir, SIDECAR)
+    try:
+        st = os.stat(path)
+    except OSError:
+        return None
+    key = (path, st.st_ino, st.st_mtime_ns)
+    if key not in _SIDECAR_CACHE:
+        # evict stale identities of the same path (deleted + rebuilt root)
+        for stale in [k for k in _SIDECAR_CACHE if k[0] == path]:
+            del _SIDECAR_CACHE[stale]
+        try:
+            with open(path) as f:
+                _SIDECAR_CACHE[key] = json.load(f)
+        except (OSError, ValueError):
+            return None
+    return _SIDECAR_CACHE[key]

@@ -685,7 +685,9 @@ def build_index(
             .repartitionByRange("term_id")
             .sortWithinPartitions("term_id", "salt", "block_id")
         )
-        po_seg = idx.postings.write_segment(blocks_sorted, label=f"shard{shard}")
+        po_seg = idx.postings.write_segment(
+            blocks_sorted, label=f"shard{shard}", bloom_col="term_id"
+        )
         ts_partial = blocks.groupBy("term_id").agg(
             F.sum("n_docs").alias("df"),
             F.sum("sum_tf").alias("cf"),

@@ -203,7 +203,7 @@ def anchor_counts(spark: SparkSession, index, token: str) -> DataFrame:
     from .merge import decode_to_postings, deletes_table
 
     tid = int(term_hash_py(f"anchor:{token.lower()}"))
-    blocks = index.postings.read(spark)
+    blocks = index.postings.read_pruned(spark, [tid])
     if blocks is None:
         raise RuntimeError(f"postings snapshot absent under {index.root!r}")
     rows = decode_to_postings(

@@ -229,7 +229,9 @@ def compact_deltas(
     merged_sorted = merged.repartitionByRange("term_id").sortWithinPartitions(
         "term_id", "salt", "block_id"
     )
-    seg = idx.postings.write_segment(merged_sorted, label="minor")
+    seg = idx.postings.write_segment(
+        merged_sorted, label="minor", bloom_col="term_id"
+    )
     posts.unpersist()
     idx.postings.commit(
         add=[seg],
@@ -293,7 +295,9 @@ def compact_postings(
     merged_sorted = merged.repartitionByRange("term_id").sortWithinPartitions(
         "term_id", "salt", "block_id"
     )
-    seg = idx.postings.write_segment(merged_sorted, label="compacted")
+    seg = idx.postings.write_segment(
+        merged_sorted, label="compacted", bloom_col="term_id"
+    )
     ts_partial = merged.groupBy("term_id").agg(
         F.sum("n_docs").alias("df"),
         F.sum("sum_tf").alias("cf"),

@@ -46,6 +46,12 @@ class PinnedTable:
     def read(self, spark: SparkSession) -> DataFrame | None:
         return self._table.read(spark, version=self._version)
 
+    def read_pruned(self, spark: SparkSession, term_ids) -> DataFrame | None:
+        # bloom pruning is version-safe: sidecars live inside immutable
+        # segment dirs, so the pinned snapshot's segment list resolves to
+        # the blooms that were written with those exact segments
+        return self._table.read_pruned(spark, term_ids, version=self._version)
+
     def latest(self) -> Snapshot | None:
         if self._version is None:
             return self._table.latest()
@@ -68,6 +74,9 @@ class _EmptyTable:
         self._table = table
 
     def read(self, spark: SparkSession) -> DataFrame | None:
+        return None
+
+    def read_pruned(self, spark: SparkSession, term_ids) -> DataFrame | None:
         return None
 
     def latest(self) -> Snapshot | None:

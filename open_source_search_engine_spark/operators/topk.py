@@ -465,7 +465,9 @@ def _scan_blocks(
     chain needs — scoring termlists ride a scan that never touches the
     position bytes (two pushed-filter scans unioned; the pair side is
     tiny by construction)."""
-    base = index.postings.read(spark)
+    # bloom-sidecar segment pruning (functions/bloom.py): only the
+    # segments that may contain a queried term are listed/scanned
+    base = index.postings.read_pruned(spark, list(word_ids) + list(pair_ids))
     word_ids = [t for t in word_ids if t not in set(pair_ids)]
     scan = base.filter(F.col("term_id").isin(word_ids)).drop("positions_enc")
     if not pair_ids:

@@ -172,7 +172,7 @@ def search_boolean(
     if not ids:
         return spark.createDataFrame([], "doc_id long")
     rows = decode_to_postings(
-        index.postings.read(spark).filter(
+        index.postings.read_pruned(spark, list(ids.values())).filter(
             F.col("term_id").isin(list(ids.values()))
         ),
         with_positions=False,

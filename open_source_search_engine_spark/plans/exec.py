@@ -186,8 +186,9 @@ def search(
         qt_rows, "term_id long, slot int, phrase_id int, seq int, idf double"
     )
 
-    blocks = index.postings.read(spark)
     pos_ids = [df_by_term[t][0] for (t, _s, _p, _q, _w) in present_members]
+    # bloom-sidecar segment pruning: skip segments containing no query term
+    blocks = index.postings.read_pruned(spark, pos_ids)
     if need_positions:
         # proximity re-rank needs decoded position arrays
         cand = decode_blocks(

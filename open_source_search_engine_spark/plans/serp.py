@@ -54,7 +54,9 @@ def facets_for_query(
     from ..operators.merge import decode_to_postings
 
     rows = decode_to_postings(
-        index.postings.read(spark).filter(F.col("term_id").isin(ids)),
+        index.postings.read_pruned(spark, ids).filter(
+            F.col("term_id").isin(ids)
+        ),
         with_positions=False,
     )
     matched = (

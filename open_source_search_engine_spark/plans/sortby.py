@@ -58,7 +58,7 @@ def search_sortby(
             f"build_index(..., numeric_fields=({field!r},))"
         )
     tid = int(term_hash_py(f"num:{field}"))
-    blocks = index.postings.read(spark)
+    blocks = index.postings.read_pruned(spark, [tid])
     if blocks is None:
         raise RuntimeError(f"postings snapshot absent under {index.root!r}")
     blocks = blocks.filter(F.col("term_id") == F.lit(tid))

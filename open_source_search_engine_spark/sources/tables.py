@@ -53,9 +53,27 @@ class SnapshotTable:
     def new_segment_path(self, label: str = "seg") -> str:
         return os.path.join(self.dir, f"{label}-{uuid.uuid4().hex[:12]}")
 
-    def write_segment(self, df: DataFrame, label: str = "seg") -> str:
+    def write_segment(
+        self, df: DataFrame, label: str = "seg", bloom_col: str | None = None
+    ) -> str:
         path = self.new_segment_path(label)
         df.write.mode("errorifexists").parquet(path)
+        if bloom_col is not None:
+            # membership sidecar for read_pruned (functions/bloom.py —
+            # the RdbMap file-pruning analog).  Distinct ids are read
+            # back from the segment's OWN parquet (one cheap single-column
+            # scan) rather than from ``df``, so the upstream plan is never
+            # recomputed; written before commit, immutable with the dir.
+            from ..functions import bloom as _bloom
+
+            ids = (
+                df.sparkSession.read.parquet(path)
+                .select(bloom_col)
+                .distinct()
+                .toPandas()[bloom_col]
+                .to_numpy()
+            )
+            _bloom.write_sidecar(path, _bloom.build_bloom(ids))
         return path
 
     def _rel(self, path: str) -> str:
@@ -192,13 +210,84 @@ class SnapshotTable:
         )
         df = _READ_CACHE.get(key)
         if df is None:
+            # evict dead-session entries and THIS table's other-version
+            # entries (full and pruned-subset alike); same-version pruned
+            # subsets stay resident — they are immutable and still valid
             for stale in [
                 k
                 for k in _READ_CACHE
-                if k[:2] == key[:2] or k[0] != key[0]
+                if k[0] != key[0]
+                or (k[1] == key[1] and k[2:4] != key[2:4])
             ]:
                 del _READ_CACHE[stale]
             df = spark.read.parquet(*snap.segments)
+            _READ_CACHE[key] = df
+        return df
+
+    def pruned_segments(
+        self, term_ids, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(segments that may contain any of ``term_ids``, total live
+        segments) for the snapshot — bloom-sidecar file pruning (the
+        Msg5/RdbMap 'which runs hold this key' narrowing).  Segments
+        without a sidecar are never pruned."""
+        from ..functions import bloom as _bloom
+
+        snap = self.latest() if version is None else self.at(version)
+        if snap is None:
+            return [], 0
+        ids = list(term_ids)
+        keep = []
+        for seg in snap.segments:
+            b = _bloom.load_sidecar(seg)
+            if b is None or _bloom.might_contain_any(b, ids):
+                keep.append(seg)
+        return keep, len(snap.segments)
+
+    def read_pruned(
+        self, spark: SparkSession, term_ids, version: int | None = None
+    ) -> DataFrame | None:
+        """``read()`` restricted to the segments whose bloom sidecar may
+        contain any of ``term_ids``.  Strictly a superset-of-the-truth
+        file set, so every downstream pushed ``term_id`` filter returns
+        identical rows — only the files listed/scanned shrink.
+
+        When nothing prunes, this delegates to ``read()`` and shares its
+        per-snapshot memo; pruned subsets get their own memo entries
+        (snapshot + file subset are both immutable)."""
+        snap = self.latest() if version is None else self.at(version)
+        if snap is None or not snap.segments:
+            return None
+        keep, total = self.pruned_segments(term_ids, version=snap.version)
+        if len(keep) == total:
+            return self.read(spark, version=snap.version)
+        if not keep:
+            # every bloom excludes every queried term.  Callers expect a
+            # DataFrame with the table's schema (they've usually already
+            # resolved the terms in the dictionary), so serve the single
+            # cheapest-possible scan: one segment, whose pushed filter
+            # then matches zero rows.
+            keep = [snap.segments[0]]
+        key = (
+            spark.sparkContext.applicationId,
+            self.dir,
+            snap.version,
+            self.snapshot_ident(snap.version),
+            tuple(keep),
+        )
+        df = _READ_CACHE.get(key)
+        if df is None:
+            for stale in [
+                k
+                for k in _READ_CACHE
+                if len(k) == 5
+                and (
+                    k[0] != key[0]
+                    or (k[1] == key[1] and k[2:4] != key[2:4])
+                )
+            ]:
+                del _READ_CACHE[stale]
+            df = spark.read.parquet(*keep)
             _READ_CACHE[key] = df
         return df
 

@@ -147,7 +147,9 @@ def add_documents(
         .repartitionByRange("term_id")
         .sortWithinPartitions("term_id", "salt", "block_id")
     )
-    po_seg = idx.postings.write_segment(blocks_sorted, label=f"delta{shard_id}")
+    po_seg = idx.postings.write_segment(
+        blocks_sorted, label=f"delta{shard_id}", bloom_col="term_id"
+    )
     ts_partial = blocks.groupBy("term_id").agg(
         F.sum("n_docs").alias("df"),
         F.sum("sum_tf").alias("cf"),
