@@ -1109,6 +1109,68 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_ann_quantized(spark, sf_dir):
+    """int8 scalar-quantized ANN with full-precision re-rank (r4): stage 1
+    ranks by cosine over the 4x-smaller quantized vectors (per-vector
+    symmetric int8 — the scale cancels, so ranking reads only the int8
+    array), stage 2 re-scores the rerank=30 survivors exactly.  The
+    oracle replays BOTH stages in SQL (quantize -> approx top-30 ->
+    exact top-10), so the quantization math itself is driver-certified,
+    not just the degenerate full-rerank case."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    return similarity.quantized_topk(
+        emb.filter(F.col("vec_id") != 0),
+        [float(x) for x in qv],
+        k=10,
+        rerank=30,
+    )
+
+
+SQL_ANN_QUANTIZED = """
+WITH q AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings WHERE vec_id = 0
+),
+scaled AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS s
+  FROM embeddings WHERE vec_id <> 0
+),
+quant AS (
+  SELECT vec_id,
+         CASE WHEN s = 0
+              THEN list_transform(embedding, x -> 0.0)
+              ELSE list_transform(embedding, x -> round(CAST(x AS DOUBLE) / s))
+         END AS qe
+  FROM scaled
+),
+stage1 AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(0.0,
+           list_zip(qe, qv).list_transform(p -> p[1] * p[2])), (a, x) -> a + x)
+         / (sqrt(list_reduce(list_prepend(0.0,
+              list_transform(qe, x -> x * x)), (a, x) -> a + x))
+            * sqrt(list_reduce(list_prepend(0.0,
+                list_transform(qv, x -> x * x)), (a, x) -> a + x))) AS approx
+  FROM quant CROSS JOIN q
+  ORDER BY approx DESC, vec_id LIMIT 30
+)
+SELECT e.vec_id,
+       round(
+         list_reduce(list_prepend(0.0,
+           list_zip(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), qv)
+             .list_transform(p -> p[1] * p[2])), (a, x) -> a + x)
+         / (sqrt(list_reduce(list_prepend(0.0,
+              list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, x) -> a + x))
+            * sqrt(list_reduce(list_prepend(0.0,
+                list_transform(qv, x -> x * x)), (a, x) -> a + x))), 4) AS cosine
+FROM embeddings e JOIN stage1 USING (vec_id) CROSS JOIN q
+ORDER BY cosine DESC, e.vec_id LIMIT 10
+"""
+
+
 def q_pairwise_cosine(spark, sf_dir):
     """Embedding near-dup pairs (a<b, cosine >= 0.3), top-50 — through the
     LSH bucket topology in its exhaustive configuration (n_planes=0 ->
@@ -2067,7 +2129,12 @@ _WINDOW = [
     "token_stats_bpe",
     "quality_full",
     "langid",
-    "fingerprint",
+    # r4 (late): int8 scalar-quantized ANN with full-precision re-rank
+    # takes fingerprint's seat — X12 checksum semantics stay certified
+    # in-window by dedup_exact (md5 grouping) and by the sha256 row
+    # invariant pytest; the quantization pipeline is a NEW claim whose
+    # oracle replays both stages in SQL, so it earns the driver row
+    "ann_quantized",
     # r4: more-like-this (A7 single-doc gigabits -> U1 match-any BM25)
     # and hybrid BM25+cosine RRF fusion — the two new operators take the
     # window seats of ann_cosine (its exact-cosine oracle is embedded
@@ -2104,6 +2171,10 @@ _TAIL = [
     # in-window multimodal_features)
     "ann_cosine",
     "multimodal_meta",
+    # fingerprint moved here late-r4 (seat taken by ann_quantized):
+    # checksum semantics certified in-window by dedup_exact's md5 grouping
+    # + the sha256 invariant pytest
+    "fingerprint",
     # ngram_jaccard / embed_facets moved here r4 (seats taken by
     # dedup_clusters / prefix_suggest): ngram_jaccard's exact-jaccard
     # verify is in-window minhash_lsh's oracle; facet aggregation is
@@ -2245,6 +2316,7 @@ def build_registry() -> tuple[
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_quantized": q_ann_quantized,
         "pairwise_cosine": q_pairwise_cosine,
         "embed_facets": q_embed_facets,
         "minhash_lsh": q_minhash_lsh,
@@ -2315,6 +2387,7 @@ def build_registry() -> tuple[
         "ann_cosine": SQL_ANN_COSINE,
         "ann_lsh": SQL_ANN_COSINE,  # full probe == exact brute force
         "ann_ivf": SQL_ANN_COSINE,  # full probe == exact brute force
+        "ann_quantized": SQL_ANN_QUANTIZED,
         "pairwise_cosine": SQL_PAIRWISE_COSINE,  # one bucket == exact all-pairs
         "embed_facets": SQL_EMBED_FACETS,
         "multimodal_meta": SQL_MULTIMODAL_META,

@@ -226,6 +226,75 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization:
+    ``scale = max|x| / 127``, ``q_i = round(x_i / scale)`` ∈ [-127, 127].
+
+    The at-scale shape: the int8 column is written at ingest next to (or
+    instead of) the float32 vectors — 4× less scan IO for the ranking
+    stage.  Cosine against a full-precision query is SCALE-FREE under
+    per-vector symmetric quantization (the scale cancels in both the dot
+    product and the norm), so ranking reads ONLY the int8 array; the
+    scale column is kept for dequantized dot products / reconstruction.
+
+    Pure column expressions (codegen'd, no UDF) and closed-form —
+    a SQL oracle replays it exactly (round = half away from zero in both
+    Spark and DuckDB).  All-zero vectors get q = 0-vector, scale = 0."""
+    v = F.col(vec_col).cast("array<double>")
+    sc = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    q = F.when(sc == 0, F.transform(v, lambda x: F.lit(0.0))).otherwise(
+        F.transform(v, lambda x: F.round(x / sc, 0))
+    )
+    return vectors.select(
+        F.col(id_col),
+        q.cast("array<tinyint>").alias("q"),
+        sc.cast("double").alias("scale"),
+    )
+
+
+def quantized_topk(
+    vectors: DataFrame,
+    query_vec: list[float],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    rerank: int = 50,
+    quantized: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage ANN: int8-quantized cosine picks ``rerank`` candidates
+    from the (4× cheaper) quantized scan, then exactly those rows are
+    re-scored at full precision and the true top-k returned.
+
+    ``quantized`` accepts a pre-materialized ``quantize_embeddings``
+    table (the stored-at-ingest shape); None quantizes on the fly.
+    ``rerank >= corpus size`` degrades to exact brute force — the same
+    full-probe==exact oracle trick as ``lsh_bucketed_topk``/``ivf_topk``,
+    but the default entry oracle replays BOTH stages in SQL.
+
+    Scale shape: stage 1 is a scan of the int8 column +
+    TakeOrderedAndProject (per-partition heap, no shuffle); stage 2 is a
+    ``rerank``-bounded point fetch (pushed ``In(id, …)`` filter — the
+    Msg22 doc-fetch shape), so full-precision vectors are read for only
+    ~k·C rows no matter the corpus size."""
+    if quantized is None:
+        quantized = quantize_embeddings(vectors, id_col, vec_col)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    approx = cosine_col(F.col("q").cast("array<double>"), qv)
+    cand = (
+        quantized.select(F.col(id_col), approx.alias("_approx"))
+        .orderBy(F.desc("_approx"), F.asc(id_col))
+        .limit(max(k, rerank))
+    )
+    # driver-bounded candidate list (<= rerank ids) -> pushed-filter
+    # point scan of the full-precision rows
+    ids = [r[0] for r in cand.select(id_col).collect()]
+    return brute_force_topk(
+        vectors.filter(F.col(id_col).isin(ids)), query_vec, id_col, vec_col, k
+    )
+
+
 def pairwise_cosine_above(
     vectors: DataFrame,
     threshold: float,
