@@ -148,12 +148,20 @@ def docmeta_cached(spark: SparkSession, index: Index) -> DataFrame:
     key = (f"{app}|{index.root}", snap.version if snap else -1, ident)
     df = _DOCMETA_CACHE.get(key)
     if df is None:
-        # evict: dead-session entries (other app ids) + this root's stale
-        # versions; other live roots in this session stay resident
+        # evict: dead-session entries (other app ids) + this root's
+        # same-version different-ident aliases (in-place rebuild); other
+        # live roots stay resident, and up to TWO versions of this root
+        # coexist — time-travel AS-OF enrich pins an immutable older
+        # snapshot alongside HEAD, and alternating head/pin reads must
+        # not unpersist each other's cached projection
         for stale in [
             k
             for k in _DOCMETA_CACHE
-            if k != key and (not k[0].startswith(f"{app}|") or k[0] == key[0])
+            if k != key
+            and (
+                not k[0].startswith(f"{app}|")
+                or (k[0] == key[0] and k[1] == key[1] and k[2] != key[2])
+            )
         ]:
             try:
                 _DOCMETA_CACHE.pop(stale).unpersist()
@@ -167,6 +175,14 @@ def docmeta_cached(spark: SparkSession, index: Index) -> DataFrame:
             )
         df = base.select("doc_id", "repo", "path", "lang").cache()
         _DOCMETA_CACHE[key] = df
+        same_root = sorted(
+            [k for k in _DOCMETA_CACHE if k[0] == key[0]], key=lambda k: k[1]
+        )
+        for k in same_root[:-2]:
+            try:
+                _DOCMETA_CACHE.pop(k).unpersist()
+            except Exception:
+                pass
     return df
 
 

@@ -211,15 +211,17 @@ def compact_deltas(
     by_size = sorted(snap.segments, key=seg_bytes, reverse=True)
     merge_these = by_size[keep_largest:]
     blocks_df = spark.read.parquet(*merge_these)
-    max_shard = (
-        spark.read.parquet(*snap.segments)
-        .agg(F.max("shard").alias("m"))
-        .collect()[0]["m"]
-    )
+    # fresh shard ids from commit-history metadata (driver-side JSON
+    # walk) — scanning every live segment for max(shard) would make the
+    # 'O(merged deltas)' minor merge pay an O(index) parquet scan just to
+    # pick an id
+    from ..streaming.incremental import _next_shard_id
+
+    first_shard = _next_shard_id(idx)
     n_sub = max(int(blocks_df.select("shard").distinct().count()), 1)
     posts = decode_to_postings(blocks_df).withColumn(
         "shard",
-        (F.lit(int(max_shard) + 1) + F.pmod(F.col("doc_id"), F.lit(n_sub))).cast(
+        (F.lit(int(first_shard)) + F.pmod(F.col("doc_id"), F.lit(n_sub))).cast(
             "int"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -240,7 +242,7 @@ def compact_deltas(
         meta={
             "run_id": run_id,
             "merged_segments": len(merge_these),
-            "max_shard": int(max_shard) + n_sub,
+            "max_shard": int(first_shard) + n_sub - 1,
         },
     )
     return len(merge_these)

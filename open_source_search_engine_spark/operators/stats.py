@@ -49,6 +49,11 @@ def describe_index(spark, index) -> dict:
         try:
             t = getattr(index, name)
         except AttributeError:
+            # only 'deletes' legitimately lacks an Index attribute (it is
+            # derived); any other missing table is a real misconfiguration
+            # and must surface, not masquerade as deletes stats
+            if name != "deletes":
+                raise
             from .merge import deletes_table
 
             t = deletes_table(index)
@@ -80,8 +85,15 @@ def describe_index(spark, index) -> dict:
         )
     cs = index.collstats.read(spark)
     if cs is not None:
-        r = cs.collect()[0]
-        out["collstats"] = {"n_docs": int(r["n_docs"]), "avgdl": round(float(r["avgdl"]), 2)}
+        # a committed-but-empty segment (crash between write and
+        # finalize) must not crash the stats page
+        rows = cs.collect()
+        if rows and rows[0]["n_docs"] is not None:
+            r = rows[0]
+            out["collstats"] = {
+                "n_docs": int(r["n_docs"]),
+                "avgdl": round(float(r["avgdl"] or 0.0), 2),
+            }
     from .merge import deleted_doc_ids
 
     out["tombstones"] = int(len(deleted_doc_ids(spark, index)))
@@ -142,11 +154,19 @@ def fsck_index(spark, index, deep: bool = False) -> dict:
     ts = _read("termstats")
     if ds is not None and cs is not None:
         n_ds = ds.count()
-        n_cs = int(cs.collect()[0]["n_docs"])
+        cs_rows = cs.collect()
         checked["docstats_rows"] = n_ds
-        if n_ds != n_cs:
+        if not cs_rows or cs_rows[0]["n_docs"] is None:
+            # the checker must report an empty collstats segment, not
+            # die on it ('never raises on findings')
             issues.append(
-                f"collstats.n_docs={n_cs} != docstats rows={n_ds} "
+                "collstats: segment exists but holds no stats row "
+                "(crash between write and finalize?)"
+            )
+        elif n_ds != int(cs_rows[0]["n_docs"]):
+            issues.append(
+                f"collstats.n_docs={int(cs_rows[0]['n_docs'])} != "
+                f"docstats rows={n_ds} "
                 "(stats not finalized after last mutation?)"
             )
     if blocks is not None and ts is not None:

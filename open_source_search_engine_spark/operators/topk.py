@@ -432,7 +432,11 @@ def _docmeta_rows(
     missing = [int(d) for d in doc_ids if d not in cache]
     if missing:
         if len(cache) + len(missing) > _DOCMETA_ROW_MAX:
+            # size-bound reset: after clearing, EVERY requested id is a
+            # miss — refetch them all, or previously-cached ids would
+            # silently vanish from the returned meta (dropped top-k rows)
             cache.clear()
+            missing = [int(d) for d in doc_ids]
         for r in (
             docmeta_cached(spark, index)
             .filter(F.col("doc_id").isin(missing))

@@ -65,6 +65,10 @@ def search(
     whichever slots a doc matches (>= 1 required) — the match-any shape
     more-like-this queries need (Gigablast only reaches it via explicit
     boolean OR; here it is the same plan with the HAVING clause relaxed).
+    A quoted phrase under 'any' is one matchable unit: its member-token
+    contributions count only for docs where the positional adjacency
+    holds, and a phrase absent from the corpus contributes nothing
+    (under 'all' the same absence correctly empties the result).
 
     ``synonyms``: True expands each positive term into its weighted
     OR-group from the default table (X5); pass a dict table to override.
@@ -217,22 +221,76 @@ def search(
         for s in required_slots
     ]
     g = cand.groupBy("doc_id").agg(*slot_cols)
-    present = None
-    for s in required_slots:
-        c = F.col(f"_s{s}").isNotNull()
-        if match_mode == "any":
-            present = c if present is None else (present | c)
+    if phrase_specs and match_mode == "any":
+        # disjunctive phrases: each quoted phrase is ONE matchable unit —
+        # its member-token slot contributions count only for docs where
+        # the positional adjacency holds, and an unmatchable phrase (pair
+        # or token absent from the corpus) contributes nothing instead of
+        # emptying the result (that empty is correct only under AND).
+        slot_pid = {s: pid for (_t, s, pid, _q, _w) in member_rows if pid >= 0}
+        if use_bigrams:
+            adj_meta = {}
+            adj_specs = []
+            for pid, bis in phrase_bigrams.items():
+                if any(b not in df_by_term for b in bis):
+                    continue  # unit can match no doc; skip, don't empty
+                for seq, b in enumerate(bis):
+                    adj_meta.setdefault(df_by_term[b][0], []).append((pid, seq))
+                adj_specs.append((pid, len(bis)))
         else:
-            present = c if present is None else (present & c)
-    total = None
-    for s in required_slots:
-        c = F.col(f"_s{s}")
-        if match_mode == "any":
-            c = F.coalesce(c, F.lit(0.0))
-        total = c if total is None else (total + c)
-    scored = g.filter(present).select("doc_id", total.alias("score"))
+            adj_meta = {}
+            for (t, _s, pid, seq, _w) in present_members:
+                if pid >= 0:
+                    adj_meta.setdefault(df_by_term[t][0], []).append((pid, seq))
+            adj_specs = phrase_specs
+        pids = sorted({pid for pid, _n in phrase_specs})
+        if adj_specs:
+            ok = _phrase_ok_docs(blocks, adj_meta, adj_specs)
+            okp = ok.groupBy("doc_id").agg(
+                *[
+                    F.max(
+                        F.when(F.col("phrase_id") == pid, F.lit(1))
+                    ).alias(f"_p{pid}")
+                    for pid in pids
+                ]
+            )
+            g = g.join(okp, "doc_id", "left")
+        else:
+            for pid in pids:
+                g = g.withColumn(f"_p{pid}", F.lit(None).cast("int"))
+        present = None
+        total = None
+        for s in required_slots:
+            pid = slot_pid.get(s)
+            if pid is None:
+                c_present = F.col(f"_s{s}").isNotNull()
+                c_score = F.coalesce(F.col(f"_s{s}"), F.lit(0.0))
+            else:
+                verified = F.col(f"_p{pid}") == 1
+                c_present = verified
+                c_score = F.when(
+                    verified, F.coalesce(F.col(f"_s{s}"), F.lit(0.0))
+                ).otherwise(F.lit(0.0))
+            present = c_present if present is None else (present | c_present)
+            total = c_score if total is None else (total + c_score)
+        scored = g.filter(present).select("doc_id", total.alias("score"))
+    else:
+        present = None
+        for s in required_slots:
+            c = F.col(f"_s{s}").isNotNull()
+            if match_mode == "any":
+                present = c if present is None else (present | c)
+            else:
+                present = c if present is None else (present & c)
+        total = None
+        for s in required_slots:
+            c = F.col(f"_s{s}")
+            if match_mode == "any":
+                c = F.coalesce(c, F.lit(0.0))
+            total = c if total is None else (total + c)
+        scored = g.filter(present).select("doc_id", total.alias("score"))
 
-    if phrase_specs:
+    if phrase_specs and match_mode == "all":
         # J4: a doc additionally needs positional adjacency for every
         # quoted phrase — checked by the Arrow kernel over the still-
         # encoded per-doc position streams (no array materialization)

@@ -33,6 +33,30 @@ from pyspark.sql import DataFrame, SparkSession
 # (applicationId, table dir, snapshot version) -> analyzed DataFrame.
 # Dead-session and stale-version entries are evicted inside read().
 _READ_CACHE: dict = {}
+_READ_KEEP_VERSIONS = 4  # HEAD + AS-OF pins coexist; bound per table
+
+
+def _read_cache_put(key: tuple, df) -> None:
+    """Insert with eviction.  Dead-session entries (other application
+    ids) go; same-table entries at the SAME version but a different
+    snapshot identity are aliases from an in-place rebuild (truly stale);
+    OLDER versions stay resident up to ``_READ_KEEP_VERSIONS`` distinct
+    versions per table — time-travel AS-OF reads pin immutable old
+    snapshots alongside HEAD, and evicting one on every head/pin
+    alternation would re-pay the footer re-analysis this memo exists to
+    avoid."""
+    for stale in [
+        k
+        for k in _READ_CACHE
+        if k[0] != key[0]
+        or (k[1] == key[1] and k[2] == key[2] and k[3] != key[3])
+    ]:
+        del _READ_CACHE[stale]
+    _READ_CACHE[key] = df
+    versions = sorted({k[2] for k in _READ_CACHE if k[1] == key[1]})
+    for v in versions[: -_READ_KEEP_VERSIONS] if len(versions) > _READ_KEEP_VERSIONS else []:
+        for k in [k for k in _READ_CACHE if k[1] == key[1] and k[2] == v]:
+            del _READ_CACHE[k]
 
 
 @dataclass
@@ -210,18 +234,8 @@ class SnapshotTable:
         )
         df = _READ_CACHE.get(key)
         if df is None:
-            # evict dead-session entries and THIS table's other-version
-            # entries (full and pruned-subset alike); same-version pruned
-            # subsets stay resident — they are immutable and still valid
-            for stale in [
-                k
-                for k in _READ_CACHE
-                if k[0] != key[0]
-                or (k[1] == key[1] and k[2:4] != key[2:4])
-            ]:
-                del _READ_CACHE[stale]
             df = spark.read.parquet(*snap.segments)
-            _READ_CACHE[key] = df
+            _read_cache_put(key, df)
         return df
 
     def pruned_segments(
@@ -277,18 +291,8 @@ class SnapshotTable:
         )
         df = _READ_CACHE.get(key)
         if df is None:
-            for stale in [
-                k
-                for k in _READ_CACHE
-                if len(k) == 5
-                and (
-                    k[0] != key[0]
-                    or (k[1] == key[1] and k[2:4] != key[2:4])
-                )
-            ]:
-                del _READ_CACHE[stale]
             df = spark.read.parquet(*keep)
-            _READ_CACHE[key] = df
+            _read_cache_put(key, df)
         return df
 
     def history(self) -> list[int]:

@@ -112,7 +112,14 @@ def _sessionize_fn(gap_secs: int, flush_timeout_secs: int | None):
                 out.append((start, last, n, sv))  # closed by this event
                 start, last, n, sv = t, t, 1, float(v)
             else:
-                last, n, sv = t, n + 1, sv + float(v)
+                # a LATE cross-batch event (t <= last) lands here too: it
+                # joins the open session without rewinding its end —
+                # session bounds stay [min, max], matching the batch
+                # twin's sorted semantics.  (An event later than gap
+                # BEFORE the open session's start cannot retro-open an
+                # already-emitted session — the usual watermark bound.)
+                start = min(start, t)
+                last, n, sv = max(last, t), n + 1, sv + float(v)
         state.update((start, last, n, sv))
         if flush_timeout_secs is not None:
             # flush the open tail if the user goes quiet for this much
