@@ -136,8 +136,6 @@ def tokenize_to_occurrences(
             if firsts:
                 idxs = np.array([f[0] for f in firsts], dtype=np.int64)
                 vals = [f[1] for f in firsts]
-                mask = np.zeros(n, dtype=bool)
-                mask[idxs] = True
                 # build sparse string column: null except first occurrences
                 arr = np.empty(n, dtype=object)
                 arr[idxs] = vals
@@ -247,9 +245,14 @@ def tokenize_to_postings(
             H = np.concatenate(H_parts)
             P = np.concatenate(P_parts)
             D = np.concatenate(D_parts)
+            n = len(H)
+            if n == 0:
+                # every doc in the batch was token-free (e.g. punctuation-
+                # only content with field_terms off): nothing to emit, and
+                # change[0] below would index an empty array
+                continue
             order = np.lexsort((P, H, D))  # by doc, then term, then pos
             H, P, D = H[order], P[order], D[order]
-            n = len(H)
             # posting boundaries: (doc, term) change
             change = np.empty(n, dtype=bool)
             change[0] = True

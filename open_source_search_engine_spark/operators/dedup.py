@@ -27,12 +27,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .textstats import tokens_simple  # single definition; drift-proof
+
 _MERSENNE = (1 << 61) - 1
 N_PERM = 64
-
-
-def tokens_simple(col: Column) -> Column:
-    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), F.lit(0))
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -124,10 +122,19 @@ def minhash_signatures(
     a = (rng.integers(1, _MERSENNE, size=N_PERM, dtype=np.int64)).astype(np.uint64)
     b = (rng.integers(0, _MERSENNE, size=N_PERM, dtype=np.int64)).astype(np.uint64)
 
+    # NULL text coalesces to '' (empty shingle set -> sentinel signature):
+    # one null row must not kill the kernel, and null/empty docs are
+    # exact-dup territory anyway (caught by exact_dedup_groups, bounded
+    # here by the bucket cap)
     hashed = _fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.array_distinct(shingles(tokens_simple(F.col(text_col)), shingle_n)),
+            F.array_distinct(
+                shingles(
+                    tokens_simple(F.coalesce(F.col(text_col), F.lit(""))),
+                    shingle_n,
+                )
+            ),
             lambda s: F.xxhash64(s),
         ).alias("hs"),
     )
@@ -168,13 +175,17 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    # one extra shuffle on the same (band, bucket) key as the join —
-    # map-side combined, so the cost is a per-bucket count, not a sort
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
-    bounded = banded.join(
-        sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
-        ["band", "bucket"],
-        "left_semi",
+    # bucket-size cap via a window over the SAME (band, bucket)
+    # partitioning the self-join shuffles on — one exchange serves the
+    # cap filter and the join probe (the former count-agg + left_semi
+    # re-evaluated the minhash-kernel subtree an extra time; same fix as
+    # simhash_near_pairs)
+    bounded = (
+        banded.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
     )
     left = bounded.alias("l")
     right = bounded.alias("r")
@@ -323,10 +334,15 @@ def simhash_signatures(
         tok_hash = _md5_lower64
     else:  # pragma: no cover - guard
         raise ValueError(f"unknown hash_mode {hash_mode!r}")
+    # NULL text -> '' -> empty token set -> signature 0 (same as an empty
+    # string); the kernel must never see a null array
     hashed = _fan_out(docs.select(id_col, text_col)).select(
         F.col(id_col).alias("id"),
         F.transform(
-            F.array_distinct(tokens_simple(F.col(text_col))), tok_hash
+            F.array_distinct(
+                tokens_simple(F.coalesce(F.col(text_col), F.lit("")))
+            ),
+            tok_hash,
         ).alias("hs"),
     )
     bit_idx = np.arange(64, dtype=np.uint64)

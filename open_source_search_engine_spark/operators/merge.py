@@ -275,6 +275,12 @@ def compact_postings(
     """
     from pyspark import StorageLevel
 
+    # a half-committed delta batch (add_documents died before its
+    # postings commit) must be healed BEFORE compaction, or its orphan
+    # docstats/termstats_partial segments get baked into the rebuilt stats
+    from ..streaming.incremental import repair_orphan_deltas
+
+    repair_orphan_deltas(idx)
     blocks_df = idx.postings.read(spark)
     if blocks_df is None:
         return

@@ -318,7 +318,9 @@ def pairwise_cosine_above(
     angle θ."""
     from pyspark.sql.types import ArrayType, IntegerType
 
-    v = vectors.select(
+    # NULL embeddings are excluded up front (no meaningful cosine; one
+    # null row must not kill the matmul kernel)
+    v = vectors.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     # all bands' sign-buckets in ONE vectorized Arrow kernel (numpy matmul
@@ -335,6 +337,13 @@ def pairwise_cosine_above(
     def all_buckets(col: pd.Series) -> pd.Series:
         if not len(col):
             return pd.Series([], dtype=object)
+        lens = {len(x) for x in col}
+        if len(lens) != 1:
+            # hyperplanes depend on dim — mixed-dimension input would
+            # silently bucket batches under different plane matrices
+            raise ValueError(
+                f"pairwise_cosine_above: mixed embedding dims {sorted(lens)}"
+            )
         M = np.array(col.tolist(), dtype=np.float64)
         P = np.concatenate(
             [_hyperplanes(n_planes, M.shape[1], seed + 1000 * b) for b in range(bands)]
@@ -345,11 +354,19 @@ def pairwise_cosine_above(
     banded = v.select(
         "id", F.posexplode(all_buckets(F.col("v"))).alias("band", "bucket")
     )
-    sizes = banded.groupBy("band", "bucket").agg(F.count("*").alias("_bn"))
-    bounded = banded.join(
-        sizes.filter(F.col("_bn") <= max_bucket_size).drop("_bn"),
-        ["band", "bucket"],
-        "left_semi",
+    # bucket cap via a window over the SAME (band, bucket) partitioning
+    # the self-join shuffles on: one exchange serves the cap filter and
+    # the join probe, instead of the former count-agg + left_semi which
+    # re-evaluated the hyperplane matmul UDF an extra time (same fix as
+    # dedup.simhash_near_pairs / minhash_lsh_pairs)
+    from pyspark.sql import Window
+
+    bounded = (
+        banded.withColumn(
+            "_bn", F.count("*").over(Window.partitionBy("band", "bucket"))
+        )
+        .filter(F.col("_bn") <= max_bucket_size)
+        .drop("_bn")
     )
     cand = (
         bounded.alias("l")

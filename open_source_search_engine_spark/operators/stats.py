@@ -142,6 +142,17 @@ def fsck_index(spark, index, deep: bool = False) -> dict:
             )
     checked["tables"] = len(tables)
 
+    # half-committed delta batches (add_documents died before its
+    # postings commit): their orphan segments double-count stats until
+    # repaired (streaming.incremental.repair_orphan_deltas)
+    from ..streaming.incremental import find_orphan_deltas
+
+    for name, segs in find_orphan_deltas(index).items():
+        issues.append(
+            f"{name}: {len(segs)} orphan segment(s) from a half-committed "
+            "add batch (run repair_orphan_deltas)"
+        )
+
     # cross-table scans only over tables whose segments all exist — a
     # missing dir is already reported above and would otherwise abort the
     # whole check with a mid-scan FileNotFound

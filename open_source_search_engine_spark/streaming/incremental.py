@@ -88,6 +88,9 @@ def add_documents(
     that has them would make those lookups silently incomplete); an
     explicit mismatch raises."""
     run_id = run_id or uuid.uuid4().hex[:8]
+    # heal any half-committed previous batch BEFORE adding (see
+    # find_orphan_deltas) — cheap driver-side JSON tail walk
+    repair_orphan_deltas(idx)
     has_bigrams = idx.features().get("bigrams", False)
     has_numeric = list(idx.features().get("numeric_fields", []))
     fresh = idx.postings.latest() is None
@@ -162,15 +165,72 @@ def add_documents(
     posts.unpersist()
     # postings commit LAST: its run_id marks the batch durably committed,
     # so replay detection (committed_run_ids) never observes a half-added
-    # batch as done — commits before it are idempotent-safe to redo
-    idx.docstats.commit(add=[ds_seg], meta={"run_id": run_id})
-    idx.termdict.commit(add=[td_seg])
-    idx.termstats_partial.commit(add=[tsp_seg])
+    # batch as done.  The commits before it carry a ``pending_run``
+    # marker: if the process dies between them and the postings commit,
+    # redoing the batch would APPEND a second docstats/termdict/
+    # termstats_partial segment and finalize_stats would double-count
+    # df/cf and n_docs/avgdl — repair_orphan_deltas (run at the top of
+    # every add) removes the half-committed segments first.
+    idx.docstats.commit(
+        add=[ds_seg], meta={"run_id": run_id, "pending_run": run_id}
+    )
+    idx.termdict.commit(add=[td_seg], meta={"pending_run": run_id})
+    idx.termstats_partial.commit(add=[tsp_seg], meta={"pending_run": run_id})
     idx.postings.commit(
         add=[po_seg], meta={"run_id": run_id, "max_shard": shard_id}
     )
     if refresh_stats:
         finalize_stats(spark, idx, run_id)
+
+
+def find_orphan_deltas(idx: Index) -> dict[str, list[str]]:
+    """Live docstats/termdict/termstats_partial segments committed by an
+    ``add_documents`` batch that died BEFORE its postings commit (the
+    batch's durable marker).  Left in place they corrupt the next
+    finalize_stats: the replayed batch appends a SECOND segment for the
+    same docs, double-counting df/cf and n_docs/avgdl.
+
+    Detection walks each table's history TAIL backwards (driver-side
+    JSON only), collecting ``pending_run``-marked commits whose run_id
+    never reached the postings log, and stops at the first completed or
+    unmarked commit.  The tail restriction matters: under the
+    single-writer protocol an incomplete batch is always the most recent
+    commit(s), and it keeps an expired postings history (snapshot
+    vacuum) from ever flagging an OLD completed batch as orphaned.
+    Returns {table_name: [segment, ...]}; empty when healthy."""
+    done = committed_run_ids(idx)
+    out: dict[str, list[str]] = {}
+    for name in ("docstats", "termdict", "termstats_partial"):
+        t = getattr(idx, name)
+        latest = t.latest()
+        if latest is None:
+            continue
+        live = set(latest.segments)
+        hist = t.history()
+        orphans: list[str] = []
+        for i in range(len(hist) - 1, -1, -1):
+            snap = t.at(hist[i])
+            rid = (snap.meta or {}).get("pending_run")
+            if not rid or rid in done:
+                break
+            prev = set(t.at(hist[i - 1]).segments) if i > 0 else set()
+            orphans.extend(
+                sorted(s for s in set(snap.segments) - prev if s in live)
+            )
+        if orphans:
+            out[name] = orphans
+    return out
+
+
+def repair_orphan_deltas(idx: Index) -> int:
+    """Remove the segments ``find_orphan_deltas`` flags (one commit per
+    affected table).  Idempotent; returns segments removed."""
+    found = find_orphan_deltas(idx)
+    n = 0
+    for name, segs in found.items():
+        getattr(idx, name).commit(remove=segs, operation="orphan-cleanup")
+        n += len(segs)
+    return n
 
 
 def committed_run_ids(idx: Index) -> set[str]:
