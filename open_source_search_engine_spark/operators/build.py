@@ -213,45 +213,6 @@ def derive_docs(docs: DataFrame, code_aware: bool = True) -> DataFrame:
     return tokenize_docs(derive_ids(docs), code_aware=code_aware)
 
 
-def occurrence_rows(derived: DataFrame, field_terms: bool = True) -> DataFrame:
-    """(term, doc_id, doclen, pos) occurrence grain — the analog of 'one
-    posdb key per occurrence' (SURVEY §1.2).  Field terms (F4) are single
-    presence occurrences at pos 0.
-
-    Deliberately NOT aggregated to (term,doc) grain here: tf and position
-    lists are computed inside the Arrow encode kernel by segmented
-    reduction, so nothing but fixed-width primitives ever crosses the
-    JVM->Arrow boundary (array/string columns converted at ~15k rows/s on
-    this VM and dominated the build)."""
-    occ = derived.select(
-        "doc_id",
-        "doclen",
-        F.posexplode("tokens").alias("pos", "term"),
-    )
-    if field_terms:
-        fielded = derived.select(
-            "doc_id",
-            "doclen",
-            F.lit(0).alias("pos"),
-            F.explode(
-                F.array_distinct(
-                    F.concat(
-                        F.array(
-                            F.concat(F.lit("lang:"), F.lower("lang")),
-                            F.concat(F.lit("repo:"), F.lower("repo")),
-                        ),
-                        F.transform(
-                            F.regexp_extract_all(F.lower("path"), F.lit("[a-z0-9_]+"), F.lit(0)),
-                            lambda t: F.concat(F.lit("path:"), t),
-                        ),
-                    )
-                )
-            ).alias("term"),
-        )
-        occ = occ.unionByName(fielded)
-    return occ
-
-
 _BLOCK_COLS = [
     "term_id",
     "salt",

@@ -111,23 +111,37 @@ def _wand_kernel(
         else None
     )
 
-    widf = {t: w for s in slots for t, w in s.items()}  # term -> weight*idf
+    # term -> MAX weight*idf across slots.  A term can appear in more
+    # than one slot with different weights (mutual synonym expansion, a
+    # bigram pair that is both a zero-weight phrase-presence slot and an
+    # OR member) — taking the max keeps every bound below an upper bound;
+    # actual scoring always uses the owning slot's own weight.
+    widf: dict[int, float] = {}
+    for s in slots:
+        for t, w in s.items():
+            widf[t] = max(widf.get(t, 0.0), w)
 
-    # per-block upper bound (0 for negative-only terms: never candidates)
-    ub_block = np.array(
+    # per-block impact bound and weighted upper bound (0 for
+    # negative-only terms: never candidates)
+    imp_block = np.array(
         [
-            widf.get(t, 0.0) * _impact(float(mt), float(md), avgdl)
-            for t, mt, md in zip(term_ids.tolist(), max_tf.tolist(), min_dl.tolist())
+            _impact(float(mt), float(md), avgdl)
+            for mt, md in zip(max_tf.tolist(), min_dl.tolist())
         ]
     )
-    # slot upper bounds over this shard; a slot with no member present
-    # here kills the AND for the whole shard
+    ub_block = (
+        np.array([widf.get(t, 0.0) for t in term_ids.tolist()]) * imp_block
+    )
+    # slot upper bounds over this shard, each with the SLOT'S OWN member
+    # weights; a slot with no member present here kills the AND for the
+    # whole shard
     slot_ub = np.zeros(len(slots))
     for si, s in enumerate(slots):
         sel = np.isin(term_ids, np.array(list(s), dtype=np.int64))
         if not sel.any():
             return _empty_out()
-        slot_ub[si] = float(ub_block[sel].max())
+        w_sel = np.array([s[int(t)] for t in term_ids[sel].tolist()])
+        slot_ub[si] = float((w_sel * imp_block[sel]).max())
     ub_other = float(slot_ub.sum() - slot_ub[rarest_slot])
 
     # ---- lazy probe index: per (term, salt) -> block rows sorted by
@@ -151,16 +165,19 @@ def _wand_kernel(
         hi = max_doc[rows].astype(np.uint64) + _U63
         o = np.argsort(lo)
         probe_blocks[key] = (lo[o], hi[o], rows[o])
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # block row -> (d,tf)
+    # block row -> (shifted doc ids, tf, doclen)
+    decoded: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     other_decodes = 0
 
-    def decode_row(i: int) -> tuple[np.ndarray, np.ndarray]:
+    def decode_row(i: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         hit = decoded.get(i)
         if hit is None:
+            nd = int(n_docs_col[i])
             d, t, _p, _b = codec.decode_postings_block(
-                d_enc[i].as_py(), t_enc[i].as_py(), b"", int(n_docs_col[i])
+                d_enc[i].as_py(), t_enc[i].as_py(), b"", nd
             )
-            hit = decoded[i] = (d.astype(np.uint64) + _U63, t)
+            dl = codec.decode_varint(l_enc[i].as_py(), nd)
+            hit = decoded[i] = (d.astype(np.uint64) + _U63, t, dl)
         return hit
 
     # ---- candidate blocks: the rarest slot's members, desc upper bound
@@ -172,14 +189,18 @@ def _wand_kernel(
     skipped_blocks = 0
     results: dict[int, float] = {}
 
-    def probe(t: int, cd: np.ndarray, cu: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        """(tf, present) of candidates in term t's salt sub-lists: the
-        sub-list holding a doc is pmod(doc, n_salts) — computed, not
+    def probe(
+        t: int, cd: np.ndarray, cu: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(tf, doclen, present) of candidates in term t's salt sub-lists:
+        the sub-list holding a doc is pmod(doc, n_salts) — computed, not
         searched — then the candidate's block is found via the stored
-        range metadata and decoded lazily."""
+        range metadata and decoded lazily.  doclen comes from the probed
+        termlist's own stored values (anchor:/num: lists carry 0)."""
         nonlocal other_decodes
         ns = n_salts.get(t, 1)
         tf_t = np.zeros(len(cd), dtype=np.float64)
+        dl_t = np.zeros(len(cd), dtype=np.float64)
         present = np.zeros(len(cd), dtype=bool)
         salt_of = np.mod(cd, ns)  # numpy mod is non-negative for ns>0
         for s in np.unique(salt_of).tolist():
@@ -197,7 +218,7 @@ def _wand_kernel(
             for b in np.unique(bpos[valid]).tolist():
                 row = int(rows[b])
                 was_new = row not in decoded
-                d_arr, t_arr = decode_row(row)
+                d_arr, t_arr, l_arr = decode_row(row)
                 if was_new:
                     other_decodes += 1
                 sel = valid & (bpos == b)
@@ -207,7 +228,8 @@ def _wand_kernel(
                 idxs = midx[sel][found]
                 present[idxs] = True
                 tf_t[idxs] = t_arr[pos_c[found]]
-        return tf_t, present
+                dl_t[idxs] = l_arr[pos_c[found]]
+        return tf_t, dl_t, present
 
     # lazy per-block POSITION decode (phrase mode only): pair termlists
     # are tiny (df of an adjacent pair), so decoding their position
@@ -315,16 +337,22 @@ def _wand_kernel(
             pos_s = np.clip(np.searchsorted(su, cu), 0, len(su) - 1)
             alive &= su[pos_s] != cu
 
-        # rarest-slot score: max over members (this block's tf for its own
-        # term; lazy probes for sibling members)
+        # rarest-slot score: max over members, each with the OWNING slot's
+        # weight (this block's tf for its own term; lazy probes for
+        # sibling members).  Probes score with the PROBED termlist's own
+        # stored doclens, not this block's: doclen is a per-doc constant
+        # for word termlists (identical either way) but anchor:/num:
+        # lookup termlists deliberately store doclen 0, and the exhaustive
+        # plan scores each posting row with its own doclen — the two
+        # paths must agree on mixed queries.
         imp = _impact(ct.astype(np.float64), cl.astype(np.float64), avgdl)
-        score = widf[this_term] * imp
+        score = slots[rarest_slot][this_term] * imp
         for t, w in slots[rarest_slot].items():
             if t == this_term:
                 continue
-            tf_t, present = probe(t, cd, cu)
+            tf_t, dl_t, present = probe(t, cd, cu)
             contrib = np.where(
-                present, w * _impact(tf_t, cl.astype(np.float64), avgdl), 0.0
+                present, w * _impact(tf_t, dl_t, avgdl), 0.0
             )
             score = np.maximum(score, contrib)
 
@@ -334,12 +362,12 @@ def _wand_kernel(
             slot_score = np.zeros(len(cd))
             slot_present = np.zeros(len(cd), dtype=bool)
             for t, w in s.items():
-                tf_t, present = probe(t, cd, cu)
+                tf_t, dl_t, present = probe(t, cd, cu)
                 slot_present |= present
                 slot_score = np.maximum(
                     slot_score,
                     np.where(
-                        present, w * _impact(tf_t, cl.astype(np.float64), avgdl), 0.0
+                        present, w * _impact(tf_t, dl_t, avgdl), 0.0
                     ),
                 )
             alive &= slot_present
@@ -348,12 +376,12 @@ def _wand_kernel(
             score += np.where(alive, slot_score, 0.0)
         for t in neg_ids:  # F3: drop docs present in any negative list
             if alive.any():
-                _tf, present = probe(t, cd, cu)
+                _tf, _dl, present = probe(t, cd, cu)
                 alive &= ~present
         if phrases and alive.any():
             verify_phrases(cd, cu, alive)  # J4 positional adjacency
         if boost_tid is not None and alive.any():
-            _tf, present = probe(boost_tid, cd, cu)
+            _tf, _dl, present = probe(boost_tid, cd, cu)
             score = np.where(present, score * boost_factor, score)
         # push survivors into the heap; entry (score, -doc) makes heap[0]
         # the WORST by the canonical (score desc, doc asc) order
@@ -585,7 +613,17 @@ def search_wand(
     from .merge import deleted_doc_ids
 
     dead = deleted_doc_ids(spark, index)
-    if len(dead) > MAX_DEAD_INLINE and not with_prune_stats:
+    if len(dead) > MAX_DEAD_INLINE:
+        if with_prune_stats:
+            # shipping millions of tombstone ids in every task closure
+            # would blow up task serialization — refuse like the other
+            # prune-stats-incompatible states instead of silently
+            # violating the documented bound
+            raise ValueError(
+                f"{len(dead)} tombstones exceed the WAND inline bound "
+                f"({MAX_DEAD_INLINE}); compact the index or query without "
+                "with_prune_stats"
+            )
         # too many tombstones to ship per-task: the exhaustive plan's
         # distributed anti-join handles any delete volume (R3's compaction
         # is the real fix; this keeps queries correct until it runs)
@@ -923,9 +961,12 @@ def _batch_exhaustive_fallback(
 
 
 def _empty_result(spark: SparkSession, enrich: bool, with_prune_stats: bool) -> DataFrame:
+    # column order must match the non-empty path exactly (enrich cols
+    # BEFORE prune stats) so callers can union matched and unmatched
+    # queries' results
     base = "doc_id long, score double"
-    if with_prune_stats:
-        base += ", blocks_scored int, blocks_skipped int, other_blocks_decoded int"
     if enrich:
         base += ", repo string, path string, lang string"
+    if with_prune_stats:
+        base += ", blocks_scored int, blocks_skipped int, other_blocks_decoded int"
     return spark.createDataFrame([], base)

@@ -363,6 +363,12 @@ def search(
         )
 
     if proximity_bonus > 0 and len(required_slots) > 1:
+        # the re-rank reads cand a second time (position explode for the
+        # top candidates); persist so the pruned scan + position decode
+        # pipeline is not re-executed inside the same job
+        from pyspark import StorageLevel
+
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
         scored = _proximity_rerank(
             scored, cand, len(required_slots), proximity_bonus, k
         )
@@ -487,11 +493,22 @@ def _result_cache_key(index: Index, tag: str, extra: tuple) -> tuple:
     from ..operators.merge import deletes_table
 
     psnap = index.postings.latest()
-    dsnap = deletes_table(index).latest()
+    dt = deletes_table(index)
+    dsnap = dt.latest()
+    # snapshot-file identity joins the version (as in _DOCMETA_CACHE /
+    # _READ_CACHE): an index root deleted and rebuilt in place restarts
+    # version numbering, and a bare version key would replay the old
+    # build's cached rows
     return (
         index.root,
-        psnap.version if psnap else -1,
-        dsnap.version if dsnap else -1,
+        (
+            psnap.version if psnap else -1,
+            index.postings.snapshot_ident(psnap.version) if psnap else (),
+        ),
+        (
+            dsnap.version if dsnap else -1,
+            dt.snapshot_ident(dsnap.version) if dsnap else (),
+        ),
         tag,
         extra,
     )
@@ -552,8 +569,18 @@ def _stats_cached(
             "run operators.build.finalize_stats (build_index and "
             "add_documents with refresh_stats=True do this) before querying"
         )
-    ckey = (index.root, csnap.version)
-    tkey = (index.root, tsnap.version)
+    # snapshot-file identity guards against in-place rebuilds serving
+    # stale stats (same aliasing fix as the docmeta/read caches)
+    ckey = (
+        index.root,
+        csnap.version,
+        index.collstats.snapshot_ident(csnap.version),
+    )
+    tkey = (
+        index.root,
+        tsnap.version,
+        index.termstats.snapshot_ident(tsnap.version),
+    )
     _evict_versions(_COLL_CACHE, index.root, ckey)
     _evict_versions(_TERM_CACHE, index.root, tkey)
     cache = _TERM_CACHE.setdefault(tkey, {})

@@ -46,11 +46,27 @@ def facets_for_query(
     """
     fields = fields or ["lang", "repo"]
     plan = parse_query(query)
-    terms = [g.members[0].text for g in plan.groups]
+    # group -> OR'd member terms (the match set must agree with search):
+    # an OR-group matches on ANY member; a quoted phrase contributes its
+    # member TOKENS conjunctively (facet counts run on the token-match
+    # superset — positional adjacency is not re-verified here, the
+    # gbfacet cost/precision tradeoff)
+    groups: list[list[str]] = []
+    for g in plan.groups:
+        if len(g.members) == 1 and len(g.members[0].phrase) > 1:
+            groups.extend([tok] for tok in g.members[0].phrase)
+        else:
+            groups.append([m.text for m in g.members])
+    terms = sorted({t for gs in groups for t in gs})
     stats = _termstats_cached(spark, index, terms)
-    if not stats or any(t not in stats for t in terms):
-        return spark.createDataFrame([], "field string, value string, n long")
-    ids = [stats[t][0] for t in terms]
+    live_groups: list[list[str]] = []
+    for gs in groups:
+        present = [t for t in gs if t in stats]
+        if not present:
+            # a group with no dictionary member can match nothing
+            return spark.createDataFrame([], "field string, value string, n long")
+        live_groups.append(present)
+    ids = sorted({stats[t][0] for gs in live_groups for t in gs})
     from ..operators.merge import decode_to_postings
 
     rows = decode_to_postings(
@@ -59,10 +75,17 @@ def facets_for_query(
         ),
         with_positions=False,
     )
+    mapping = [
+        (stats[t][0], gi) for gi, gs in enumerate(live_groups) for t in gs
+    ]
+    map_df = F.broadcast(
+        spark.createDataFrame(mapping, "term_id long, gid int")
+    )
     matched = (
-        rows.groupBy("doc_id")
-        .agg(F.countDistinct("term_id").alias("nt"))
-        .filter(F.col("nt") == len(set(ids)))
+        rows.join(map_df, "term_id")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gid").alias("ng"))
+        .filter(F.col("ng") == len(live_groups))
         .select("doc_id")
     )
     # merge-on-read tombstones: facet counts must match search results'
@@ -161,20 +184,32 @@ def snippets(
     """X15: snippet + title for the top-k only — broadcast the tiny result
     set against the source table (the Msg20 per-result TitleRec fetch),
     then pure column ops pick the first query-term window and bold it."""
-    plan = parse_query(query)
-    first_term = plan.groups[0].members[0].text.split(":")[-1]
-    joined = F.broadcast(results).join(
-        source_docs.withColumn(
-            "_doc_id",
-            F.xxhash64("repo", "path", "commit"),
-        ).select(F.col("_doc_id").alias("doc_id"), "content"),
-        "doc_id",
-    )
+    plan = parse_query(query) if isinstance(query, str) else query
+    m0 = plan.groups[0].members[0]
+    first_term = (m0.phrase[0] if m0.phrase else m0.text).split(":")[-1]
+    # reuse the corpus's own doc_id when it has one — derive_ids preserves
+    # pre-existing ids (external corpora), so recomputing the hash here
+    # would join against ids the index never used
+    if "doc_id" in source_docs.columns:
+        src = source_docs.select("doc_id", "content")
+    else:
+        from ..functions.hashing import doc_id_col
+
+        src = source_docs.select(
+            doc_id_col(
+                F.col("repo"), F.col("path"), F.col("commit")
+            ).alias("doc_id"),
+            "content",
+        )
+    joined = F.broadcast(results).join(src, "doc_id")
     pos = F.locate(first_term, F.lower(F.col("content")))
     snippet = F.when(
         pos > 0,
         F.substring(F.col("content"), F.greatest(pos - width // 2, F.lit(1)), width),
     ).otherwise(F.substring(F.col("content"), 1, width))
+    # \Q...\E-quote the term: raw interpolation would let regex
+    # metacharacters ('c++', 'get(') break or mis-highlight the pattern
+    quoted = first_term.replace("\\E", "\\E\\\\E\\Q")
     return joined.select(
         "doc_id",
         "score",
@@ -183,6 +218,6 @@ def snippets(
         # title = the path's basename (code corpus: Title.cpp analog)
         F.element_at(F.split(F.col("path"), "/"), -1).alias("title"),
         F.regexp_replace(
-            snippet, f"(?i)({first_term})", "**$1**"
+            snippet, f"(?i)(\\Q{quoted}\\E)", "**$1**"
         ).alias("snippet"),
     ).orderBy(F.desc("score"), F.asc("doc_id"))
