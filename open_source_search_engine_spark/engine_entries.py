@@ -52,10 +52,14 @@ def _corpus_fingerprint(sf_dir: str) -> dict:
     con = duckdb.connect()
     # content digest (r3 verdict #5): (count, sum(doc_id)) alone would
     # serve a stale index for a fixture whose TEXT changed but whose row
-    # count and id sum didn't — sum(hash(text)) pins the actual content
+    # count and id sum didn't.  hash(doc_id || text) (not hash(text))
+    # pins WHICH doc carries which text — a permutation-invariant digest
+    # would reuse a stale index for a regenerated fixture that reassigns
+    # the same texts among the same ids.
     n, s, h = con.execute(
         "SELECT count(*), coalesce(sum(doc_id), 0), "
-        "coalesce(CAST(sum(hash(text)) AS VARCHAR), '0') FROM read_parquet(?)",
+        "coalesce(CAST(sum(hash(CAST(doc_id AS VARCHAR) || text)) "
+        "AS VARCHAR), '0') FROM read_parquet(?)",
         [f"{sf_dir}/documents.parquet"],
     ).fetchone()
     con.close()
@@ -86,6 +90,62 @@ def _docs_as_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cached_index(root: str, meta_name: str, fp: dict, build_fn) -> Index:
+    """On-disk index cache keyed by fingerprint, with atomic publish —
+    the ONE copy of the check/build/publish protocol every engine index
+    variant shares (five hand-rolled copies had already drifted: the
+    derived variants built in place and omitted the corpus fingerprint).
+
+    ``build_fn(tmp)`` materializes the complete index under a private
+    dir (``tmp`` does not exist on entry); the finished tree is RENAMED
+    into place, so concurrent driver processes never observe a
+    half-built index.  The loser of a publish race ADOPTS the winner's
+    tree when its fingerprint matches; a stale tree is retired with a
+    rename — never an rmtree of the live path, which would delete a
+    racing winner's published segments out from under its readers."""
+    meta_p = os.path.join(root, meta_name)
+    try:
+        with open(meta_p) as f:
+            if json.load(f) == fp:
+                return Index(root)
+    except Exception:
+        pass
+    tmp = f"{root}.building-{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    build_fn(tmp)
+    with open(os.path.join(tmp, meta_name), "w") as f:
+        json.dump(fp, f)
+    for _attempt in range(2):
+        try:
+            os.rename(tmp, root)
+            return Index(root)
+        except OSError:
+            try:
+                with open(meta_p) as f:
+                    if json.load(f) == fp:  # lost the race: adopt winner
+                        shutil.rmtree(tmp, ignore_errors=True)
+                        return Index(root)
+            except Exception:
+                pass
+            trash = f"{root}.stale-{os.getpid()}"
+            shutil.rmtree(trash, ignore_errors=True)
+            try:
+                os.rename(root, trash)
+            except OSError:
+                pass
+            shutil.rmtree(trash, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return Index(root)
+
+
+def _base_fp(base: Index) -> dict:
+    """The base index's validated fingerprint — derived variants join it
+    into their own so a corpus change rebuilds the whole chain (a
+    base-root-only key served stale derived copies of the OLD corpus)."""
+    with open(os.path.join(base.root, "_corpus_meta.json")) as f:
+        return json.load(f)
+
+
 def engine_index(spark: SparkSession, sf_dir: str) -> Index:
     """The shared stored index over ``sf_dir``'s documents fixture —
     built once per corpus fingerprint, reused across entries/processes."""
@@ -97,21 +157,8 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
     root = os.path.join(
         _ENGINE_ROOT, hashlib.md5(key.encode()).hexdigest()[:12]
     )
-    meta_p = os.path.join(root, "_corpus_meta.json")
-    ok = False
-    if os.path.exists(meta_p):
-        try:
-            with open(meta_p) as f:
-                ok = json.load(f) == fp
-        except Exception:
-            ok = False
-    if not ok:
-        # build into a private dir, then atomically rename into place so
-        # concurrent driver processes can't observe (or double-build into)
-        # a half-written index; the loser of the rename race adopts the
-        # winner's completed index.
-        tmp = f"{root}.building-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+
+    def build(tmp: str) -> None:
         os.makedirs(tmp, exist_ok=True)
         from .operators import links
 
@@ -135,14 +182,8 @@ def engine_index(spark: SparkSession, sf_dir: str) -> Index:
             extra_postings=anchors,
             extra_label="anchors:first3",
         )
-        with open(os.path.join(tmp, "_corpus_meta.json"), "w") as f:
-            json.dump(fp, f)
-        shutil.rmtree(root, ignore_errors=True)
-        try:
-            os.rename(tmp, root)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)  # lost the race: reuse winner
-    idx = Index(root)
+
+    idx = _cached_index(root, "_corpus_meta.json", fp, build)
     _CACHE[(key, "main")] = idx
     return idx
 
@@ -155,26 +196,20 @@ def engine_index_tombstoned(spark: SparkSession, sf_dir: str) -> Index:
     if hit is not None:
         return hit
     base = engine_index(spark, key)
-    root = base.root + "_tomb"
-    meta_p = os.path.join(root, "_tomb_meta.json")
-    fp = {"base": base.root, "deleted": TOMBSTONED_DOC_IDS}
-    ok = False
-    if os.path.exists(meta_p):
-        try:
-            with open(meta_p) as f:
-                ok = json.load(f) == fp
-        except Exception:
-            ok = False
-    if not ok:
+    fp = {
+        "base": base.root,
+        "base_fp": _base_fp(base),
+        "deleted": TOMBSTONED_DOC_IDS,
+    }
+
+    def build(tmp: str) -> None:
         from .operators.merge import delete_docs
 
-        shutil.rmtree(root, ignore_errors=True)
-        shutil.copytree(base.root, root)
-        os.remove(os.path.join(root, "_corpus_meta.json"))
-        delete_docs(spark, Index(root), TOMBSTONED_DOC_IDS)
-        with open(meta_p, "w") as f:
-            json.dump(fp, f)
-    idx = Index(root)
+        shutil.copytree(base.root, tmp)
+        os.remove(os.path.join(tmp, "_corpus_meta.json"))
+        delete_docs(spark, Index(tmp), TOMBSTONED_DOC_IDS)
+
+    idx = _cached_index(base.root + "_tomb", "_tomb_meta.json", fp, build)
     _CACHE[(key, "tomb")] = idx
     return idx
 
@@ -190,35 +225,26 @@ def engine_index_compacted(spark: SparkSession, sf_dir: str) -> Index:
     if hit is not None:
         return hit
     base = engine_index(spark, key)
-    root = base.root + "_compact"
-    meta_p = os.path.join(root, "_compact_meta.json")
     # "v" busts caches produced by the pre-r4 compaction (which collapsed
     # the index to one WAND shard; r4 preserves doc-shard parallelism)
     fp = {
         "base": base.root,
+        "base_fp": _base_fp(base),
         "deleted": TOMBSTONED_DOC_IDS,
         "op": "compact",
         "v": "r4-sharded",
     }
-    ok = False
-    if os.path.exists(meta_p):
-        try:
-            with open(meta_p) as f:
-                ok = json.load(f) == fp
-        except Exception:
-            ok = False
-    if not ok:
+
+    def build(tmp: str) -> None:
         from .operators.merge import compact_postings, delete_docs
 
-        shutil.rmtree(root, ignore_errors=True)
-        shutil.copytree(base.root, root)
-        os.remove(os.path.join(root, "_corpus_meta.json"))
-        idx = Index(root)
+        shutil.copytree(base.root, tmp)
+        os.remove(os.path.join(tmp, "_corpus_meta.json"))
+        idx = Index(tmp)
         delete_docs(spark, idx, TOMBSTONED_DOC_IDS)
         compact_postings(spark, idx, salt_target=200, block_size=128)
-        with open(meta_p, "w") as f:
-            json.dump(fp, f)
-    idx = Index(root)
+
+    idx = _cached_index(base.root + "_compact", "_compact_meta.json", fp, build)
     _CACHE[(key, "compact")] = idx
     return idx
 
@@ -238,19 +264,10 @@ def engine_index_incremental(spark: SparkSession, sf_dir: str) -> Index:
     root = os.path.join(
         _ENGINE_ROOT, hashlib.md5(key.encode()).hexdigest()[:12] + "_incr"
     )
-    meta_p = os.path.join(root, "_corpus_meta.json")
-    ok = False
-    if os.path.exists(meta_p):
-        try:
-            with open(meta_p) as f:
-                ok = json.load(f) == fp
-        except Exception:
-            ok = False
-    if not ok:
+
+    def build(tmp: str) -> None:
         from .streaming.incremental import add_documents
 
-        tmp = f"{root}.building-{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp, exist_ok=True)
         idx = Index(tmp)
         corpus = _docs_as_corpus(spark, key)
@@ -274,14 +291,8 @@ def engine_index_incremental(spark: SparkSession, sf_dir: str) -> Index:
             salt_target=50,
             block_size=64,
         )
-        with open(os.path.join(tmp, "_corpus_meta.json"), "w") as f:
-            json.dump(fp, f)
-        shutil.rmtree(root, ignore_errors=True)
-        try:
-            os.rename(tmp, root)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
-    idx = Index(root)
+
+    idx = _cached_index(root, "_corpus_meta.json", fp, build)
     _CACHE[(key, "incr")] = idx
     return idx
 
@@ -297,28 +308,23 @@ def engine_index_minor_merged(spark: SparkSession, sf_dir: str) -> Index:
     if hit is not None:
         return hit
     base = engine_index_incremental(spark, key)
-    root = base.root + "_minor"
-    meta_p = os.path.join(root, "_minor_meta.json")
-    fp = {"base": base.root, "op": "minor", "v": "r4"}
-    ok = False
-    if os.path.exists(meta_p):
-        try:
-            with open(meta_p) as f:
-                ok = json.load(f) == fp
-        except Exception:
-            ok = False
-    if not ok:
+    fp = {
+        "base": base.root,
+        "base_fp": _base_fp(base),
+        "op": "minor",
+        "v": "r4",
+    }
+
+    def build(tmp: str) -> None:
         from .operators.merge import compact_deltas
 
-        shutil.rmtree(root, ignore_errors=True)
-        shutil.copytree(base.root, root)
-        os.remove(os.path.join(root, "_corpus_meta.json"))
-        idx = Index(root)
+        shutil.copytree(base.root, tmp)
+        os.remove(os.path.join(tmp, "_corpus_meta.json"))
+        idx = Index(tmp)
         n = compact_deltas(spark, idx, keep_largest=0, salt_target=50, block_size=64)
         assert n >= 2, f"expected >=2 segments merged, got {n}"
-        with open(meta_p, "w") as f:
-            json.dump(fp, f)
-    idx = Index(root)
+
+    idx = _cached_index(base.root + "_minor", "_minor_meta.json", fp, build)
     _CACHE[(key, "minor")] = idx
     return idx
 
@@ -522,8 +528,11 @@ def _matched_docs(spark, idx: Index, terms: list[str]) -> DataFrame:
     if len(stats) < len(terms):
         return spark.createDataFrame([], "doc_id long")
     ids = [stats[t][0] for t in terms]
+    blocks = idx.postings.read_pruned(spark, ids)
+    if blocks is None:
+        return spark.createDataFrame([], "doc_id long")
     rows = decode_to_postings(
-        idx.postings.read_pruned(spark, ids).filter(F.col("term_id").isin(ids)),
+        blocks.filter(F.col("term_id").isin(ids)),
         with_positions=False,
     )
     return (

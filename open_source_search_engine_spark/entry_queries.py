@@ -760,8 +760,14 @@ def q_frontier_dole(spark, sf_dir):
     from .operators import frontier
 
     req = _frontier_requests(spark, sf_dir)
-    return frontier.dole_ready(
+    out = frontier.dole_ready(
         req, _FRONTIER_NOW, k_per_host=2, backoff_base_secs=86400, max_err=4
+    )
+    # timestamps cross the hash gate as formatted strings (module parity
+    # rule: Spark TZ-aware vs DuckDB naive stringification must not be
+    # able to diverge)
+    return out.withColumn(
+        "added_ts", F.date_format("added_ts", "yyyy-MM-dd HH:mm:ss")
     ).orderBy("host", "dole_rank")
 
 
@@ -779,7 +785,9 @@ ranked AS (
     ) AS dole_rank
   FROM elig
 )
-SELECT host, url_id, priority, added_ts, err_count, dole_rank
+SELECT host, url_id, priority,
+       strftime(added_ts, '%Y-%m-%d %H:%M:%S') AS added_ts,
+       err_count, dole_rank
 FROM ranked WHERE dole_rank <= 2 ORDER BY host, dole_rank
 """
 
@@ -2409,6 +2417,11 @@ def build_registry() -> tuple[
     assert len(_WINDOW) == 50, f"window must be exactly 50, got {len(_WINDOW)}"
     extra = set(queries) - set(order)
     assert not extra, f"registry entries missing from ORDER: {sorted(extra)}"
+    # the converse too: a renamed/typo'd query key would otherwise be
+    # silently dropped from the window and the first tail entry would
+    # slide into the driver's 50-row gate unnoticed (the r2 failure mode)
+    ghost = set(_WINDOW + _TAIL) - set(queries)
+    assert not ghost, f"ORDER names without a query: {sorted(ghost)}"
     queries = {k: queries[k] for k in order}
     oracles = {k: oracles[k] for k in order if k in oracles}
     return queries, oracles

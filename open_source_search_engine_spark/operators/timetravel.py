@@ -112,9 +112,16 @@ class IndexAsOf:
 
     def __getattr__(self, name):
         if name in _TABLES:
-            return PinnedTable(
-                getattr(self._index, name), self._versions.get(name)
-            )
+            if name in self._versions:
+                return PinnedTable(
+                    getattr(self._index, name), self._versions[name]
+                )
+            # absent pin == the table had NO history at the pinned time
+            # (index_versions records every table that existed): it must
+            # read as never-committed, not fall through to HEAD — e.g.
+            # stats finalized only after the pin would otherwise score
+            # as-of queries with future idf/avgdl
+            return _EmptyTable(getattr(self._index, name))
         return getattr(self._index, name)
 
 

@@ -171,10 +171,15 @@ def search_boolean(
     ids = {t: stats[t][0] for t in leaves if t in stats}
     if not ids:
         return spark.createDataFrame([], "doc_id long")
+    blocks = index.postings.read_pruned(spark, list(ids.values()))
+    if blocks is None:
+        # informative, like the sibling plans — not a bare AttributeError
+        raise RuntimeError(
+            f"postings snapshot absent under {index.root!r} — build the "
+            "index before querying"
+        )
     rows = decode_to_postings(
-        index.postings.read_pruned(spark, list(ids.values())).filter(
-            F.col("term_id").isin(list(ids.values()))
-        ),
+        blocks.filter(F.col("term_id").isin(list(ids.values()))),
         with_positions=False,
     )
     per_doc = (

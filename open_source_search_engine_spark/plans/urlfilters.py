@@ -62,7 +62,15 @@ def compile_clause(clause: str) -> Column:
     clause = clause.strip()
     if clause == "default":
         return F.lit(True)
-    for op in _OPS:
+    # split at the LEFTMOST operator occurrence (longest op on position
+    # ties, so '<=' beats '<'): picking by _OPS tuple order would mis-split
+    # a clause whose VALUE contains an operator that sorts earlier
+    hits = [
+        (pos, -len(op), op)
+        for op in _OPS
+        if (pos := clause.find(op)) > 0
+    ]
+    for _pos, _neg, op in sorted(hits)[:1]:
         pos = clause.find(op)
         if pos > 0:
             field, val = clause[:pos].strip(), clause[pos + len(op):].strip()
