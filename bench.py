@@ -123,9 +123,16 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
     # materialize the corpus once as parquet — the realistic input shape
     # (an Iceberg source table per input_hint); synthesis cost is data-gen,
     # not engine throughput
-    src = f"{root}_src"
-    if not os.path.exists(src):
+    # doc count joins the dir name and a marker gates reuse: a bare
+    # path-existence check would serve a differently-sized or
+    # half-written corpus (killed first synth) and silently skew every
+    # docs/sec number
+    src = f"{root}_src{n_docs}"
+    marker = os.path.join(src, "_SYNTH_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
         synth_documents(spark, n_docs).write.mode("overwrite").parquet(src)
+        open(marker, "w").close()
     docs = spark.read.parquet(src)
     t0 = time.time()
     idx = build_index(spark, docs, root, n_shards=n_shards, bigram_terms=True)

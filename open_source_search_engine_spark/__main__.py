@@ -276,17 +276,29 @@ def main(argv: list[str] | None = None) -> None:
             )
             return
         plan = parse_query(args.query)
-        # WAND covers terms, OR-groups and negatives; phrases need the
-        # positional general plan
+        # WAND covers terms, OR-groups, negatives, and — on bigram
+        # indexes — quoted phrases as pair-termlist kernel slots; only a
+        # bigram-less index needs the positional general plan for phrases
+        has_phrase = any(m.phrase for g in plan.groups for m in g.members)
         use_wand = args.engine == "wand" or (
             args.engine == "auto"
-            and not any(m.phrase for g in plan.groups for m in g.members)
+            and (not has_phrase or idx.features().get("bigrams", False))
         )
         fn = search_wand if use_wand else search
         lb = None
         if args.lang_boost:
             lang, factor = args.lang_boost.rsplit(":", 1)
             lb = (lang, float(factor))
+        if args.explain:
+            # print the plan WITHOUT executing: the enriched path
+            # materializes eagerly (driver-side Msg20 enrich), whose
+            # 'plan' is just a LocalTableScan — explain the lazy
+            # non-enriched query plan instead
+            fn(
+                spark, idx, args.query, k=args.k,
+                synonyms=args.synonyms, lang_boost=lb, enrich=False,
+            ).explain("formatted")
+            return
         # t0 covers fn() too: search_wand does its kernel work eagerly and
         # returns a locally-materialized result (the job-free path)
         t0 = time.time()
@@ -294,9 +306,6 @@ def main(argv: list[str] | None = None) -> None:
             spark, idx, args.query, k=args.k,
             synonyms=args.synonyms, lang_boost=lb, use_cache=args.cache,
         )
-        if args.explain:
-            df.explain("formatted")
-            return
         rows = df.collect()
         ms = (time.time() - t0) * 1000
         for r in rows:

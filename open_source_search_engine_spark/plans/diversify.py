@@ -69,7 +69,10 @@ def mmr_rerank(
     sim = [[0.0] * n for _ in range(n)]
     for i in range(n):
         for j in range(i + 1, n):
-            c = round(_fold_dot(embs[i], embs[j]) / (norms[i] * norms[j]), 4)
+            denom = norms[i] * norms[j]
+            # an all-zeros embedding (padded/missing) has no direction:
+            # similarity 0 to everything, never a ZeroDivisionError
+            c = round(_fold_dot(embs[i], embs[j]) / denom, 4) if denom else 0.0
             sim[i][j] = c
             sim[j][i] = c
     one_minus = 1 - lam

@@ -81,6 +81,13 @@ _ZIPF_P = _RANKS**-ZIPF_S
 _ZIPF_P /= _ZIPF_P.sum()
 _ZIPF_CDF = np.cumsum(_ZIPF_P)
 _LANG_CDF = np.cumsum(LANG_WEIGHTS / LANG_WEIGHTS.sum())
+# float cumsum tops out just UNDER 1.0 (e.g. 1 - 4e-15): a uniform draw
+# above it would searchsorted past the last bucket and index out of
+# bounds — invisible at 20k docs, expected several times at the 10^12
+# files this module advertises, and deterministic across task retries
+# (the row seeds its own rng).  Pin the last edge to exactly 1.0.
+_ZIPF_CDF[-1] = 1.0
+_LANG_CDF[-1] = 1.0
 
 
 def _gen_batch(ids: np.ndarray) -> pd.DataFrame:

@@ -63,10 +63,17 @@ def robots_filter(
     (robotdb).  ``robots`` is (host, disallow_prefix) — tiny by nature
     (one row per rule), so the exclusion is a broadcast anti-join; the
     doled slice is never shuffled."""
+    # robots.txt semantics: an EMPTY 'Disallow:' value means allow-all —
+    # startswith('') matches every URL, the exact inverse, so empty/null
+    # rules are dropped from the exclusion set
+    rules = robots.filter(
+        F.col("disallow_prefix").isNotNull()
+        & (F.length("disallow_prefix") > 0)
+    )
     return doled.join(
-        F.broadcast(robots),
-        (doled[host_col] == robots[host_col])
-        & doled[url_col].startswith(robots["disallow_prefix"]),
+        F.broadcast(rules),
+        (doled[host_col] == rules[host_col])
+        & doled[url_col].startswith(rules["disallow_prefix"]),
         "left_anti",
     )
 
@@ -91,6 +98,11 @@ def fetch_documents(
         fn = _fetch_fake
     else:
         fn = fetcher
+
+    # a null URL would be stringified to the literal 'None' by the kernel
+    # and fetched/indexed as a real document that can never join back to
+    # the frontier — drop it up front
+    doled = doled.filter(F.col(url_col).isNotNull())
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
