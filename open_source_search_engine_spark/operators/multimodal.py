@@ -74,11 +74,17 @@ def extract_features(
     no per-row Python beyond the decoder call itself.
     """
     decoder = _decode_fake if decode == "fake" else _decode_real
+    dim = int(batch_feature_dim)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # a NULL payload has no features (None, not a crash on
+            # bytes(None)); decoder output is resized to the requested
+            # dim so the column width matches what the caller asked for
             feats = [
-                decoder(bytes(p), k).tolist()
+                None
+                if p is None
+                else np.resize(decoder(bytes(p), k), dim).tolist()
                 for p, k in zip(pdf["payload"], pdf["kind"])
             ]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
@@ -93,13 +99,15 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
     0..n_frames-1 step ``every_n`` (JVM sequence — the real decoder would
     map frame_idx -> frame bytes inside the feature kernel)."""
     return (
-        df.filter(F.col("kind") == "video")
+        # a zero-frame video has NO sampled frames: greatest(n-1, 0)
+        # alone would fabricate frame_idx 0 for it
+        df.filter((F.col("kind") == "video") & (F.col("meta.n_frames") > 0))
         .select(
             "media_id",
             F.explode(
                 F.sequence(
                     F.lit(0),
-                    F.greatest(F.col("meta.n_frames") - 1, F.lit(0)),
+                    F.col("meta.n_frames") - 1,
                     F.lit(every_n),
                 )
             ).alias("frame_idx"),
@@ -110,10 +118,18 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
 def resize_meta(df: DataFrame, max_side: int = 224) -> Column | DataFrame:
     """Resize planning (aspect-preserving target dims) as column math —
     the byte-level resample belongs to the decode kernel."""
-    scale = F.least(
-        F.lit(float(max_side)) / F.col("meta.width"),
-        F.lit(float(max_side)) / F.col("meta.height"),
-        F.lit(1.0),
+    # dimension-less rows (audio has width=height=0; nulls) have no
+    # resize plan: null targets, never an ANSI DIVIDE_BY_ZERO.  least()
+    # skips nulls, so the degenerate case must null the whole scale.
+    w = F.nullif(F.col("meta.width").cast("double"), F.lit(0.0))
+    h = F.nullif(F.col("meta.height").cast("double"), F.lit(0.0))
+    scale = F.when(
+        w.isNotNull() & h.isNotNull(),
+        F.least(
+            F.lit(float(max_side)) / w,
+            F.lit(float(max_side)) / h,
+            F.lit(1.0),
+        ),
     )
     return df.select(
         "media_id",

@@ -14,6 +14,23 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _resolve_master(master: str | None, cores: int, env) -> str | None:
+    """Which master to set on the builder — None means DON'T set one.
+
+    Under ``spark-submit`` the driver JVM already exists (PythonRunner
+    exports the py4j gateway via PYSPARK_GATEWAY_PORT) and carries the
+    submit-time ``--master``; forcing ``local[cores]`` there would
+    silently demote a cluster submission to single-node local mode —
+    the exact opposite of the north rule's spark-submit contract.  An
+    explicit ``master`` argument always wins (callers that simulate
+    clusters pass local-cluster[...])."""
+    if master is not None:
+        return master
+    if "PYSPARK_GATEWAY_PORT" in env:
+        return None  # inherit the submit-time master
+    return f"local[{cores}]"
+
+
 def get_spark(
     app_name: str = "open_source_search_engine_spark",
     cores: int | None = None,
@@ -37,11 +54,12 @@ def get_spark(
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cores)
-    if master is None:
-        master = f"local[{cores}]"
+    master = _resolve_master(master, cores, os.environ)
+    builder = SparkSession.builder
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -70,7 +88,7 @@ def get_spark(
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", shm)
-    if master.startswith("local-cluster"):
+    if master is not None and master.startswith("local-cluster"):
         # separate executor JVMs: they don't inherit the driver's
         # sys.path, and each needs an explicit memory budget
         repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

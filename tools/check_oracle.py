@@ -13,9 +13,14 @@ from __future__ import annotations
 import sys
 import time
 
+import os
+
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+# derive the repo root from this file, like the sibling tools — a
+# hardcoded /root/repo would break (or silently import a stale copy)
+# when the repo is cloned elsewhere
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def normalize(df, colnames):

@@ -21,6 +21,10 @@ import sys
 import time
 
 
+def _noop(_i: int) -> None:
+    return None
+
+
 def _burn(seconds: float) -> int:
     end = time.perf_counter() + seconds
     x, n = 1, 0
@@ -37,6 +41,10 @@ def main() -> None:
     base = None
     for workers in (1, 4, 8, 16, 32):
         with mp.get_context("spawn").Pool(workers) as pool:
+            # warm the pool BEFORE timing: spawn workers boot interpreters
+            # lazily, and including that ramp in the window biases the
+            # high-worker points low — the exact quantity being measured
+            pool.map(_noop, range(workers))
             t0 = time.perf_counter()
             ops = sum(pool.map(_burn, [spin] * workers))
             wall = time.perf_counter() - t0
@@ -51,7 +59,10 @@ def main() -> None:
             }
         )
         print(json.dumps(out["points"][-1]), flush=True)
-    out["effective_capacity"] = out["points"][-1]["speedup_vs_1"]
+    # the PLATEAU maximum, not the last point: oversubscription can make
+    # 32 workers slower than 16, and the ceiling the scaling analysis
+    # calibrates against is the best the box ever delivers
+    out["effective_capacity"] = max(p["speedup_vs_1"] for p in out["points"])
     with open("/tmp/cpu_capacity.json", "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -42,15 +42,13 @@ def one_run(cores: int) -> dict:
     from open_source_search_engine_spark.functions.tokenize import (
         tokenize_to_postings,
     )
+    from _bench_common import ensure_corpus
     from open_source_search_engine_spark.session import get_spark
-    from open_source_search_engine_spark.sources.corpus import synth_documents
 
     spark = get_spark(app_name=f"prof{cores}", cores=cores)
     out = {"cores": cores}
     try:
-        if not os.path.exists(SRC):
-            synth_documents(spark, N_DOCS).write.parquet(SRC)
-        docs = spark.read.parquet(SRC)
+        docs = ensure_corpus(spark, N_DOCS, SRC)
         target_parts = 2 * spark.sparkContext.defaultParallelism
         docs_r = docs.repartition(target_parts)
         ids = derive_ids(docs_r)

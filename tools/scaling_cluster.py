@@ -51,13 +51,9 @@ def one_run(n_exec: int) -> dict:
     spark = get_spark(app_name=f"sc{n_exec}", cores=total_cores, master=master)
     out = {"executors": n_exec, "cores": total_cores}
     try:
-        if not os.path.exists(SRC):
-            from open_source_search_engine_spark.sources.corpus import (
-                synth_documents,
-            )
+        from _bench_common import ensure_corpus
 
-            synth_documents(spark, N_DOCS).write.parquet(SRC)
-        docs = spark.read.parquet(SRC)
+        docs = ensure_corpus(spark, N_DOCS, SRC)
         root = f"/tmp/sc_idx_{n_exec}"
         shutil.rmtree(root, ignore_errors=True)
         t0 = time.time()

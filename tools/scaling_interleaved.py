@@ -34,21 +34,18 @@ QUERIES = ["def return", "binarysearchtree", "import class self"]
 
 
 def one_run(cores: int) -> dict:
+    from _bench_common import ensure_corpus
     from open_source_search_engine_spark.operators.build import build_index
     from open_source_search_engine_spark.operators.topk import search_wand
     from open_source_search_engine_spark.plans.exec import (
         _COLL_CACHE,
         _TERM_CACHE,
-        search,
     )
     from open_source_search_engine_spark.session import get_spark
-    from open_source_search_engine_spark.sources.corpus import synth_documents
 
     spark = get_spark(app_name=f"scale{cores}", cores=cores)
     try:
-        if not os.path.exists(SRC):
-            synth_documents(spark, N_DOCS).write.parquet(SRC)
-        docs = spark.read.parquet(SRC)
+        docs = ensure_corpus(spark, N_DOCS, SRC)
         root = "/tmp/scaling_idx"
         shutil.rmtree(root, ignore_errors=True)
         _COLL_CACHE.clear()
