@@ -329,6 +329,109 @@ def engine_index_minor_merged(spark: SparkSession, sf_dir: str) -> Index:
     return idx
 
 
+def engine_index_collection(spark: SparkSession, sf_dir: str, name: str) -> Index:
+    """One of the two COLLECTION indexes (SURVEY §1 "collections" =
+    independent namespaces, Collectiondb.cpp): the fixture corpus is
+    split by ``pmod(doc_id, 2)`` and each half is indexed as its own
+    fully independent Index root — separate postings, stats, deletes.
+    A term's idf/avgdl in one collection owes nothing to the other."""
+    parity = {"even": 0, "odd": 1}[name]
+    key = os.path.abspath(sf_dir)
+    hit = _CACHE.get((key, f"coll_{name}"))
+    if hit is not None:
+        return hit
+    fp = {
+        "base_fp": _corpus_fingerprint(key),
+        "collection": name,
+        "split": "pmod2",
+        "cfg": "plain-r4",
+    }
+    root = os.path.join(
+        _ENGINE_ROOT, hashlib.md5(key.encode()).hexdigest()[:12] + f"_coll_{name}"
+    )
+
+    def build(tmp: str) -> None:
+        os.makedirs(tmp, exist_ok=True)
+        corpus = _docs_as_corpus(spark, key).filter(
+            F.pmod(F.col("doc_id"), F.lit(2)) == parity
+        )
+        build_index(
+            spark,
+            corpus,
+            tmp,
+            n_shards=2,
+            code_aware=False,
+            field_terms=False,
+            bigram_terms=False,
+            block_size=256,
+        )
+
+    idx = _cached_index(root, "_coll_meta.json", fp, build)
+    _CACHE[(key, f"coll_{name}")] = idx
+    return idx
+
+
+def q_engine_federated(spark, sf_dir):
+    """Multi-collection federated search (the ``&c=even+odd`` SERP,
+    Msg40 across Collectiondb namespaces): the same query answered from
+    TWO independent collection indexes — each scored with its own
+    collection's stats — merged into one global top-10.  The oracle
+    recomputes BM25 per corpus half (per-half N/avgdl/df) and merges."""
+    from .plans.federate import search_collections
+
+    colls = {
+        "even": engine_index_collection(spark, sf_dir, "even"),
+        "odd": engine_index_collection(spark, sf_dir, "odd"),
+    }
+    res = search_collections(spark, colls, "spark join", k=20, enrich=False)
+    return (
+        res.select("collection", "doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# per-collection BM25: stats (N, avgdl, df) computed WITHIN each pmod-2
+# half; global merge on the rounded score (ties by doc_id — ids are
+# globally unique across collections)
+SQL_ENGINE_FEDERATED = f"""
+WITH d AS (
+  SELECT doc_id, doc_id % 2 AS coll,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+dd AS (SELECT doc_id, coll, CAST(len(toks) AS DOUBLE) AS doclen, toks FROM d),
+stats AS (
+  SELECT coll, CAST(count(*) AS DOUBLE) AS n, avg(doclen) AS avgdl
+  FROM dd GROUP BY coll
+),
+occ AS (SELECT doc_id, coll, doclen, unnest(toks) AS term FROM dd),
+tf AS (
+  SELECT doc_id, coll, term, doclen, CAST(count(*) AS DOUBLE) AS tf
+  FROM occ WHERE term IN ('spark', 'join')
+  GROUP BY doc_id, coll, term, doclen
+),
+dfx AS (
+  SELECT coll, term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY coll, term
+),
+scored AS (
+  SELECT tf.doc_id, tf.coll, count(*) AS nt,
+         sum( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+            * tf.tf * 2.2
+            / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
+  FROM tf
+  JOIN dfx ON dfx.coll = tf.coll AND dfx.term = tf.term
+  JOIN stats ON stats.coll = tf.coll
+  GROUP BY tf.doc_id, tf.coll
+)
+SELECT CASE WHEN coll = 0 THEN 'even' ELSE 'odd' END AS collection,
+       doc_id, round(s, 4) AS score
+FROM scored WHERE nt = 2
+ORDER BY score DESC, doc_id
+LIMIT 10
+"""
+
+
 def q_engine_minor_merge(spark, sf_dir):
     """R3 tiered mode under the oracle: the RdbBase subset-merge —
     delta segments merged WITHOUT annihilation or stats rebuild; the
@@ -1116,6 +1219,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_link_rank": q_engine_link_rank,
         "engine_anchor": q_engine_anchor,
         "engine_anchor_boost": q_engine_anchor_boost,
+        "engine_federated": q_engine_federated,
         "hybrid_rrf": q_hybrid_rrf,
     }
     batch_items = [
@@ -1162,6 +1266,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_link_rank": _sql_engine_link_rank(),
         "engine_anchor": SQL_ENGINE_ANCHOR,
         "engine_anchor_boost": _sql_engine_anchor_boost(),
+        "engine_federated": SQL_ENGINE_FEDERATED,
         "hybrid_rrf": SQL_HYBRID_RRF,
     }
     return queries, oracles

@@ -1034,6 +1034,60 @@ ORDER BY lang, predicted
 """
 
 
+def q_training_mix(spark, sf_dir):
+    """Composed training-data curation pipeline (operators/pipeline.py):
+    quality gate (composite >= 0.7) -> language gate (stopword-ratio
+    'en') -> exact dedup (one survivor per md5(text), min doc_id) ->
+    deterministic per-source quota (3 docs, ranked by (md5(text),
+    doc_id)).  One declarative plan; the oracle replays every stage."""
+    from .operators.pipeline import training_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return training_mix(
+        docs, strata_col="source", quality_min=0.7, lang="en", n_per_stratum=3
+    )
+
+
+SQL_TRAINING_MIX = rf"""
+WITH d AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id, source, text, len(toks) AS n,
+         CASE WHEN len(toks) > 0 THEN
+           CAST(len(list_filter(toks, t -> t IN ({_SW_LIST}))) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS swr,
+         CASE WHEN len(toks) > 0 THEN
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+           ELSE 0.0 END AS rep
+  FROM d
+),
+q AS (
+  SELECT doc_id, source, text, n,
+         round(0.4 * (CASE WHEN n BETWEEN 10 AND 10000 THEN 1.0 ELSE 0.0 END)
+               + 0.4 * (1.0 - rep)
+               + 0.2 * (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.0 END), 4)
+           AS quality,
+         CASE WHEN swr > 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+  FROM m
+),
+f AS (SELECT * FROM q WHERE quality >= 0.7 AND lang_pred = 'en'),
+dd AS (
+  SELECT * FROM f
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+),
+s AS (
+  SELECT * FROM dd
+  QUALIFY row_number() OVER (
+    PARTITION BY source ORDER BY md5(CAST(text AS VARCHAR)), doc_id) <= 3
+)
+SELECT doc_id, source, quality, CAST(n AS BIGINT) AS n_tokens
+FROM s ORDER BY doc_id
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     """document fingerprint: polynomial rolling hash over tokens."""
     docs = _t(spark, sf_dir, "documents")
@@ -2052,7 +2106,14 @@ ORDER BY doc_id
 # certified by an in-window twin (kept for API breadth + pytest coverage).
 _WINDOW = [
     # stored-index engine lifecycle (build -> WAND/exhaustive -> serp)
-    "engine_bm25_single",
+    # late-r4: engine_bm25_single moved to the tail — single-term scoring
+    # is the one-slot case of every in-window AND/OR entry (identical
+    # per-slot math, relaxed HAVING) and stays CI-certified there; its
+    # seat goes to multi-collection FEDERATED search (SURVEY §1
+    # "collections", Collectiondb/&c= — two independent namespace
+    # indexes, per-collection stats, merged SERP), a genuinely new
+    # capability whose oracle recomputes BM25 per corpus half
+    "engine_federated",
     "engine_bm25_and2",
     # engine_bm25_and3 moved to the tail r4 (a slot-count twin of and2 —
     # same J1 N-way intersection; 3-term ANDs also ride in-window via
@@ -2136,7 +2197,13 @@ _WINDOW = [
     "dedup_clusters",
     "token_stats_bpe",
     "quality_full",
-    "langid",
+    # late-r4: langid moved to the tail — its stopword-ratio classifier
+    # is embedded VERBATIM (same CASE expression) inside training_mix's
+    # oracle, which takes the seat: the composed curation pipeline
+    # (quality gate -> language gate -> exact dedup -> per-source quota)
+    # is the operator a 100-TB pretraining corpus actually runs, and its
+    # oracle replays all four stages
+    "training_mix",
     # r4 (late): int8 scalar-quantized ANN with full-precision re-rank
     # takes fingerprint's seat — X12 checksum semantics stay certified
     # in-window by dedup_exact (md5 grouping) and by the sha256 row
@@ -2172,6 +2239,12 @@ _WINDOW = [
 ]
 
 _TAIL = [
+    # late-r4 moves (seats taken by engine_federated / training_mix):
+    # single-term BM25 is the one-slot case of every in-window AND/OR
+    # entry; langid's classifier expression is embedded verbatim in
+    # training_mix's oracle.  Both stay CI-certified here every run.
+    "engine_bm25_single",
+    "langid",
     # analog twins / grouping-set demo, each certified by an in-window entry
     # (ann_cosine / multimodal_meta moved here r4: ann_cosine's oracle is
     # the embedded ann CTE of in-window hybrid_rrf + identical to
@@ -2339,6 +2412,7 @@ def build_registry() -> tuple[
         "link_rank": q_link_rank,
         "sample_stratified": q_sample_stratified,
         "sample_hash": q_sample_hash,
+        "training_mix": q_training_mix,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -2411,6 +2485,7 @@ def build_registry() -> tuple[
         "link_rank": _sql_link_rank(),
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "sample_hash": SQL_SAMPLE_HASH,
+        "training_mix": SQL_TRAINING_MIX,
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

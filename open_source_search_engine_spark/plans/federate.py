@@ -1,0 +1,131 @@
+"""Multi-collection federated search (SURVEY.md §1 "collections").
+
+Reference analog: Gigablast collections are fully independent index
+namespaces — each gets its own set of Rdbs (``Collectiondb.cpp``,
+``CollectionRec``) — and a query may address several at once
+(``&c=coll1+coll2``): Msg40 runs the query against every named
+collection and merges the per-collection result sets into one SERP.
+
+Spark rebuild: a collection is simply an independent ``Index`` root
+(its own postings/stats/deletes snapshot tables — the namespace IS the
+path prefix, exactly SURVEY §1's mapping).  Federated search fans the
+query out to each collection's own pruned plan and merges the bounded
+per-collection top-k lists into a global top-k:
+
+- each collection is scored with its OWN statistics (df/cf/N/avgdl),
+  matching the reference — collections share nothing, so a term rare in
+  a small collection legitimately outscores the same term in a large
+  one.  No cross-collection stat blending (Gigablast does none either).
+- the scatter is embarrassingly parallel: per-collection searches are
+  independent jobs over disjoint segment sets (submitted from driver
+  threads so local/cluster schedulers interleave their stages), and the
+  gather is a union of c bounded k-row DataFrames — O(c*k) rows, a
+  driver-scale merge no matter how big each collection is.  This is the
+  same two-level topology as the per-shard WAND scatter (Msg39) one
+  level up: shard -> collection.
+
+At 100 TB: collections map to separate table roots (per-tenant, per-
+crawl, per-language corpora); the federated plan never shuffles corpus
+data — only the c*k merged result rows move.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.build import Index
+from ..operators.topk import search_wand
+
+
+def search_collections(
+    spark: SparkSession,
+    collections: dict[str, Index],
+    query: str,
+    k: int = 10,
+    per_collection_k: int | None = None,
+    enrich: bool = False,
+    lang_boost: tuple[str, float] | None = None,
+    parallel: bool = True,
+) -> DataFrame:
+    """Top-k over several collections in one call (the ``&c=a+b`` SERP).
+
+    Returns (collection, doc_id, score[, enrich cols]) — the global
+    top-``k`` by score over the union of per-collection top-k lists,
+    each scored against its own collection's statistics.  Ties break by
+    (collection, doc_id) so the merge is deterministic.
+
+    ``per_collection_k`` defaults to ``k``: a doc in the global top-k is
+    necessarily in its collection's top-k, so fetching k from each
+    collection loses nothing (fetch more only to over-provision a
+    downstream rounded re-rank).
+    """
+    if not collections:
+        raise ValueError("search_collections needs at least one collection")
+    per_k = per_collection_k or k
+
+    def one(item: tuple[str, Index]) -> DataFrame:
+        name, idx = item
+        res = search_wand(
+            spark, idx, query, k=per_k, enrich=enrich, lang_boost=lang_boost
+        )
+        return res.withColumn("collection", F.lit(name))
+
+    items = sorted(collections.items())
+    if parallel and len(items) > 1:
+        # scatter from driver threads (the Msg40 multicast): each
+        # collection's jobs are independent; interleaving them fills
+        # scheduler gaps exactly like build_index's shard_parallelism
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+            parts = list(ex.map(one, items))
+    else:
+        parts = [one(it) for it in items]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    front = ["collection", "doc_id", "score"]
+    cols = front + [c for c in merged.columns if c not in front]
+    return (
+        merged.select(*cols)
+        .orderBy(F.desc("score"), F.asc("collection"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def _conjunctive_hits(spark: SparkSession, idx: Index, terms: list[str]) -> int:
+    """Exact hit count of a plain AND query from decoded postings (A6) —
+    one pruned termlist scan, no corpus access."""
+    from ..operators.merge import decode_to_postings
+    from .exec import _stats_cached
+
+    _n, _a, stats = _stats_cached(spark, idx, terms)
+    if len(stats) < len(terms):
+        return 0
+    ids = [stats[t][0] for t in terms]
+    blocks = idx.postings.read_pruned(spark, ids)
+    if blocks is None:
+        return 0
+    rows = decode_to_postings(
+        blocks.filter(F.col("term_id").isin(ids)), with_positions=False
+    )
+    return (
+        rows.groupBy("doc_id")
+        .agg(F.countDistinct("term_id").alias("nt"))
+        .filter(F.col("nt") == len(set(ids)))
+        .count()
+    )
+
+
+def collection_total_hits(
+    spark: SparkSession, collections: dict[str, Index], terms: list[str]
+) -> DataFrame:
+    """Per-collection exact hit counts of a conjunctive query (the SERP's
+    per-collection result-count line): one row (collection, total_hits)
+    per namespace, each from that collection's own pruned termlist scan."""
+    rows = [
+        (name, _conjunctive_hits(spark, idx, terms))
+        for name, idx in sorted(collections.items())
+    ]
+    return spark.createDataFrame(rows, "collection string, total_hits long")

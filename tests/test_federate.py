@@ -1,0 +1,120 @@
+"""Multi-collection federated search (plans/federate.py — SURVEY §1
+"collections": independent namespace indexes, Collectiondb/&c= analog)."""
+
+import pytest
+
+from open_source_search_engine_spark.operators.build import build_index
+from open_source_search_engine_spark.operators.topk import search_wand
+from open_source_search_engine_spark.plans.federate import (
+    collection_total_hits,
+    search_collections,
+)
+
+
+@pytest.fixture(scope="session")
+def two_collections(spark, tmp_path_factory):
+    """Two independent tiny collections with DIFFERENT stats for the
+    shared vocabulary: 'binary' is common in coll a, rare in coll b."""
+    rows_a = [
+        ("a", f"p{i}", "c", "py", txt)
+        for i, txt in enumerate(
+            [
+                "binary search tree",
+                "binary heap sort",
+                "binary trie walk",
+                "hash map probe",
+            ]
+        )
+    ]
+    rows_b = [
+        ("b", f"p{i}", "c", "go", txt)
+        for i, txt in enumerate(
+            [
+                "binary protocol frame",
+                "stream codec frame",
+                "frame buffer pool",
+                "socket stream pump",
+                "ring buffer stream",
+            ]
+        )
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    colls = {}
+    for name, rows in (("a", rows_a), ("b", rows_b)):
+        root = str(tmp_path_factory.mktemp(f"coll_{name}"))
+        colls[name] = build_index(
+            spark,
+            spark.createDataFrame(rows, schema),
+            root,
+            n_shards=1,
+            code_aware=False,
+            block_size=4,
+            salt_target=1000,
+        )
+    return colls
+
+
+def test_federated_equals_manual_union(spark, two_collections):
+    """Global top-k == union of per-collection searches, merged by score."""
+    res = search_collections(
+        spark, two_collections, "binary", k=10, enrich=False
+    ).collect()
+    manual = []
+    for name, idx in two_collections.items():
+        for r in search_wand(spark, idx, "binary", k=10, enrich=False).collect():
+            manual.append((name, r["doc_id"], r["score"]))
+    manual.sort(key=lambda t: (-t[2], t[0], t[1]))
+    assert [(r["collection"], r["doc_id"], r["score"]) for r in res] == manual
+    # both collections contribute (the query term exists in each)
+    assert {r["collection"] for r in res} == {"a", "b"}
+
+
+def test_per_collection_stats_are_independent(spark, two_collections):
+    """'binary' is rare in b (df=1 of 5) and common in a (df=3 of 4):
+    b's sole match must outscore every a match — per-collection idf,
+    no cross-collection stat blending (Gigablast collections share
+    nothing)."""
+    res = search_collections(
+        spark, two_collections, "binary", k=10, enrich=False
+    ).collect()
+    assert res[0]["collection"] == "b"
+
+
+def test_k_bounds_global_merge(spark, two_collections):
+    res = search_collections(spark, two_collections, "binary", k=2).collect()
+    assert len(res) == 2
+
+
+def test_missing_term_in_one_collection(spark, two_collections):
+    """'stream' never occurs in collection a: the federated result is
+    b-only, and the empty a-side result unions cleanly."""
+    res = search_collections(
+        spark, two_collections, "stream", k=10, enrich=False
+    ).collect()
+    assert res and all(r["collection"] == "b" for r in res)
+
+
+def test_enrich_carries_through_merge(spark, two_collections):
+    res = search_collections(
+        spark, two_collections, "binary", k=3, enrich=True
+    )
+    assert {"collection", "doc_id", "score", "repo", "path", "lang"} <= set(
+        res.columns
+    )
+    rows = res.collect()
+    assert all(r["repo"] in ("a", "b") and r["repo"] == r["collection"] for r in rows)
+
+
+def test_collection_total_hits(spark, two_collections):
+    rows = {
+        r["collection"]: r["total_hits"]
+        for r in collection_total_hits(
+            spark, two_collections, ["binary"]
+        ).collect()
+    }
+    assert rows == {"a": 3, "b": 1}
+
+
+def test_requires_a_collection(spark):
+    with pytest.raises(ValueError):
+        search_collections(spark, {}, "binary")
