@@ -94,6 +94,8 @@ EXTRAS = [
     "link_rank",
     "engine_anchor",
     "sample_stratified",
+    "engine_federated",
+    "training_mix",
 ]
 
 
