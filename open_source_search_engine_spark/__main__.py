@@ -37,7 +37,11 @@ def main(argv: list[str] | None = None) -> None:
     b.add_argument("--no-resume", action="store_true")
 
     s = sub.add_parser("search", help="BM25 top-k query")
-    s.add_argument("--index", required=True)
+    s.add_argument(
+        "--index", required=True,
+        help="index root; comma-separate several for federated "
+        "multi-collection search (the &c=a+b SERP)",
+    )
     s.add_argument("-q", "--query", required=True)
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--engine", choices=["auto", "wand", "exhaustive"], default="auto")
@@ -261,6 +265,51 @@ def main(argv: list[str] | None = None) -> None:
         from .plans.exec import search
         from .plans.query import parse_query
 
+        lb = None
+        if args.lang_boost:
+            lang, factor = args.lang_boost.rsplit(":", 1)
+            lb = (lang, float(factor))
+        roots = [r for r in args.index.split(",") if r]
+        if len(roots) > 1:
+            # federated multi-collection search (SURVEY §1 collections,
+            # Collectiondb/&c=): per-collection stats, merged SERP
+            import os as _os
+
+            from .plans.federate import search_collections
+
+            names = [_os.path.basename(r.rstrip("/")) or r for r in roots]
+            if len(set(names)) < len(names):  # basename collision
+                names = roots
+            colls = {n: Index(r) for n, r in zip(names, roots)}
+            t0 = time.time()
+            rows = search_collections(
+                spark, colls, args.query, k=args.k, enrich=True, lang_boost=lb
+            ).collect()
+            ms = (time.time() - t0) * 1000
+            for r in rows:
+                print(
+                    json.dumps(
+                        {
+                            "collection": r["collection"],
+                            "doc_id": r["doc_id"],
+                            "score": round(r["score"], 4),
+                            "repo": r["repo"],
+                            "path": r["path"],
+                            "lang": r["lang"],
+                        }
+                    )
+                )
+            print(
+                json.dumps(
+                    {
+                        "engine": "federated-wand",
+                        "collections": len(colls),
+                        "latency_ms": round(ms, 1),
+                    }
+                ),
+                file=sys.stderr,
+            )
+            return
         idx = Index(args.index)
         if args.boolean:
             from .plans.boolean import search_boolean
@@ -285,10 +334,6 @@ def main(argv: list[str] | None = None) -> None:
             and (not has_phrase or idx.features().get("bigrams", False))
         )
         fn = search_wand if use_wand else search
-        lb = None
-        if args.lang_boost:
-            lang, factor = args.lang_boost.rsplit(":", 1)
-            lb = (lang, float(factor))
         if args.explain:
             # print the plan WITHOUT executing: the enriched path
             # materializes eagerly (driver-side Msg20 enrich), whose

@@ -118,3 +118,25 @@ def test_collection_total_hits(spark, two_collections):
 def test_requires_a_collection(spark):
     with pytest.raises(ValueError):
         search_collections(spark, {}, "binary")
+
+
+def test_cli_federated_search(spark, two_collections, capsys):
+    """`search --index a,b` routes to the federated path and emits
+    collection-tagged rows."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from open_source_search_engine_spark.__main__ import main
+
+    roots = ",".join(idx.root for _n, idx in sorted(two_collections.items()))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["search", "--index", roots, "-q", "binary", "-k", "10"])
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(rows) == 4  # 3 in a + 1 in b
+    assert {"collection", "doc_id", "score", "repo", "path", "lang"} <= set(
+        rows[0]
+    )
+    err = capsys.readouterr().err
+    assert '"engine": "federated-wand"' in err and '"collections": 2' in err
