@@ -391,10 +391,12 @@ def q_engine_federated(spark, sf_dir):
     )
 
 
-# per-collection BM25: stats (N, avgdl, df) computed WITHIN each pmod-2
-# half; global merge on the rounded score (ties by doc_id — ids are
-# globally unique across collections)
-SQL_ENGINE_FEDERATED = f"""
+def _sql_engine_federated(terms: list[str], k: int = 10) -> str:
+    """Per-collection BM25: stats (N, avgdl, df) computed WITHIN each
+    pmod-2 half; global merge on the rounded score (ties by doc_id —
+    ids are globally unique across collections)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""
 WITH d AS (
   SELECT doc_id, doc_id % 2 AS coll,
          regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
@@ -408,7 +410,7 @@ stats AS (
 occ AS (SELECT doc_id, coll, doclen, unnest(toks) AS term FROM dd),
 tf AS (
   SELECT doc_id, coll, term, doclen, CAST(count(*) AS DOUBLE) AS tf
-  FROM occ WHERE term IN ('spark', 'join')
+  FROM occ WHERE term IN ({tl})
   GROUP BY doc_id, coll, term, doclen
 ),
 dfx AS (
@@ -426,10 +428,54 @@ scored AS (
 )
 SELECT CASE WHEN coll = 0 THEN 'even' ELSE 'odd' END AS collection,
        doc_id, round(s, 4) AS score
-FROM scored WHERE nt = 2
+FROM scored WHERE nt = {len(terms)}
 ORDER BY score DESC, doc_id
-LIMIT 10
+LIMIT {k}
 """
+
+
+SQL_ENGINE_FEDERATED = _sql_engine_federated(["spark", "join"])
+
+FED_BATCH_ITEMS = [("spark join", ["spark", "join"]), ("table", ["table"])]
+
+
+def q_engine_federated_batch(spark, sf_dir):
+    """Batch × federation: TWO queries answered from TWO collection
+    indexes in two one-job batch plans (one per collection), merged
+    per-query — C jobs for N×C query-collection pairs.  The oracle is
+    the per-query federated SQL, labelled and UNION ALL'd."""
+    from pyspark.sql import Window
+
+    from .plans.federate import search_collections_batch
+
+    colls = {
+        "even": engine_index_collection(spark, sf_dir, "even"),
+        "odd": engine_index_collection(spark, sf_dir, "odd"),
+    }
+    res = search_collections_batch(
+        spark, colls, [q for q, _t in FED_BATCH_ITEMS], k=20, enrich=False
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        res.select(
+            "query", "collection", "doc_id", F.round("score", 4).alias("score")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 10)
+        .drop("_rn")
+        .orderBy("query", F.desc("score"), F.asc("doc_id"))
+    )
+
+
+def _sql_engine_federated_batch() -> str:
+    return (
+        " UNION ALL ".join(
+            f"SELECT '{lbl}' AS query, t.collection, t.doc_id, t.score "
+            f"FROM ({_sql_engine_federated(terms, k=10)}) t"
+            for lbl, terms in FED_BATCH_ITEMS
+        )
+        + " ORDER BY query, score DESC, doc_id"
+    )
 
 
 def q_engine_minor_merge(spark, sf_dir):
@@ -1220,6 +1266,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_anchor": q_engine_anchor,
         "engine_anchor_boost": q_engine_anchor_boost,
         "engine_federated": q_engine_federated,
+        "engine_federated_batch": q_engine_federated_batch,
         "hybrid_rrf": q_hybrid_rrf,
     }
     batch_items = [
@@ -1267,6 +1314,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_anchor": SQL_ENGINE_ANCHOR,
         "engine_anchor_boost": _sql_engine_anchor_boost(),
         "engine_federated": SQL_ENGINE_FEDERATED,
+        "engine_federated_batch": _sql_engine_federated_batch(),
         "hybrid_rrf": SQL_HYBRID_RRF,
     }
     return queries, oracles

@@ -2245,6 +2245,10 @@ _TAIL = [
     # training_mix's oracle.  Both stay CI-certified here every run.
     "engine_bm25_single",
     "langid",
+    # batch × federation composition — its two building blocks hold
+    # window seats (engine_federated, engine_bm25_batch); the composed
+    # entry is CI-certified here
+    "engine_federated_batch",
     # analog twins / grouping-set demo, each certified by an in-window entry
     # (ann_cosine / multimodal_meta moved here r4: ann_cosine's oracle is
     # the embedded ann CTE of in-window hybrid_rrf + identical to

@@ -94,6 +94,63 @@ def search_collections(
     )
 
 
+def search_collections_batch(
+    spark: SparkSession,
+    collections: dict[str, Index],
+    queries: list,
+    k: int = 10,
+    enrich: bool = False,
+    lang_boost: tuple[str, float] | None = None,
+) -> DataFrame:
+    """N queries × C collections, C Spark jobs total — the resident-
+    server shape across namespaces.  Each collection answers the WHOLE
+    batch in its one-job plan (``search_wand_batch``: one pruned union
+    scan, per-shard kernel re-run per query), then a per-query window
+    merges the bounded C×k lists into global top-k per query.
+
+    Output: (query, collection, doc_id, score[, enrich cols]), top-k
+    per query across all collections; ties break by (collection,
+    doc_id).  The merge input is ≤ C·N·k rows regardless of index size.
+    """
+    if not collections:
+        raise ValueError("search_collections_batch needs at least one collection")
+    if not queries:
+        raise ValueError("empty query batch")
+    from pyspark.sql import Window
+
+    items = sorted(collections.items())
+
+    def one(item: tuple[str, Index]) -> DataFrame:
+        name, idx = item
+        from ..operators.topk import search_wand_batch
+
+        res = search_wand_batch(
+            spark, idx, queries, k=k, enrich=enrich, lang_boost=lang_boost
+        )
+        return res.withColumn("collection", F.lit(name))
+
+    if len(items) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+            parts = list(ex.map(one, items))
+    else:
+        parts = [one(items[0])]
+    merged = parts[0]
+    for p in parts[1:]:
+        merged = merged.unionByName(p)
+    w = Window.partitionBy("query").orderBy(
+        F.desc("score"), F.asc("collection"), F.asc("doc_id")
+    )
+    front = ["query", "collection", "doc_id", "score"]
+    cols = front + [c for c in merged.columns if c not in front]
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+        .select(*cols)
+        .orderBy("query", F.desc("score"), F.asc("collection"), F.asc("doc_id"))
+    )
+
+
 def _conjunctive_hits(spark: SparkSession, idx: Index, terms: list[str]) -> int:
     """Exact hit count of a plain AND query from decoded postings (A6) —
     one pruned termlist scan, no corpus access."""

@@ -120,6 +120,27 @@ def test_requires_a_collection(spark):
         search_collections(spark, {}, "binary")
 
 
+def test_batch_federated_equals_per_query(spark, two_collections):
+    """N queries × C collections in C jobs == per-query federated search
+    (same merge order: score desc, collection, doc_id)."""
+    from open_source_search_engine_spark.plans.federate import (
+        search_collections_batch,
+    )
+
+    queries = ["binary", "stream", "frame"]
+    batch = search_collections_batch(spark, two_collections, queries, k=5)
+    assert batch.columns[:4] == ["query", "collection", "doc_id", "score"]
+    got: dict[str, list] = {}
+    for r in batch.collect():
+        got.setdefault(r["query"], []).append(
+            (r["collection"], r["doc_id"], r["score"])
+        )
+    for q in queries:
+        single = search_collections(spark, two_collections, q, k=5).collect()
+        exp = [(r["collection"], r["doc_id"], r["score"]) for r in single]
+        assert got.get(q, []) == exp, q
+
+
 def test_cli_federated_search(spark, two_collections, capsys):
     """`search --index a,b` routes to the federated path and emits
     collection-tagged rows."""
