@@ -543,6 +543,29 @@ def q_engine_bm25_exhaustive(spark, sf_dir):
     return _round_topk(search(spark, idx, "spark join", k=20, enrich=False), 10)
 
 
+def q_engine_search_after(spark, sf_dir):
+    """T3 at scale: keyset deep paging (search_after cursor) through the
+    WAND kernel.  Page 2 is fetched WITHOUT offset — the previous page's
+    last exact (score, doc_id) becomes an admission predicate on the
+    kernel heap, so every page is one O(k)-memory kernel pass and the
+    block-max prune still applies (page 50 costs the same as page 1; an
+    offset(n) plan must merge n+k rows per shard).  The oracle replays
+    the full ranking and takes the OFFSET page — certifying that the
+    cursor page tiles the ranking exactly where offset paging would.
+
+    Gigablast analog: the s=/n= CGI paging params over the TopTree
+    (Msg40 re-runs the query with a larger docsToGet and slices); the
+    cursor variant is the form that stays O(k) on a sharded index."""
+    idx = engine_index(spark, sf_dir)
+    page1 = search_wand(spark, idx, "spark join", k=10, enrich=False).collect()
+    last = page1[-1]
+    page2 = search_wand(
+        spark, idx, "spark join", k=10, enrich=False,
+        after=(float(last["score"]), int(last["doc_id"])),
+    )
+    return _round_topk(page2, 10)
+
+
 def q_engine_phrase(spark, sf_dir):
     """J4 through stored positions — since r4 via the WAND KERNEL path
     (search_wand): the bigram pair termlist joins the intersect loop as a
@@ -820,6 +843,7 @@ def _bm25_engine_oracle(
     exclude_doc_ids: list[int] | None = None,
     exclude_from_corpus: list[int] | None = None,
     lang_boost: tuple[str, float] | None = None,
+    offset: int = 0,
 ) -> str:
     """BM25 recomputed from raw text with the engine's semantics: global
     stats over ALL docs, idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75,
@@ -860,13 +884,13 @@ SELECT scored.doc_id,
 FROM scored JOIN documents d2 ON d2.doc_id = scored.doc_id
 WHERE {nt_pred}{neg}{excl}
 ORDER BY score DESC, scored.doc_id
-LIMIT {k}"""
+LIMIT {k} OFFSET {offset}"""
     else:
         final = f"""
 SELECT doc_id, round(s, 4) AS score
 FROM scored WHERE {nt_pred}{neg}{excl}
 ORDER BY score DESC, doc_id
-LIMIT {k}"""
+LIMIT {k} OFFSET {offset}"""
     return f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
@@ -898,6 +922,10 @@ scored AS (
 # engine re-ranks its top-500 base-score candidates, which covers ALL
 # matches of this query at the driver fixture size, so the oracle over
 # every match is exact (not an approximation of the re-rank window).
+# oracle for q_engine_search_after: the OFFSET page of the full ranking
+# (defined here, after _bm25_engine_oracle, so module import stays linear)
+SQL_ENGINE_SEARCH_AFTER = _bm25_engine_oracle(["spark", "join"], k=10, offset=10)
+
 SQL_ENGINE_PROXIMITY = f"""
 WITH d AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
@@ -1245,6 +1273,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_bm25_neg": q_engine_bm25_neg,
         "engine_bm25_or": q_engine_bm25_or,
         "engine_bm25_exhaustive": q_engine_bm25_exhaustive,
+        "engine_search_after": q_engine_search_after,
         "engine_phrase": q_engine_phrase,
         "engine_synonyms": q_engine_synonyms,
         "engine_boolean": q_engine_boolean,
@@ -1287,6 +1316,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_bm25_neg": _bm25_engine_oracle(["table"], neg_terms=["join"]),
         "engine_bm25_or": _bm25_engine_oracle(["vector", "stream"], mode="or"),
         "engine_bm25_exhaustive": _bm25_engine_oracle(["spark", "join"]),
+        "engine_search_after": SQL_ENGINE_SEARCH_AFTER,
         "engine_phrase": SQL_ENGINE_PHRASE,
         "engine_synonyms": SQL_ENGINE_SYNONYMS,
         "engine_boolean": SQL_ENGINE_BOOLEAN,

@@ -2277,6 +2277,11 @@ _TAIL = [
     # paging moved here r4 (seat taken by frontier_dole) — sort+limit is
     # in-window everywhere; offset is arithmetic over the same plan
     "paging",
+    # T3 at scale: keyset deep paging through the WAND kernel (cursor
+    # admission predicate on the heap — page n costs the same as page 1);
+    # oracle = the OFFSET page of the full replayed ranking.  Certified
+    # here every CI run (test_registry_tail_oracles)
+    "engine_search_after",
     # A8 waiting-tree counts: agg-family twin of in-window metrics_rollup
     # + window-sum; the R5 dequeue holds the frontier family's window seat
     "frontier_quota",

@@ -91,6 +91,13 @@ def _wand_kernel(
     # factor so pruning stays sound (factor >= 1)
     boost_tid = qmeta.get("boost_tid")
     boost_factor = float(qmeta.get("boost_factor", 1.0))
+    # T3 keyset paging: admit only docs ranking strictly AFTER the cursor
+    # in (score desc, doc asc) order; heap keys are (score, -doc), so the
+    # check is one tuple compare.  Block pruning is untouched: theta is a
+    # LOWER bound on admissible scores and still rises from admitted docs
+    # (a deep page is never more expensive than page 1).
+    after = qmeta.get("after")
+    after_key = (float(after[0]), -int(after[1])) if after is not None else None
     term_ids = blocks.column("term_id").to_numpy()
     salts = blocks.column("salt").to_numpy()
     n_salts_col = blocks.column("n_salts").to_numpy()
@@ -386,6 +393,8 @@ def _wand_kernel(
         # push survivors into the heap; entry (score, -doc) makes heap[0]
         # the WORST by the canonical (score desc, doc asc) order
         for doc, sc in zip(cd[alive].tolist(), score[alive].tolist()):
+            if after_key is not None and (sc, -doc) >= after_key:
+                continue  # at or before the cursor: belongs to earlier pages
             if len(heap) < k:
                 heapq.heappush(heap, (sc, -doc))
                 results[doc] = sc
@@ -519,8 +528,15 @@ def search_wand(
     synonyms: bool | dict = False,
     lang_boost: tuple[str, float] | None = None,
     use_cache: bool = False,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """BM25 top-k via per-shard block-max WAND.
+
+    ``after=(score, doc_id)``: keyset deep paging (T3 at scale) — the
+    cursor is an admission predicate on the kernel heap, so every page
+    costs one O(k)-memory kernel pass regardless of depth (an offset(n)
+    page must merge n+k rows).  The cursor compares EXACT scores; pass
+    the previous page's last (score, doc_id) verbatim.
 
     Supports AND queries of terms AND of OR-groups (slot-max member
     scoring, incl. weighted synonym members — U3), fielded terms,
@@ -561,7 +577,7 @@ def search_wand(
         from ..plans.exec import cached_result
         from ..plans.query import plan_key
 
-        extra = (plan_key(plan), k, enrich, with_prune_stats, lang_boost)
+        extra = (plan_key(plan), k, enrich, with_prune_stats, lang_boost, after)
         return cached_result(
             spark,
             index,
@@ -570,6 +586,7 @@ def search_wand(
             lambda: search_wand(
                 spark, index, plan, k=k, enrich=enrich,
                 with_prune_stats=with_prune_stats, lang_boost=lang_boost,
+                after=after,
             ),
         )
     has_phrase = any(
@@ -584,7 +601,8 @@ def search_wand(
                 "plans.exec.search (no WAND prune-stats available)"
             )
         return _exhaustive_search(
-            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost,
+            after=after,
         )
     if lang_boost is not None and float(lang_boost[1]) < 1.0:
         if with_prune_stats:
@@ -593,7 +611,8 @@ def search_wand(
                 "bound; use plans.exec.search for de-boosting"
             )
         return _exhaustive_search(
-            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost,
+            after=after,
         )
     all_pos = _positive_terms(plan)
     if not all_pos:
@@ -628,7 +647,8 @@ def search_wand(
         # distributed anti-join handles any delete volume (R3's compaction
         # is the real fix; this keeps queries correct until it runs)
         return _exhaustive_search(
-            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost
+            spark, index, plan, k=k, enrich=enrich, lang_boost=lang_boost,
+            after=after,
         )
     qmeta = {
         "slots": slots,
@@ -638,6 +658,8 @@ def search_wand(
         "dead": dead,
         "phrases": phrase_chains,
     }
+    if after is not None:
+        qmeta["after"] = (float(after[0]), int(after[1]))
     extra_ids: list[int] = []
     if boost_term is not None and boost_term in stats and lang_boost is not None:
         qmeta["boost_tid"] = stats[boost_term][0]

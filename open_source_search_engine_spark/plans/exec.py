@@ -57,8 +57,17 @@ def search(
     proximity_bonus: float = 0.0,
     use_cache: bool = False,
     match_mode: str = "all",
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 search against a built index.
+
+    ``after=(score, doc_id)``: keyset deep paging (T3 at scale) — return
+    the top k results ranking strictly AFTER the cursor in the canonical
+    (score desc, doc_id asc) order.  Unlike ``.offset(n)`` (whose cost
+    grows with the page depth), the cursor is one filter over the same
+    scored plan, so page 50 costs the same as page 1.  Incompatible with
+    ``proximity_bonus`` (the bounded re-rank window is defined from the
+    top of the ranking, not from an arbitrary cursor).
 
     ``match_mode``: 'all' (default) is the conjunctive AND of the
     reference's default query mode; 'any' scores the disjunctive SUM over
@@ -97,10 +106,17 @@ def search(
     if match_mode == "any" and proximity_bonus > 0:
         raise ValueError("proximity_bonus requires match_mode='all' "
                          "(minspan is defined over all slots present)")
+    if after is not None and proximity_bonus > 0:
+        raise ValueError(
+            "after= (keyset paging) requires proximity_bonus=0: the "
+            "bounded proximity re-rank window anchors at the TOP of the "
+            "ranking, which an arbitrary cursor page need not intersect"
+        )
     if use_cache:
         from .query import plan_key
 
-        extra = (plan_key(plan), k, enrich, lang_boost, proximity_bonus, match_mode)
+        extra = (plan_key(plan), k, enrich, lang_boost, proximity_bonus,
+                 match_mode, after)
         return cached_result(
             spark,
             index,
@@ -109,7 +125,7 @@ def search(
             lambda: search(
                 spark, index, plan, k=k, enrich=enrich,
                 lang_boost=lang_boost, proximity_bonus=proximity_bonus,
-                match_mode=match_mode,
+                match_mode=match_mode, after=after,
             ),
         )
 
@@ -373,6 +389,16 @@ def search(
             scored, cand, len(required_slots), proximity_bonus, k
         )
 
+    if after is not None:
+        # keyset cursor: keep only docs ranking strictly after (score
+        # desc, doc_id asc) — same scored plan, one extra filter, O(k)
+        # result at any page depth (the scale-correct T3, vs offset(n)
+        # whose merge cost grows linearly with depth)
+        a_s, a_d = float(after[0]), int(after[1])
+        scored = scored.filter(
+            (F.col("score") < F.lit(a_s))
+            | ((F.col("score") == F.lit(a_s)) & (F.col("doc_id") > F.lit(a_d)))
+        )
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     if not enrich:
         return topk
