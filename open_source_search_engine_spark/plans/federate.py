@@ -157,6 +157,10 @@ def _conjunctive_hits(spark: SparkSession, idx: Index, terms: list[str]) -> int:
     from ..operators.merge import decode_to_postings
     from .exec import _stats_cached
 
+    # a repeated term is the same constraint twice — dedup before the
+    # len(stats) < len(terms) dictionary-miss check or ["a","a"] would
+    # read as a miss and report 0 hits
+    terms = list(dict.fromkeys(terms))
     _n, _a, stats = _stats_cached(spark, idx, terms)
     if len(stats) < len(terms):
         return 0

@@ -115,6 +115,17 @@ def test_collection_total_hits(spark, two_collections):
     assert rows == {"a": 3, "b": 1}
 
 
+def test_collection_total_hits_repeated_term(spark, two_collections):
+    """A repeated term is one constraint, not a dictionary miss."""
+    rows = {
+        r["collection"]: r["total_hits"]
+        for r in collection_total_hits(
+            spark, two_collections, ["binary", "binary"]
+        ).collect()
+    }
+    assert rows == {"a": 3, "b": 1}
+
+
 def test_requires_a_collection(spark):
     with pytest.raises(ValueError):
         search_collections(spark, {}, "binary")
