@@ -119,23 +119,15 @@ def run_index_build(spark, n_docs: int, root: str, n_shards: int = 2) -> dict:
     from open_source_search_engine_spark.operators.build import build_index
     from open_source_search_engine_spark.operators.topk import search_wand
     from open_source_search_engine_spark.plans.exec import search
-    from open_source_search_engine_spark.sources.corpus import synth_documents
+    from tools._bench_common import ensure_corpus
 
     shutil.rmtree(root, ignore_errors=True)
     # materialize the corpus once as parquet — the realistic input shape
     # (an Iceberg source table per input_hint); synthesis cost is data-gen,
-    # not engine throughput
-    # doc count joins the dir name and a marker gates reuse: a bare
-    # path-existence check would serve a differently-sized or
-    # half-written corpus (killed first synth) and silently skew every
-    # docs/sec number
-    src = f"{root}_src{n_docs}"
-    marker = os.path.join(src, "_SYNTH_OK")
-    if not os.path.exists(marker):
-        shutil.rmtree(src, ignore_errors=True)
-        synth_documents(spark, n_docs).write.mode("overwrite").parquet(src)
-        open(marker, "w").close()
-    docs = spark.read.parquet(src)
+    # not engine throughput.  The doc count joins the dir name and
+    # ensure_corpus's marker gates reuse (ONE copy of that protocol,
+    # shared with the scaling tools).
+    docs = ensure_corpus(spark, n_docs, f"{root}_src{n_docs}")
     t0 = time.time()
     idx = build_index(spark, docs, root, n_shards=n_shards, bigram_terms=True)
     build_secs = time.time() - t0

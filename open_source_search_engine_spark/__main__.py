@@ -272,7 +272,33 @@ def main(argv: list[str] | None = None) -> None:
         roots = [r for r in args.index.split(",") if r]
         if len(roots) > 1:
             # federated multi-collection search (SURVEY §1 collections,
-            # Collectiondb/&c=): per-collection stats, merged SERP
+            # Collectiondb/&c=): per-collection stats, merged SERP.
+            # Flags the federated path doesn't implement must fail loud,
+            # not silently fall back to plain-WAND semantics
+            unsupported = [
+                flag
+                for flag, on in (
+                    ("--boolean", args.boolean),
+                    ("--engine exhaustive", args.engine == "exhaustive"),
+                    ("--synonyms", args.synonyms),
+                    ("--cache", args.cache),
+                    ("--explain", args.explain),
+                )
+                if on
+            ]
+            if unsupported:
+                print(
+                    json.dumps(
+                        {
+                            "error": "unsupported with a multi-collection "
+                            "--index (federated search runs per-collection "
+                            "WAND only)",
+                            "flags": unsupported,
+                        }
+                    ),
+                    file=sys.stderr,
+                )
+                sys.exit(2)
             import os as _os
 
             from .plans.federate import search_collections
@@ -310,7 +336,9 @@ def main(argv: list[str] | None = None) -> None:
                 file=sys.stderr,
             )
             return
-        idx = Index(args.index)
+        # roots[0], not args.index: a stray trailing comma was already
+        # filtered out of roots and must not reach the path open
+        idx = Index(roots[0])
         if args.boolean:
             from .plans.boolean import search_boolean
 

@@ -876,20 +876,30 @@ def _bm25_engine_oracle(
     if exclude_doc_ids:
         el = ", ".join(str(i) for i in exclude_doc_ids)
         excl = f" AND scored.doc_id NOT IN ({el})"
+    # offset pages must tile the EXACT-score ranking (the engine's page
+    # boundary is exact rank k, its cursor an exact (score, doc_id)) —
+    # ordering a page boundary by the ROUNDED score could swap two docs
+    # that tie at 4 dp across the boundary and flip page membership.
+    # Page-1 entries (offset=0) keep the rounded ordering their green
+    # hashes were certified under (same top-k set either way at k<<N).
+    exact_order = offset > 0
     if lang_boost is not None:
         bl, bf = lang_boost
+        boosted = f"s * (CASE WHEN d2.lang = '{bl}' THEN {bf} ELSE 1.0 END)"
+        order = f"{boosted} DESC" if exact_order else "score DESC"
         final = f"""
 SELECT scored.doc_id,
-       round(s * (CASE WHEN d2.lang = '{bl}' THEN {bf} ELSE 1.0 END), 4) AS score
+       round({boosted}, 4) AS score
 FROM scored JOIN documents d2 ON d2.doc_id = scored.doc_id
 WHERE {nt_pred}{neg}{excl}
-ORDER BY score DESC, scored.doc_id
+ORDER BY {order}, scored.doc_id
 LIMIT {k} OFFSET {offset}"""
     else:
+        order = "s DESC" if exact_order else "score DESC"
         final = f"""
 SELECT doc_id, round(s, 4) AS score
 FROM scored WHERE {nt_pred}{neg}{excl}
-ORDER BY score DESC, doc_id
+ORDER BY {order}, doc_id
 LIMIT {k} OFFSET {offset}"""
     return f"""
 WITH d AS (

@@ -36,18 +36,18 @@ MEDIA_SCHEMA = (
 FEATURE_DIM = 16
 
 
-def _decode_real(payload: bytes, kind: str) -> np.ndarray:
+def _decode_real(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> np.ndarray:
     raise NotImplementedError(
         "real media decoding needs PIL/torchaudio/ffmpeg — absent in this "
         "container; swap this function when available"
     )
 
 
-def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic stand-in features: digest bytes -> FEATURE_DIM floats
+def _decode_fake(payload: bytes, kind: str, dim: int = FEATURE_DIM) -> np.ndarray:
+    """Deterministic stand-in features: digest bytes -> ``dim`` floats
     in [-1, 1].  Stable across processes (pure function of the payload)."""
     h = hashlib.sha256(payload).digest()
-    raw = np.frombuffer((h * ((FEATURE_DIM * 4) // len(h) + 1))[: FEATURE_DIM * 4], dtype=np.uint32)
+    raw = np.frombuffer((h * ((dim * 4) // len(h) + 1))[: dim * 4], dtype=np.uint32)
     return (raw.astype(np.float64) / np.float64(2**32)) * 2.0 - 1.0
 
 
@@ -76,17 +76,23 @@ def extract_features(
     decoder = _decode_fake if decode == "fake" else _decode_real
     dim = int(batch_feature_dim)
 
+    def _one(p, k) -> list | None:
+        # a NULL payload has no features (None, not a crash on bytes(None))
+        if p is None:
+            return None
+        out = np.asarray(decoder(bytes(p), k, dim))
+        if out.shape != (dim,):
+            # a wrong-width decoder is a bug in the decoder, not data to
+            # silently tile/truncate into shape (np.resize would fabricate
+            # repeated feature values and hide the mismatch downstream)
+            raise ValueError(
+                f"decoder returned shape {out.shape}, expected ({dim},)"
+            )
+        return out.tolist()
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # a NULL payload has no features (None, not a crash on
-            # bytes(None)); decoder output is resized to the requested
-            # dim so the column width matches what the caller asked for
-            feats = [
-                None
-                if p is None
-                else np.resize(decoder(bytes(p), k), dim).tolist()
-                for p, k in zip(pdf["payload"], pdf["kind"])
-            ]
+            feats = [_one(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
     return df.select("media_id", "kind", "payload").mapInPandas(

@@ -171,12 +171,23 @@ def _conjunctive_hits(spark: SparkSession, idx: Index, terms: list[str]) -> int:
     rows = decode_to_postings(
         blocks.filter(F.col("term_id").isin(ids)), with_positions=False
     )
-    return (
+    matched = (
         rows.groupBy("doc_id")
         .agg(F.countDistinct("term_id").alias("nt"))
         .filter(F.col("nt") == len(set(ids)))
-        .count()
+        .select("doc_id")
     )
+    # merge-on-read tombstones: the count line must agree with the SERP's
+    # doc visibility between delete_docs and compaction (same anti-join
+    # every search path and serp's facet count apply)
+    from ..operators.merge import deletes_table
+
+    ddf = deletes_table(idx).read(spark)
+    if ddf is not None:
+        matched = matched.join(
+            ddf.select("doc_id").distinct(), "doc_id", "left_anti"
+        )
+    return matched.count()
 
 
 def collection_total_hits(

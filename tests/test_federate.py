@@ -126,6 +126,36 @@ def test_collection_total_hits_repeated_term(spark, two_collections):
     assert rows == {"a": 3, "b": 1}
 
 
+def test_total_hits_excludes_tombstones(spark, tmp_path):
+    """The per-collection count line must agree with SERP visibility
+    between delete_docs and compaction (merge-on-read tombstones)."""
+    from open_source_search_engine_spark.operators.merge import delete_docs
+
+    rows = [
+        ("r", f"p{i}", "c", "py", txt)
+        for i, txt in enumerate(
+            ["binary search", "binary heap", "plain text here"]
+        )
+    ]
+    schema = "repo string, path string, commit string, lang string, content string"
+    idx = build_index(
+        spark,
+        spark.createDataFrame(rows, schema),
+        str(tmp_path / "coll_del"),
+        n_shards=1,
+        code_aware=False,
+        block_size=4,
+        salt_target=1000,
+    )
+    colls = {"x": idx}
+    before = collection_total_hits(spark, colls, ["binary"]).collect()[0]
+    assert before["total_hits"] == 2
+    hit = search_wand(spark, idx, "binary", k=1).collect()[0]
+    delete_docs(spark, idx, [int(hit["doc_id"])])
+    after = collection_total_hits(spark, colls, ["binary"]).collect()[0]
+    assert after["total_hits"] == 1
+
+
 def test_requires_a_collection(spark):
     with pytest.raises(ValueError):
         search_collections(spark, {}, "binary")
@@ -172,3 +202,32 @@ def test_cli_federated_search(spark, two_collections, capsys):
     )
     err = capsys.readouterr().err
     assert '"engine": "federated-wand"' in err and '"collections": 2' in err
+
+
+def test_cli_federated_rejects_unsupported_flags(spark, two_collections, capsys):
+    """Flags the federated path doesn't implement fail loud (exit 2), not
+    silently fall back to plain-WAND semantics."""
+    from open_source_search_engine_spark.__main__ import main
+
+    roots = ",".join(idx.root for _n, idx in sorted(two_collections.items()))
+    with pytest.raises(SystemExit) as ei:
+        main(["search", "--index", roots, "-q", "binary", "--boolean"])
+    assert ei.value.code == 2
+    assert "--boolean" in capsys.readouterr().err
+
+
+def test_cli_trailing_comma_single_index(spark, two_collections, capsys):
+    """`--index /path,` is one collection, not a path with a comma."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from open_source_search_engine_spark.__main__ import main
+
+    root = two_collections["a"].root
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["search", "--index", root + ",", "-q", "binary", "-k", "10"])
+    rows = [json.loads(ln) for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(rows) == 3 and "collection" not in rows[0]
+    capsys.readouterr()
