@@ -41,8 +41,12 @@ def _stream(args: tuple[float, int]) -> float:
         np.multiply(b, 1.000001, out=a)
         a += c
         iters += 1
-    # triad touches 3 arrays per iteration (read b, read c, write a)
-    return float(iters * 3 * n * 8)
+    # the TWO-op numpy form streams 5 array-touches per iteration:
+    # multiply = read b + write a; += = read a + read c + write a.
+    # (A fused single-op triad would be 3; counting 3 here would
+    # under-report actual traffic by 40%.)  Write-allocate RFO traffic
+    # is ignored, as STREAM convention does.
+    return float(iters * 5 * n * 8)
 
 
 def main() -> None:
