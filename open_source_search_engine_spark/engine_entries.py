@@ -517,6 +517,18 @@ def q_engine_bm25_and3(spark, sf_dir):
     )
 
 
+def q_engine_term_weight(spark, sf_dir):
+    """User term weights through the WAND kernel (Query.cpp m_userWeight
+    / the qw query operator): ``join^3 spark`` triples join's idf inside
+    the kernel's slot scoring AND its block-max bounds (weight*idf is the
+    quantity both use, so pruning stays sound for any positive weight).
+    The oracle replays BM25 with the same per-term idf multiplier."""
+    idx = engine_index(spark, sf_dir)
+    return _round_topk(
+        search_wand(spark, idx, "join^3 spark", k=20, enrich=False), 10
+    )
+
+
 def q_engine_bm25_neg(spark, sf_dir):
     idx = engine_index(spark, sf_dir)
     return _round_topk(search_wand(spark, idx, "table -join", k=20, enrich=False), 10)
@@ -844,6 +856,7 @@ def _bm25_engine_oracle(
     exclude_from_corpus: list[int] | None = None,
     lang_boost: tuple[str, float] | None = None,
     offset: int = 0,
+    weights: dict[str, float] | None = None,
 ) -> str:
     """BM25 recomputed from raw text with the engine's semantics: global
     stats over ALL docs, idf = ln(1+(N-df+.5)/(df+.5)), k1=1.2 b=0.75,
@@ -859,6 +872,14 @@ def _bm25_engine_oracle(
     (stats included) — post-compaction semantics, vs the merge-on-read
     ``exclude_doc_ids``."""
     tl = ", ".join(f"'{t}'" for t in terms)
+    # user term weights (term^W, Query.cpp m_userWeight): scale the
+    # term's idf contribution — same place the engine applies weight*idf
+    wexpr = ""
+    if weights:
+        cases = " ".join(
+            f"WHEN '{t}' THEN {float(w)!r}" for t, w in sorted(weights.items())
+        )
+        wexpr = f"(CASE tf.term {cases} ELSE 1.0 END) * "
     corpus_where = ""
     if exclude_from_corpus:
         cl = ", ".join(str(i) for i in exclude_from_corpus)
@@ -917,7 +938,7 @@ tf AS (
 dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
 scored AS (
   SELECT tf.doc_id, count(*) AS nt,
-         {agg}( ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
+         {agg}( {wexpr}ln(1.0 + (stats.n - dfx.df + 0.5) / (dfx.df + 0.5))
               * tf.tf * 2.2
               / (tf.tf + 1.2 * (0.25 + 0.75 * tf.doclen / stats.avgdl)) ) AS s
   FROM tf JOIN dfx USING (term) CROSS JOIN stats
@@ -1284,6 +1305,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_bm25_or": q_engine_bm25_or,
         "engine_bm25_exhaustive": q_engine_bm25_exhaustive,
         "engine_search_after": q_engine_search_after,
+        "engine_term_weight": q_engine_term_weight,
         "engine_phrase": q_engine_phrase,
         "engine_synonyms": q_engine_synonyms,
         "engine_boolean": q_engine_boolean,
@@ -1327,6 +1349,9 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_bm25_or": _bm25_engine_oracle(["vector", "stream"], mode="or"),
         "engine_bm25_exhaustive": _bm25_engine_oracle(["spark", "join"]),
         "engine_search_after": SQL_ENGINE_SEARCH_AFTER,
+        "engine_term_weight": _bm25_engine_oracle(
+            ["join", "spark"], weights={"join": 3.0}
+        ),
         "engine_phrase": SQL_ENGINE_PHRASE,
         "engine_synonyms": SQL_ENGINE_SYNONYMS,
         "engine_boolean": SQL_ENGINE_BOOLEAN,

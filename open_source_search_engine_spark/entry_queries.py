@@ -2277,6 +2277,10 @@ _TAIL = [
     # paging moved here r4 (seat taken by frontier_dole) — sort+limit is
     # in-window everywhere; offset is arithmetic over the same plan
     "paging",
+    # user term weights (term^W, Query.cpp m_userWeight): weight*idf in
+    # slot scoring AND block-max bounds; oracle replays the idf
+    # multiplier.  Certified here every CI run.
+    "engine_term_weight",
     # T3 at scale: keyset deep paging through the WAND kernel (cursor
     # admission predicate on the heap — page n costs the same as page 1);
     # oracle = the OFFSET page of the full replayed ranking.  Certified

@@ -7,6 +7,10 @@ Supported surface (v1):
   field:term           fielded restriction (F4): lang:, repo:, path:
   a OR b               or-group (U1/U3): group matches if any member matches
   "a b"                quoted phrase (J4): adjacent positions required
+  term^2.5             user term weight (Query.cpp m_userWeight): scales
+                       the term's idf in scoring; works on fielded terms
+                       and OR-group members; a standalone ^W unit weights
+                       the preceding quoted phrase
 
 Each positive unit becomes a Group (the QueryTermInfo analog, U3): members
 are OR'd within the group, groups are AND'd across.  Negative terms form
@@ -98,28 +102,66 @@ def _norm_unit(unit: str) -> Term | None:
     return Term(" ".join(toks), phrase=tuple(toks))
 
 
+_WEIGHT_RE = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_BARE_WEIGHT_RE = re.compile(r"^\^(\d+(?:\.\d+)?)$")
+
+
 def parse_query(q: str) -> QueryPlan:
+    from dataclasses import replace
+
     plan = QueryPlan(raw=q)
     units = _TOKEN_RE.findall(q)
     i = 0
     pending: list[Term] | None = None  # current OR chain
+    last_term: Term | None = None  # most recently appended (for `"a b"^W`)
     while i < len(units):
         u = units[i]
         if u.upper() == "OR":
             i += 1
             continue
+        bw = _BARE_WEIGHT_RE.match(u)
+        if bw is not None:
+            # `"a b"^2` tokenizes as two units (the phrase regex stops at
+            # the closing quote); weight the preceding term in place
+            w = float(bw.group(1))
+            if w > 0 and last_term is not None:
+                new = replace(last_term, weight=w)
+                for seq in [g.members for g in plan.groups] + (
+                    [pending] if pending is not None else []
+                ):
+                    for j, m in enumerate(seq):
+                        if m is last_term:
+                            seq[j] = new
+                last_term = new
+            i += 1
+            continue
         negative = u.startswith("-") and len(u) > 1
         if negative:
             u = u[1:]
+        weight = 1.0
+        mw = _WEIGHT_RE.match(u)
+        if mw is not None and not u.startswith('"'):
+            # strip the suffix either way; a nonpositive weight is
+            # invalid and falls back to 1.0 (never a bogus "x 0" phrase)
+            cand = float(mw.group(2))
+            u = mw.group(1)
+            weight = cand if cand > 0 else 1.0
         term = _norm_unit(u)
         if term is None:
             i += 1
             continue
+        if weight != 1.0:
+            term = replace(term, weight=weight)
         if negative:
+            # weight on a negation is meaningless (presence kills the doc
+            # either way); also clear last_term so a stray `^W` after it
+            # can't retroactively weight the previous positive
             plan.negatives.append(term)
             pending = None
+            last_term = None
             i += 1
             continue
+        last_term = term
         # join into an OR-group if the *next* unit is OR
         if pending is not None:
             pending.append(term)

@@ -54,3 +54,44 @@ def test_field_alias_site_url_map_to_indexed_prefixes():
     assert "repo:org1/proj2" in texts
     assert "path:widget" in texts
     assert "intitle:readme" in texts
+
+
+def test_parser_term_weights():
+    """term^W user weights (Query.cpp m_userWeight): attach to the Term,
+    survive OR-groups and field prefixes, and a standalone ^W unit
+    weights the preceding quoted phrase."""
+    p = parse_query("binary^2 search")
+    assert [(m.text, m.weight) for g in p.groups for m in g.members] == [
+        ("binary", 2.0),
+        ("search", 1.0),
+    ]
+    p = parse_query("a^2.5 OR b c")
+    assert [(m.text, m.weight) for m in p.groups[0].members] == [
+        ("a", 2.5),
+        ("b", 1.0),
+    ]
+    p = parse_query("lang:python^3 tree")
+    assert p.groups[0].members[0] .text == "lang:python"
+    assert p.groups[0].members[0].weight == 3.0
+    p = parse_query('"fast table"^2 join')
+    assert p.groups[0].members[0].phrase == ("fast", "table")
+    assert p.groups[0].members[0].weight == 2.0
+
+
+def test_parser_term_weight_edge_cases():
+    # nonpositive weight: suffix stripped, weight falls back to 1.0
+    p = parse_query("x^0 y")
+    assert [(m.text, m.weight) for g in p.groups for m in g.members] == [
+        ("x", 1.0),
+        ("y", 1.0),
+    ]
+    # weight on a negation is parsed but a stray ^W after it cannot
+    # retroactively weight the previous positive term
+    p = parse_query("good -bad ^2")
+    assert p.groups[0].members[0].weight == 1.0
+    assert [t.text for t in p.negatives] == ["bad"]
+    # bare ^W with nothing before it is ignored
+    p = parse_query("^2 term")
+    assert [(m.text, m.weight) for g in p.groups for m in g.members] == [
+        ("term", 1.0),
+    ]

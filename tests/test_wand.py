@@ -37,6 +37,11 @@ QUERIES = [
     "def return OR static",
     "quasarneedle OR xylophonequery",
     "fn OR func OR def -return",
+    # user term weights (term^W): weight*idf rides slot scoring and the
+    # kernel's block-max bounds identically, so parity must hold
+    "def^3 return",
+    "fn^2 OR func def",
+    "def return lang:python^2",
 ]
 
 
