@@ -24,6 +24,11 @@ from .operators.merge import compact_postings, delete_docs  # noqa: E402,F401
 from .operators.topk import search_wand  # noqa: E402,F401
 from .plans.boolean import search_boolean  # noqa: E402,F401
 from .plans.exec import search  # noqa: E402,F401
+from .plans.reindex import (  # noqa: E402,F401
+    delete_by_query,
+    match_docs,
+    reindex_by_query,
+)
 from .session import get_spark  # noqa: E402,F401
 from .streaming.incremental import add_documents, stream_documents  # noqa: E402,F401
 
@@ -35,6 +40,9 @@ __all__ = [
     "search_boolean",
     "compact_postings",
     "delete_docs",
+    "match_docs",
+    "delete_by_query",
+    "reindex_by_query",
     "add_documents",
     "stream_documents",
     "get_spark",

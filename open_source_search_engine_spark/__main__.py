@@ -115,6 +115,28 @@ def main(argv: list[str] | None = None) -> None:
     an.add_argument("-k", type=int, default=20)
     an.add_argument("--enrich", action="store_true")
 
+    rx = sub.add_parser(
+        "reindex",
+        help="query reindex (PageReindex/Msg1c): harvest EVERY doc "
+        "matching -q, then either tombstone the match set (--delete) or "
+        "re-ingest its current --src rows as a delete-then-re-add diff",
+    )
+    rx.add_argument("--index", required=True)
+    rx.add_argument("-q", "--query", required=True)
+    rx.add_argument(
+        "--delete", action="store_true",
+        help="delete mode: tombstone every match (merge-on-read; "
+        "annihilated at next compact)",
+    )
+    rx.add_argument(
+        "--src", default=None,
+        help="current corpus parquet (reindex mode; required unless --delete)",
+    )
+    rx.add_argument(
+        "--match-any", action="store_true",
+        help="match docs containing ANY query group instead of ALL",
+    )
+
     ml = sub.add_parser(
         "mlt", help="more-like-this: top-k docs similar to --doc-id"
     )
@@ -243,6 +265,28 @@ def main(argv: list[str] | None = None) -> None:
                 [{"doc_id": r["doc_id"], "score": round(r["score"], 4)} for r in rows]
             )
         )
+        return
+
+    if args.cmd == "reindex":
+        from .operators.build import Index
+        from .plans.reindex import delete_by_query, reindex_by_query
+
+        mode = "any" if args.match_any else "all"
+        idx = Index(args.index)
+        if args.delete:
+            n = delete_by_query(spark, idx, args.query, match_mode=mode)
+            print(json.dumps({"mode": "delete", "tombstoned": n}))
+            return
+        if not args.src:
+            print(
+                json.dumps({"error": "--src is required unless --delete"}),
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        out = reindex_by_query(
+            spark, idx, args.query, spark.read.parquet(args.src), match_mode=mode
+        )
+        print(json.dumps({"mode": "reindex", **out}))
         return
 
     if args.cmd == "compact":

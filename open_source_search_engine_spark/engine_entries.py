@@ -214,6 +214,40 @@ def engine_index_tombstoned(spark: SparkSession, sf_dir: str) -> Index:
     return idx
 
 
+# terms of the PageReindex 'query delete' run in the *_qdel index variant
+QUERYDEL_TERMS = ["table", "join"]
+
+
+def engine_index_querydel(spark: SparkSession, sf_dir: str) -> Index:
+    """Copy of the shared index with every doc matching
+    ``' '.join(QUERYDEL_TERMS)`` tombstoned via delete_by_query
+    (PageReindex.cpp / Msg1c 'delete' mode): the docid harvest runs as a
+    distributed match -> tombstone append (match_docs + delete_docs_df),
+    and queries exclude the match set merge-on-read while stats stay
+    pre-delete."""
+    key = os.path.abspath(sf_dir)
+    hit = _CACHE.get((key, "qdel"))
+    if hit is not None:
+        return hit
+    base = engine_index(spark, key)
+    fp = {
+        "base": base.root,
+        "base_fp": _base_fp(base),
+        "qdel": QUERYDEL_TERMS,
+    }
+
+    def build(tmp: str) -> None:
+        from .plans.reindex import delete_by_query
+
+        shutil.copytree(base.root, tmp)
+        os.remove(os.path.join(tmp, "_corpus_meta.json"))
+        delete_by_query(spark, Index(tmp), " ".join(QUERYDEL_TERMS))
+
+    idx = _cached_index(base.root + "_qdel", "_qdel_meta.json", fp, build)
+    _CACHE[(key, "qdel")] = idx
+    return idx
+
+
 def engine_index_compacted(spark: SparkSession, sf_dir: str) -> Index:
     """Copy of the shared index with TOMBSTONED_DOC_IDS deleted and then
     COMPACTED: tombstones physically annihilated, blocks decoded and
@@ -701,6 +735,19 @@ def q_engine_latest_wins(spark, sf_dir):
     return _round_topk(search_wand(spark, idx, "table", k=20, enrich=False), 10)
 
 
+def q_engine_query_delete(spark, sf_dir):
+    """PageReindex 'query delete' (Msg1c) end-to-end: delete_by_query
+    tombstones EVERY doc matching 'table join' (distributed match-docs
+    harvest -> tombstone segment, nothing on the driver), then a 'table'
+    query answers merge-on-read — match-set docs excluded from results
+    while idf/avgdl still reflect the pre-delete corpus.  The oracle
+    derives the exclusion from the SAME query (docs containing both
+    terms), not a literal id list, so it transfers across scale
+    factors."""
+    idx = engine_index_querydel(spark, sf_dir)
+    return _round_topk(search_wand(spark, idx, "table", k=20, enrich=False), 10)
+
+
 # ---------------------------------------------------------------------------
 # Index-backed aggregates / serp ops
 # ---------------------------------------------------------------------------
@@ -853,6 +900,7 @@ def _bm25_engine_oracle(
     mode: str = "and",
     neg_terms: list[str] | None = None,
     exclude_doc_ids: list[int] | None = None,
+    exclude_match_terms: list[str] | None = None,
     exclude_from_corpus: list[int] | None = None,
     lang_boost: tuple[str, float] | None = None,
     offset: int = 0,
@@ -897,6 +945,17 @@ def _bm25_engine_oracle(
     if exclude_doc_ids:
         el = ", ".join(str(i) for i in exclude_doc_ids)
         excl = f" AND scored.doc_id NOT IN ({el})"
+    if exclude_match_terms:
+        # merge-on-read tombstones derived from a QUERY (delete_by_query /
+        # PageReindex): exclude every doc containing ALL of these terms —
+        # results only, stats untouched — so the oracle transfers across
+        # scale factors without a hard-coded id list
+        ml = ", ".join(f"'{t}'" for t in exclude_match_terms)
+        excl += (
+            f" AND scored.doc_id NOT IN (SELECT doc_id FROM occ "
+            f"WHERE term IN ({ml}) GROUP BY doc_id "
+            f"HAVING count(DISTINCT term) = {len(set(exclude_match_terms))})"
+        )
     # offset pages must tile the EXACT-score ranking (the engine's page
     # boundary is exact rank k, its cursor an exact (score, doc_id)) —
     # ordering a page boundary by the ROUNDED score could swap two docs
@@ -1310,6 +1369,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_synonyms": q_engine_synonyms,
         "engine_boolean": q_engine_boolean,
         "engine_latest_wins": q_engine_latest_wins,
+        "engine_query_delete": q_engine_query_delete,
         "engine_compacted": q_engine_compacted,
         "engine_time_travel": q_engine_time_travel,
         "engine_incremental": q_engine_incremental,
@@ -1357,6 +1417,9 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_boolean": SQL_ENGINE_BOOLEAN,
         "engine_latest_wins": _bm25_engine_oracle(
             ["table"], exclude_doc_ids=TOMBSTONED_DOC_IDS
+        ),
+        "engine_query_delete": _bm25_engine_oracle(
+            ["table"], exclude_match_terms=QUERYDEL_TERMS
         ),
         "engine_compacted": _bm25_engine_oracle(
             ["table"], exclude_from_corpus=TOMBSTONED_DOC_IDS

@@ -2129,7 +2129,13 @@ _WINDOW = [
     "engine_phrase",
     "engine_synonyms",
     "engine_boolean",
-    "engine_latest_wins",
+    # late-r4: engine_latest_wins (tombstones from a LITERAL id list)
+    # moved to the tail — engine_query_delete is the strictly stronger
+    # claim with identical merge-on-read visibility semantics: the
+    # tombstone set comes from delete_by_query's distributed match-docs
+    # harvest (PageReindex/Msg1c), and the oracle derives the exclusion
+    # from the same query instead of hard-coded ids
+    "engine_query_delete",
     "engine_compacted",
     "engine_incremental",
     "engine_total_hits",
@@ -2245,6 +2251,10 @@ _TAIL = [
     # training_mix's oracle.  Both stay CI-certified here every run.
     "engine_bm25_single",
     "langid",
+    # moved here late-r4 (seat taken by engine_query_delete, the strictly
+    # stronger tombstone claim): literal-id-list merge-on-read visibility
+    # stays CI-certified here every run
+    "engine_latest_wins",
     # batch × federation composition — its two building blocks hold
     # window seats (engine_federated, engine_bm25_batch); the composed
     # entry is CI-certified here

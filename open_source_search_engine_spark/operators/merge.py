@@ -46,6 +46,26 @@ def delete_docs(spark: SparkSession, idx: Index, doc_ids: list[int]) -> None:
     t.commit(add=[seg], meta={"n": len(doc_ids)})
 
 
+def delete_docs_df(spark: SparkSession, idx: Index, doc_ids: DataFrame) -> int:
+    """Distributed tombstone append (PageReindex-scale delete batches):
+    the match set is written as a delete segment straight from the
+    executors — nothing collects to the driver.  Returns the tombstone
+    count, read back from the WRITTEN segment so the upstream plan never
+    re-executes.  An empty match set commits nothing (no snapshot churn,
+    no cache invalidation)."""
+    import shutil
+
+    t = deletes_table(idx)
+    df = doc_ids.select(F.col("doc_id").cast("long")).distinct()
+    seg = t.write_segment(df, "del")
+    n = int(spark.read.parquet(seg).count())
+    if n == 0:
+        shutil.rmtree(seg, ignore_errors=True)
+        return 0
+    t.commit(add=[seg], meta={"n": n})
+    return n
+
+
 # per-snapshot tombstone cache: the WAND kernel needs the dead set as a
 # driver-side array (it must exclude dead docs BEFORE the bounded heap so
 # survivors are true local top-k), but collecting it per query was a Spark
