@@ -96,6 +96,8 @@ EXTRAS = [
     "sample_stratified",
     "engine_federated",
     "training_mix",
+    "pack_sequences",
+    "pii_scrub",
 ]
 
 

@@ -21,6 +21,8 @@ __version__ = "0.2.0"
 # primary user surface, importable from the package root
 from .operators.build import Index, build_index  # noqa: E402,F401
 from .operators.merge import compact_postings, delete_docs  # noqa: E402,F401
+from .operators.packing import pack_sequences, packing_stats  # noqa: E402,F401
+from .operators.scrub import pii_count, scrub_pii  # noqa: E402,F401
 from .operators.topk import search_wand  # noqa: E402,F401
 from .plans.boolean import search_boolean  # noqa: E402,F401
 from .plans.exec import search  # noqa: E402,F401
@@ -46,4 +48,8 @@ __all__ = [
     "add_documents",
     "stream_documents",
     "get_spark",
+    "pack_sequences",
+    "packing_stats",
+    "scrub_pii",
+    "pii_count",
 ]

@@ -2098,6 +2098,144 @@ ORDER BY doc_id
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing layout (concatenate-and-chunk at
+    seq_len=128 over 8 hash streams), summarized per stream.  The whole
+    pack is one window shuffle + exact integer chunk math; the oracle
+    replays hash order (md5 hex), running offsets, and chunk explosion
+    in pure SQL."""
+    from .operators.packing import pack_sequences, packing_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return packing_stats(pack_sequences(docs, 128, n_streams=8), 128)
+
+
+SQL_PACK_SEQUENCES = f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) AS stream,
+         CAST(len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS BIGINT) AS n_tokens
+  FROM documents
+), w AS (
+  SELECT stream, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY stream ORDER BY h, doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS end_off
+  FROM d WHERE n_tokens > 0
+), s AS (
+  SELECT stream, doc_id, n_tokens, end_off - n_tokens AS start_off,
+         unnest(generate_series((end_off - n_tokens) // 128,
+                                (end_off - 1) // 128)) AS seq_id
+  FROM w
+), sl AS (
+  SELECT stream, seq_id, doc_id,
+         GREATEST(0, seq_id*128 - start_off) AS tok_start,
+         LEAST(n_tokens, (seq_id+1)*128 - start_off) AS tok_end
+  FROM s
+)
+SELECT stream, max(seq_id)+1 AS n_seqs, count(*) AS n_slices,
+       CAST(sum(tok_end - tok_start) AS BIGINT) AS n_tokens,
+       round(CAST(sum(tok_end - tok_start) AS DOUBLE)
+             / ((max(seq_id)+1) * 128), 6) AS fill_ratio
+FROM sl GROUP BY stream ORDER BY stream
+"""
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII audit + redaction over a corpus with deterministically
+    injected identifiers (the fixture carries none — the entry plants
+    emails/IPs/hex keys by a closed-form doc_id rule both engines
+    replay, the link_rank convention).  Per-language: detection counts,
+    scrubbed length, and an md5-mod-2^16 content checksum of every
+    scrubbed doc (power-of-two modulus keeps signed pmod == DuckDB's
+    unsigned mod)."""
+    from .operators.dedup import _md5_lower64
+    from .operators.scrub import pii_count, scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"), F.lit("@example.com")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 200 + 1).cast("string"),
+                F.lit("."),
+                (did % 250 + 1).cast("string"),
+                F.lit(".7"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 17 == 0,
+            F.concat(F.lit(" key "), F.md5(did.cast("string"))),
+        ).otherwise(F.lit("")),
+    )
+    scrubbed = scrub_pii(pii_text)
+    return (
+        docs.select(
+            "lang",
+            pii_count(pii_text, "email").alias("_e"),
+            pii_count(pii_text, "ipv4").alias("_i"),
+            pii_count(pii_text, "hexkey").alias("_k"),
+            F.length(scrubbed).alias("_len"),
+            F.pmod(_md5_lower64(scrubbed), F.lit(65536)).alias("_crc"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_e").cast("long").alias("n_email"),
+            F.sum("_i").cast("long").alias("n_ipv4"),
+            F.sum("_k").cast("long").alias("n_hexkey"),
+            F.sum("_len").cast("long").alias("scrubbed_chars"),
+            F.sum("_crc").cast("long").alias("scrub_crc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_pii_scrub() -> str:
+    from .operators.scrub import PII_PATTERNS
+
+    expr = "pii_text"
+    for _name, pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    counts = ", ".join(
+        f"CAST(sum(len(regexp_extract_all(pii_text, '{pat}'))) AS BIGINT)"
+        f" AS n_{name}"
+        for name, pat, _rep in PII_PATTERNS
+    )
+    return f"""
+WITH p AS (
+  SELECT lang,
+         text
+         || CASE WHEN doc_id % 7 = 0
+              THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN ' from 10.' || CAST(doc_id % 200 + 1 AS VARCHAR)
+                   || '.' || CAST(doc_id % 250 + 1 AS VARCHAR) || '.7'
+              ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+              THEN ' key ' || md5(CAST(doc_id AS VARCHAR))
+              ELSE '' END AS pii_text
+  FROM documents
+), s AS (
+  SELECT lang, pii_text, {expr} AS scrubbed FROM p
+)
+SELECT lang, count(*) AS n_docs, {counts},
+       CAST(sum(length(scrubbed)) AS BIGINT) AS scrubbed_chars,
+       CAST(sum(md5_number_lower(scrubbed) % 65536) AS BIGINT) AS scrub_crc
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 registry
 # entries (r2 verdict: the engine_* entries sat at positions 52-66 and were
 # never driver-checked).  ORDER below pins the window composition: positions
@@ -2355,6 +2493,12 @@ _TAIL = [
     # WAND base — retrieval twin of in-window engine_anchor + blend twin
     # of tail engine_link_rank; CI-certified via test_registry_tail_oracles
     "engine_anchor_boost",
+    # late-r4 training-pipeline ops: GPT-style concatenate-and-chunk pack
+    # layout (window cumsum + exact integer chunk math) and codegen-regex
+    # PII audit/redaction with a closed-form injected-identifier rule;
+    # CI-certified every run via test_registry_tail_oracles
+    "pack_sequences",
+    "pii_scrub",
 ]
 
 
@@ -2436,6 +2580,8 @@ def build_registry() -> tuple[
         "sample_stratified": q_sample_stratified,
         "sample_hash": q_sample_hash,
         "training_mix": q_training_mix,
+        "pack_sequences": q_pack_sequences,
+        "pii_scrub": q_pii_scrub,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -2509,6 +2655,8 @@ def build_registry() -> tuple[
         "sample_stratified": SQL_SAMPLE_STRATIFIED,
         "sample_hash": SQL_SAMPLE_HASH,
         "training_mix": SQL_TRAINING_MIX,
+        "pack_sequences": SQL_PACK_SEQUENCES,
+        "pii_scrub": _sql_pii_scrub(),
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

@@ -1,0 +1,114 @@
+"""PII scrub: counts match redactions, redaction is idempotent and
+leaves no residual matches, and the chain order is stable."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.operators.scrub import (
+    PII_PATTERNS,
+    pii_count,
+    pii_report,
+    scrub_pii,
+)
+
+ROWS = [
+    (0, "contact alice@example.com or bob.smith+x@sub.domain.org today"),
+    (1, "server at 10.0.0.1 and 192.168.255.254 responded"),
+    (2, "leaked key deadbeefdeadbeefdeadbeefdeadbeef in log"),
+    (3, "mixed: eve@corp.io from 127.0.0.1 key 0123456789abcdef0123456789abcdef"),
+    (4, "clean text with no identifiers at all"),
+    (5, "short hex cafe1234 stays; version 1.2.3.4.5 has a dotted quad inside"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(ROWS, "doc_id long, text string")
+
+
+def test_counts(spark, docs):
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_ipv4"], r["n_hexkey"], r["n_pii"])
+        for r in docs.select("doc_id", *pii_report(F.col("text"))).collect()
+    }
+    assert got[0] == (2, 0, 0, 2)
+    assert got[1] == (0, 2, 0, 2)
+    assert got[2] == (0, 0, 1, 1)
+    assert got[3] == (1, 1, 1, 3)
+    assert got[4] == (0, 0, 0, 0)
+    # 1.2.3.4.5 contains the dotted quad 1.2.3.4 at a word boundary edge:
+    # \b after the 4th octet fails (the next char is '.'), but 2.3.4.5
+    # matches... verify the actual engine semantics stay pinned
+    assert got[5][2] == 0  # cafe1234 is too short for a hexkey
+
+
+def test_scrub_removes_all_matches(spark, docs):
+    scrubbed = docs.select(
+        "doc_id", scrub_pii(F.col("text")).alias("text")
+    )
+    residual = scrubbed.select(*pii_report(F.col("text"))).agg(
+        F.sum("n_email").alias("e"), F.sum("n_ipv4").alias("i")
+    ).collect()[0]
+    assert residual["e"] == 0 and residual["i"] == 0
+
+
+def test_scrub_idempotent(spark, docs):
+    once = docs.select("doc_id", scrub_pii(F.col("text")).alias("t"))
+    twice = once.select("doc_id", scrub_pii(F.col("t")).alias("t"))
+    a = {r["doc_id"]: r["t"] for r in once.collect()}
+    b = {r["doc_id"]: r["t"] for r in twice.collect()}
+    assert a == b
+
+
+def test_scrub_content(spark, docs):
+    out = {
+        r["doc_id"]: r["t"]
+        for r in docs.select(
+            "doc_id", scrub_pii(F.col("text")).alias("t")
+        ).collect()
+    }
+    assert out[0] == "contact <EMAIL> or <EMAIL> today"
+    assert out[1] == "server at <IP> and <IP> responded"
+    assert out[2] == "leaked key <KEY> in log"
+    assert out[3] == "mixed: <EMAIL> from <IP> key <KEY>"
+    assert out[4] == ROWS[4][1]  # clean text untouched
+
+
+def test_duckdb_parity(spark, docs):
+    """The exact patterns and chain order replay in DuckDB's RE2 —
+    the property the driver oracle depends on."""
+    import duckdb
+
+    con = duckdb.connect()
+    pdf = docs.toPandas()
+    con.register("docs", pdf)
+    expr = "text"
+    for _name, pat, rep in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat, _rep in PII_PATTERNS
+    )
+    oracle = {
+        int(r[0]): tuple(r[1:])
+        for r in con.execute(
+            f"SELECT doc_id, {expr} AS scrubbed, {counts} FROM docs"
+        ).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["t"], r["n_email"], r["n_ipv4"], r["n_hexkey"])
+        for r in docs.select(
+            "doc_id",
+            scrub_pii(F.col("text")).alias("t"),
+            *[
+                pii_count(F.col("text"), name).alias(f"n_{name}")
+                for name, _p, _r in PII_PATTERNS
+            ],
+        ).collect()
+    }
+    assert got == oracle
+
+
+def test_unknown_kind(spark):
+    with pytest.raises(ValueError):
+        pii_count(F.lit("x"), "ssn")
