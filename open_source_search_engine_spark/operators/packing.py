@@ -69,6 +69,11 @@ def pack_sequences(
 
     ``n_tokens_col`` skips tokenization when the corpus already carries a
     token count column (the 100-TB path: count once, pack many times).
+
+    Precondition: ``id_col`` values are unique (the corpus has been
+    deduplicated — packing runs AFTER dedup in the curation order).
+    Duplicate ids would tie the (md5, id) window order key and the
+    layout of the tied rows would depend on physical partition order.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")

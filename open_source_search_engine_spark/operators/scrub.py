@@ -30,8 +30,8 @@ from pyspark.sql import functions as F
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    # 32+ hex chars: md5/sha/api-token shaped secrets
-    ("hexkey", r"\b[0-9a-f]{32,}\b", "<KEY>"),
+    # 32+ hex chars: md5/sha/api-token shaped secrets (any letter case)
+    ("hexkey", r"\b[0-9a-fA-F]{32,}\b", "<KEY>"),
 ]
 
 

@@ -52,6 +52,13 @@ def match_docs(
     follows plans.exec.search: 'all' = every group present (default),
     'any' = at least one group present (a phrase counts as present only
     where its positional adjacency holds).
+
+    NOTE: this mirrors exec.search's slot/phrase/negation plumbing minus
+    scoring (the scoring plan can't simply run with k=infinity — the
+    global top-k sort is the thing a billion-doc match set must avoid).
+    Any semantic change to exec.search's group handling must land here
+    too; tests/test_reindex.py::test_match_docs_equals_search_match_set
+    pins the parity across the query shapes.
     """
     from ..operators.merge import decode_to_postings, deletes_table
     from .exec import _phrase_ok_docs, _stats_cached
@@ -191,20 +198,28 @@ def reindex_by_query(
 
     ``source`` is the current corpus table (one row per (repo, path) at
     its head commit — the shape build_index ingests).  The diff per
-    matched doc:
+    matched doc, keyed on the (repo, path, commit) triple the stored
+    docstats carries (NOT on recomputed hash ids — an index built over a
+    corpus with its own external ``doc_id`` column must diff the same
+    way):
 
-    - source row unchanged (same commit => same doc_id): untouched —
-      tombstoning it would kill the identical re-add (doc_id is
-      content-addressed by (repo, path, commit)).
+    - source row unchanged (same (repo, path, commit)): untouched —
+      tombstoning it would kill the identical re-add.
     - source row changed: old doc_id tombstoned, new row added (the
       XmlDoc::getMetaList delete-old-keys-then-add diff).
     - source row gone: old doc_id tombstoned (re-spider of a dead URL).
 
+    A re-add whose doc_id is ALREADY live in the index (e.g. both an old
+    and the head version of a path were indexed and only the old one
+    matched the query) is skipped — re-ingesting it would duplicate its
+    postings in every termlist.
+
     Returns ``{"matched": n, "deleted": d, "added": a}``.  Extra kwargs
-    flow to add_documents (salt_target, block_size, ...).
+    flow to add_documents (salt_target, block_size, ...; tokenizer and
+    feature flags inherit from the index's feature markers there).
     """
     from ..functions.hashing import doc_id_col
-    from ..operators.merge import delete_docs_df
+    from ..operators.merge import delete_docs_df, deletes_table
     from ..streaming.incremental import add_documents
 
     matched = match_docs(spark, index, query, match_mode)
@@ -212,29 +227,48 @@ def reindex_by_query(
     if docstats is None:
         raise FileNotFoundError(f"docstats snapshot absent under {index.root!r}")
     old = (
-        docstats.select("doc_id", "repo", "path")
+        docstats.select("doc_id", "repo", "path", "commit")
         .join(matched, "doc_id", "left_semi")
         # doc_id is unique in docstats; distinct guards double-counting
         # if a caller hands a hand-built index with replayed segments
         .distinct()
-    )
-    cur = source.join(
-        old.select("repo", "path").distinct(), ["repo", "path"], "left_semi"
-    ).withColumn(
-        "doc_id", doc_id_col(F.col("repo"), F.col("path"), F.col("commit"))
-    )
-    unchanged = cur.select("doc_id").join(old.select("doc_id"), "doc_id", "left_semi")
-    to_delete = old.select("doc_id").join(unchanged, "doc_id", "left_anti")
-    to_add = cur.join(unchanged, "doc_id", "left_anti").drop("doc_id")
-
-    # tokenize the re-add exactly like the original build (bigrams and
-    # numeric_fields already inherit inside add_documents)
-    add_kwargs.setdefault(
-        "code_aware", bool(index.features().get("code_aware", True))
+        # the heavy plan (pruned scan + decode + coverage agg) executes
+        # ONCE here; the delete write, the add, and the counts all reuse
+        # the materialized match set
+        .persist()
     )
     n_matched = old.count()
-    n_deleted = delete_docs_df(spark, index, to_delete)
-    n_added = to_add.count()
-    if n_added:
-        add_documents(spark, index, to_add, **add_kwargs)
+    triple = ["repo", "path", "commit"]
+    cur = source.join(old.select("repo", "path").distinct(), ["repo", "path"], "left_semi")
+    unchanged = old.join(cur.select(*triple), triple, "left_semi").select("doc_id")
+    to_delete = old.select("doc_id").join(unchanged, "doc_id", "left_anti")
+    to_add = cur.join(old.select(*triple), triple, "left_anti")
+
+    # liveness guard: never re-add an id that still has live postings.
+    # live = everything in docstats minus prior tombstones minus the ids
+    # this very call is deleting (computed BEFORE the delete commits so
+    # the plan is pinned either way)
+    add_id = (
+        F.col("doc_id")
+        if "doc_id" in to_add.columns
+        else doc_id_col(F.col("repo"), F.col("path"), F.col("commit"))
+    )
+    live = docstats.select("doc_id").join(to_delete, "doc_id", "left_anti")
+    ddf = deletes_table(index).read(spark)
+    if ddf is not None:
+        live = live.join(ddf.select("doc_id").distinct(), "doc_id", "left_anti")
+    to_add = (
+        to_add.withColumn("_add_id", add_id)
+        .join(live.withColumnRenamed("doc_id", "_add_id"), "_add_id", "left_anti")
+        .drop("_add_id")
+        .persist()
+    )
+    try:
+        n_added = to_add.count()
+        n_deleted = delete_docs_df(spark, index, to_delete)
+        if n_added:
+            add_documents(spark, index, to_add, **add_kwargs)
+    finally:
+        old.unpersist()
+        to_add.unpersist()
     return {"matched": n_matched, "deleted": n_deleted, "added": n_added}

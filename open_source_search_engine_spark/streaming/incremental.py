@@ -72,7 +72,7 @@ def add_documents(
     spark: SparkSession,
     idx: Index,
     docs: DataFrame,
-    code_aware: bool = True,
+    code_aware: bool | None = None,
     field_terms: bool = True,
     bigram_terms: bool | None = None,
     numeric_fields: tuple | None = None,
@@ -83,17 +83,37 @@ def add_documents(
 ) -> None:
     """Append one delta segment for ``docs`` (R1: searchable on commit).
 
-    ``bigram_terms=None`` / ``numeric_fields=None`` inherit the index's
-    feature markers (a delta without pair or num: termlists in an index
-    that has them would make those lookups silently incomplete); an
-    explicit mismatch raises."""
+    ``code_aware=None`` / ``bigram_terms=None`` / ``numeric_fields=None``
+    inherit the index's feature markers (a delta tokenized differently —
+    or without pair or num: termlists — in an index that has them would
+    make lookups silently incomplete); an explicit mismatch raises."""
     run_id = run_id or uuid.uuid4().hex[:8]
     # heal any half-committed previous batch BEFORE adding (see
     # find_orphan_deltas) — cheap driver-side JSON tail walk
     repair_orphan_deltas(idx)
     has_bigrams = idx.features().get("bigrams", False)
     has_numeric = list(idx.features().get("numeric_fields", []))
+    has_code_aware = idx.features().get("code_aware", None)
     fresh = idx.postings.latest() is None
+    if code_aware is None:
+        # inherit the build's tokenizer: a delta tokenized differently
+        # splits the same text into different terms, so lookups would
+        # silently miss delta docs
+        code_aware = has_code_aware if has_code_aware is not None else True
+    elif has_code_aware is None:
+        if fresh:
+            # delta-created index: record the tokenizer so later deltas
+            # inherit instead of defaulting
+            idx.write_features(code_aware=code_aware)
+    elif has_code_aware is not None and code_aware != has_code_aware:
+        if fresh:
+            idx.write_features(code_aware=code_aware)
+        else:
+            raise ValueError(
+                f"index at {idx.root} has code_aware={has_code_aware}; "
+                "deltas must match (tokenization would diverge between "
+                "base and delta segments)"
+            )
     if bigram_terms is None:
         bigram_terms = has_bigrams
     elif bigram_terms != has_bigrams:

@@ -171,3 +171,78 @@ def test_reindex_unchanged_is_noop(spark, ridx):
         "d.go",
         "e.rs",
     }
+
+
+def test_reindex_external_id_corpus_unchanged_is_noop(spark, tmp_path):
+    # an index built over a corpus with its OWN doc_id column must diff
+    # on the (repo, path, commit) triple, not on recomputed hash ids —
+    # recomputing would tombstone + re-add every matched doc and replace
+    # the external ids with hash ids
+    rows = [
+        (101, "r/x", "x.py", "c1", "python", "omega fast table scan"),
+        (202, "r/x", "y.py", "c2", "python", "omega other tokens"),
+    ]
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    docs = spark.createDataFrame(rows, schema)
+    idx = build_index(
+        spark, docs, str(tmp_path / "extidx"), n_shards=1,
+        code_aware=False, block_size=4,
+    )
+    source = spark.createDataFrame(rows, schema)
+    out = reindex_by_query(spark, idx, "omega", source)
+    assert out == {"matched": 2, "deleted": 0, "added": 0}
+    # external ids survive untouched
+    got = {r["doc_id"] for r in search(spark, idx, "omega", k=10).collect()}
+    assert got == {101, 202}
+
+
+def test_reindex_never_duplicates_a_live_doc(spark, tmp_path):
+    # both an old (c1) and the head (c2) version of a path are live; the
+    # query matches only c1.  The re-add of c2's row must be SKIPPED —
+    # its doc_id already has live postings, and re-ingesting would
+    # double the doc in every termlist
+    from open_source_search_engine_spark.streaming.incremental import (
+        add_documents,
+    )
+
+    old_rows = [("r/z", "z.py", "c1", "python", "uniquetokenold fast table")]
+    head_rows = [("r/z", "z.py", "c2", "python", "uniquetokennew fast table")]
+    docs = spark.createDataFrame(old_rows, SCHEMA)
+    idx = build_index(
+        spark, docs, str(tmp_path / "dupidx"), n_shards=1,
+        code_aware=False, block_size=4,
+    )
+    add_documents(spark, idx, spark.createDataFrame(head_rows, SCHEMA), block_size=4)
+    source = spark.createDataFrame(head_rows, SCHEMA)
+    out = reindex_by_query(spark, idx, "uniquetokenold", source)
+    # c1 matched and tombstoned; c2's row is already live -> not re-added
+    assert out == {"matched": 1, "deleted": 1, "added": 0}
+    res = search(spark, idx, "fast table", k=10).collect()
+    assert [r["path"] for r in res] == ["z.py"]  # exactly once, the head
+    assert search(spark, idx, "uniquetokenold", k=10).count() == 0
+
+
+def test_add_documents_inherits_code_aware(spark, tmp_path):
+    # regression: add_documents used to default code_aware=True even on
+    # an index built code_aware=False, silently tokenizing deltas with a
+    # different tokenizer; it now inherits and raises on a mismatch
+    from open_source_search_engine_spark.streaming.incremental import (
+        add_documents,
+    )
+
+    docs = spark.createDataFrame(DOCS[:2], SCHEMA)
+    idx = build_index(
+        spark, docs, str(tmp_path / "caidx"), n_shards=1,
+        code_aware=False, block_size=4,
+    )
+    delta = spark.createDataFrame(
+        [("r/n", "n.py", "c9", "python", "camelCaseToken alpha")], SCHEMA
+    )
+    add_documents(spark, idx, delta, block_size=4)  # inherits False
+    # code_aware=False keeps camelCaseToken as one lowercased term
+    assert search(spark, idx, "camelcasetoken", k=5).count() == 1
+    with pytest.raises(ValueError, match="code_aware"):
+        add_documents(spark, idx, delta, code_aware=True, block_size=4)

@@ -18,6 +18,7 @@ ROWS = [
     (3, "mixed: eve@corp.io from 127.0.0.1 key 0123456789abcdef0123456789abcdef"),
     (4, "clean text with no identifiers at all"),
     (5, "short hex cafe1234 stays; version 1.2.3.4.5 has a dotted quad inside"),
+    (6, "uppercase secret DEADBEEFDEADBEEFDEADBEEFDEADBEEF must scrub too"),
 ]
 
 
@@ -36,10 +37,11 @@ def test_counts(spark, docs):
     assert got[2] == (0, 0, 1, 1)
     assert got[3] == (1, 1, 1, 3)
     assert got[4] == (0, 0, 0, 0)
-    # 1.2.3.4.5 contains the dotted quad 1.2.3.4 at a word boundary edge:
-    # \b after the 4th octet fails (the next char is '.'), but 2.3.4.5
-    # matches... verify the actual engine semantics stay pinned
-    assert got[5][2] == 0  # cafe1234 is too short for a hexkey
+    # '1.2.3.4.5' DOES contain one ipv4 match: digit->'.' IS a word
+    # boundary in both Java regex and RE2, so '1.2.3.4' matches and the
+    # scan resumes at '.5' (no second quad left) — pin that semantics
+    assert got[5] == (0, 1, 0, 1)  # and cafe1234 is too short for a hexkey
+    assert got[6] == (0, 0, 1, 1)  # uppercase hex keys are secrets too
 
 
 def test_scrub_removes_all_matches(spark, docs):
@@ -72,6 +74,8 @@ def test_scrub_content(spark, docs):
     assert out[2] == "leaked key <KEY> in log"
     assert out[3] == "mixed: <EMAIL> from <IP> key <KEY>"
     assert out[4] == ROWS[4][1]  # clean text untouched
+    assert out[5] == "short hex cafe1234 stays; version <IP>.5 has a dotted quad inside"
+    assert out[6] == "uppercase secret <KEY> must scrub too"
 
 
 def test_duckdb_parity(spark, docs):
