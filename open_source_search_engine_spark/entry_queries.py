@@ -2236,6 +2236,82 @@ FROM s GROUP BY lang ORDER BY lang
 """
 
 
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-rule repetition filters (Rae et al. 2021 §A1.1): duplicate
+    word-2-gram / 3-gram mass per language, plus how many docs cross the
+    'more than half the n-grams are duplicates' bar.  Everything stays
+    an INTEGER pair (dup, total) so aggregation order can't perturb a
+    float sum and the >1/2 threshold is the exact integer inequality
+    total < 2*dup — bit-replayable in any engine."""
+    docs = _t(spark, sf_dir, "documents")
+    # Stage the token array as a NAMED column before the n-gram lambdas.
+    # word_ngrams references its input once per element; if that input is
+    # the inline regexp_extract_all expression, tokenization re-runs
+    # O(tokens) times per doc (measured 25x slower on long code docs).
+    # CollapseProject keeps a non-cheap expr used many times as a real
+    # projection, so this select is a genuine evaluate-once barrier.
+    staged = docs.select("lang", _toks().alias("_tk"))
+    tk = F.col("_tk")
+    d2, t2 = textstats.dup_ngram_counts(tk, 2)
+    d3, t3 = textstats.dup_ngram_counts(tk, 3)
+    per_doc = staged.select(
+        "lang",
+        d2.alias("_d2"),
+        t2.alias("_t2"),
+        d3.alias("_d3"),
+        t3.alias("_t3"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_d2").alias("dup2"),
+            F.sum("_t2").alias("total2"),
+            F.sum("_d3").alias("dup3"),
+            F.sum("_t3").alias("total3"),
+            F.sum(
+                F.when(F.col("_t2") < 2 * F.col("_d2"), 1).otherwise(0)
+            ).cast("long").alias("repetitive2"),
+            F.sum(
+                F.when(F.col("_t3") < 2 * F.col("_d3"), 1).otherwise(0)
+            ).cast("long").alias("repetitive3"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_GOPHER_REPETITION = f"""
+WITH d AS (
+  SELECT lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+), g AS (
+  SELECT lang,
+         CASE WHEN len(toks) >= 2 THEN
+           list_transform(generate_series(1, len(toks)-1),
+                          i -> toks[i] || ' ' || toks[i+1])
+           ELSE [] END AS g2,
+         CASE WHEN len(toks) >= 3 THEN
+           list_transform(generate_series(1, len(toks)-2),
+                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+           ELSE [] END AS g3
+  FROM d
+), m AS (
+  SELECT lang,
+         CAST(len(g2) AS BIGINT) AS t2,
+         CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS d2,
+         CAST(len(g3) AS BIGINT) AS t3,
+         CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS d3
+  FROM g
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(d2) AS BIGINT) AS dup2,  CAST(sum(t2) AS BIGINT) AS total2,
+       CAST(sum(d3) AS BIGINT) AS dup3,  CAST(sum(t3) AS BIGINT) AS total3,
+       CAST(sum(CASE WHEN t2 < 2*d2 THEN 1 ELSE 0 END) AS BIGINT) AS repetitive2,
+       CAST(sum(CASE WHEN t3 < 2*d3 THEN 1 ELSE 0 END) AS BIGINT) AS repetitive3
+FROM m GROUP BY lang ORDER BY lang
+"""
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 registry
 # entries (r2 verdict: the engine_* entries sat at positions 52-66 and were
 # never driver-checked).  ORDER below pins the window composition: positions
@@ -2499,6 +2575,8 @@ _TAIL = [
     # CI-certified every run via test_registry_tail_oracles
     "pack_sequences",
     "pii_scrub",
+    # Gopher duplicate-n-gram repetition filters, integer-exact pairs
+    "gopher_repetition",
 ]
 
 
@@ -2582,6 +2660,7 @@ def build_registry() -> tuple[
         "training_mix": q_training_mix,
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
+        "gopher_repetition": q_gopher_repetition,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -2657,6 +2736,7 @@ def build_registry() -> tuple[
         "training_mix": SQL_TRAINING_MIX,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pii_scrub": _sql_pii_scrub(),
+        "gopher_repetition": SQL_GOPHER_REPETITION,
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

@@ -103,3 +103,44 @@ def punct_ratio(col: Column) -> Column:
     nonspace = F.length(F.regexp_replace(col, r"\s+", ""))
     alnum = F.length(F.regexp_replace(col, r"[^\p{L}\p{N}]+", ""))
     return F.when(nonspace > 0, (nonspace - alnum) / nonspace).otherwise(F.lit(0.0))
+
+
+def word_ngrams(tokens: Column, n: int) -> Column:
+    """Word n-grams of a token array (space-joined), JVM-side: one
+    transform over a bounded index sequence, no UDF.  Empty array when
+    the doc has fewer than n tokens.
+
+    PERF: pass a materialized column reference (project the tokenizer
+    output with .alias() first), NOT an inline regexp/tokenizer
+    expression — `tokens` is referenced once per element inside the
+    lambda, and an inline expression would be re-evaluated O(tokens)
+    times per row (measured 25x slowdown on ~1k-token docs)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    idx = F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(tokens) - (n - 1)))
+
+    def make(i: Column) -> Column:
+        return F.concat_ws(" ", *[F.element_at(tokens, i + j) for j in range(n)])
+
+    return F.when(F.size(tokens) >= n, F.transform(idx, make)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def dup_ngram_counts(tokens: Column, n: int) -> tuple[Column, Column]:
+    """(duplicated n-gram count, total n-gram count) — the Gopher-rule
+    repetition signal (Rae et al. 2021 §A1.1: 'fraction of duplicate
+    n-grams') kept as an INTEGER pair so downstream aggregation and the
+    threshold test stay float-free and bit-replayable: the fraction is
+    dup/total, and 'fraction > 1/2' is exactly 'total < 2*dup'."""
+    g = word_ngrams(tokens, n)
+    total = F.size(g).cast("long")
+    dup = (total - F.size(F.array_distinct(g))).cast("long")
+    return dup, total
+
+
+def dup_ngram_fraction(tokens: Column, n: int) -> Column:
+    """Gopher duplicate n-gram fraction in [0,1] (0 for docs shorter
+    than n tokens)."""
+    dup, total = dup_ngram_counts(tokens, n)
+    return F.when(total > 0, dup / total).otherwise(F.lit(0.0))

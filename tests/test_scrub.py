@@ -116,3 +116,48 @@ def test_duckdb_parity(spark, docs):
 def test_unknown_kind(spark):
     with pytest.raises(ValueError):
         pii_count(F.lit("x"), "ssn")
+
+
+# --- Gopher repetition helpers (textstats) ---------------------------------
+
+
+def test_dup_ngram_counts_hand_checked(spark):
+    from open_source_search_engine_spark.operators import textstats
+
+    rows = [
+        (0, "a b a b a"),     # 2-grams: ab ba ab ba -> 2 dups of 4
+        (1, "x y z"),          # 2-grams: xy yz -> 0 dups of 2
+        (2, "q"),              # shorter than n -> (0, 0)
+        (3, "r r r r"),        # 2-grams: rr rr rr -> 2 dups of 3 (>1/2)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = textstats.tokens_simple(F.col("text"))
+    d2, t2 = textstats.dup_ngram_counts(toks, 2)
+    got = {
+        r["doc_id"]: (r["d"], r["t"], r["f"])
+        for r in docs.select(
+            "doc_id",
+            d2.alias("d"),
+            t2.alias("t"),
+            F.round(textstats.dup_ngram_fraction(toks, 2), 4).alias("f"),
+        ).collect()
+    }
+    assert got[0] == (2, 4, 0.5)
+    assert got[1] == (0, 2, 0.0)
+    assert got[2] == (0, 0, 0.0)
+    assert got[3] == (2, 3, 0.6667)
+    # the exact >1/2 integer test: only doc 3 is 'repetitive'
+    rep = {
+        r["doc_id"]
+        for r in docs.select("doc_id", d2.alias("d"), t2.alias("t"))
+        .filter(F.col("t") < 2 * F.col("d"))
+        .collect()
+    }
+    assert rep == {3}
+
+
+def test_word_ngrams_validation(spark):
+    from open_source_search_engine_spark.operators import textstats
+
+    with pytest.raises(ValueError):
+        textstats.word_ngrams(F.col("x"), 0)
