@@ -2312,6 +2312,92 @@ FROM m GROUP BY lang ORDER BY lang
 """
 
 
+_DUP_SPAN_N = 8
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-doc duplicated-SPAN accounting (Lee et al. 2021 substring
+    dedup, at token-8-gram resolution): per language, how many n-gram
+    starts recur in >=2 distinct docs and how many TOKENS the union of
+    those [pos, pos+8) intervals covers — the interval union is exact
+    (one lead() window per doc), and every measure is an integer so the
+    majority-duplicated drop rule is the inequality 2*covered > tokens."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = dedup.dup_span_doc_stats(
+        docs, "doc_id", "text", n=_DUP_SPAN_N, min_docs=2, keep_cols=("lang",)
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("total_ngrams").alias("total_ngrams"),
+            F.sum("dup_ngrams").alias("dup_ngrams"),
+            F.sum("covered_tokens").alias("covered_tokens"),
+            F.sum(
+                F.when(
+                    2 * F.col("covered_tokens") > F.col("n_tokens"), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("majority_dup_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DUP_SPANS = f"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, lang,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(greatest(len(toks) - {_DUP_SPAN_N} + 1, 0) AS BIGINT) AS total_ngrams,
+         toks
+  FROM d
+), ge AS (
+  SELECT doc_id, s['pos'] AS pos, s['h'] AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {_DUP_SPAN_N} + 1, 0)),
+             i -> struct_pack(
+               pos := i - 1,
+               h := md5_number_lower(
+                 array_to_string(toks[i : i + {_DUP_SPAN_N} - 1], ' '))))) AS s
+    FROM d
+  )
+), dup AS (
+  SELECT h FROM ge GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), m AS (
+  SELECT ge.doc_id, ge.pos FROM ge JOIN dup USING (h)
+), cov0 AS (
+  SELECT doc_id, least({_DUP_SPAN_N},
+           coalesce(lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) - pos,
+                    {_DUP_SPAN_N})) AS c
+  FROM m
+), cov AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_ngrams,
+         CAST(sum(c) AS BIGINT) AS covered_tokens
+  FROM cov0 GROUP BY doc_id
+), j AS (
+  SELECT base.lang, base.n_tokens, base.total_ngrams,
+         coalesce(cov.dup_ngrams, 0) AS dup_ngrams,
+         coalesce(cov.covered_tokens, 0) AS covered_tokens
+  FROM base LEFT JOIN cov USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(total_ngrams) AS BIGINT) AS total_ngrams,
+       CAST(sum(dup_ngrams) AS BIGINT) AS dup_ngrams,
+       CAST(sum(covered_tokens) AS BIGINT) AS covered_tokens,
+       CAST(sum(CASE WHEN 2*covered_tokens > n_tokens THEN 1 ELSE 0 END)
+            AS BIGINT) AS majority_dup_docs
+FROM j GROUP BY lang ORDER BY lang
+"""
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 registry
 # entries (r2 verdict: the engine_* entries sat at positions 52-66 and were
 # never driver-checked).  ORDER below pins the window composition: positions
@@ -2577,6 +2663,8 @@ _TAIL = [
     "pii_scrub",
     # Gopher duplicate-n-gram repetition filters, integer-exact pairs
     "gopher_repetition",
+    # cross-doc duplicated spans (substring-dedup accounting, 8-grams)
+    "dup_spans",
 ]
 
 
@@ -2661,6 +2749,7 @@ def build_registry() -> tuple[
         "pack_sequences": q_pack_sequences,
         "pii_scrub": q_pii_scrub,
         "gopher_repetition": q_gopher_repetition,
+        "dup_spans": q_dup_spans,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -2737,6 +2826,7 @@ def build_registry() -> tuple[
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pii_scrub": _sql_pii_scrub(),
         "gopher_repetition": SQL_GOPHER_REPETITION,
+        "dup_spans": SQL_DUP_SPANS,
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

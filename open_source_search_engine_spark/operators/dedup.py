@@ -595,3 +595,88 @@ def dedup_clusters(
         F.count("*").over(w).alias("cluster_size"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+def dup_span_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """(doc_id, pos) of every token n-gram whose exact text occurs in at
+    least ``min_docs`` DISTINCT docs — the candidate map of substring-level
+    dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": cross-doc duplicated spans, here at n-gram resolution
+    instead of suffix-array resolution).
+
+    Scale shape: one explode (linear in corpus tokens), one groupBy on the
+    64-bit gram hash (the df count), one shuffle join back.  The hash is
+    ``_md5_lower64`` so an oracle can replay it as DuckDB
+    ``md5_number_lower``; grams never leave the executor as strings after
+    the hash projection."""
+    from .textstats import tokens_simple, word_ngrams
+
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"), tokens_simple(F.col(text_col)).alias("_tk")
+    )
+    grams = _fan_out(staged).select(
+        "doc_id",
+        F.posexplode(word_ngrams(F.col("_tk"), n)).alias("pos", "_gram"),
+    ).select("doc_id", "pos", _md5_lower64(F.col("_gram")).alias("gram_h"))
+    dup = (
+        grams.groupBy("gram_h")
+        .agg(F.countDistinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram_h")
+    )
+    return grams.join(dup, "gram_h").select("doc_id", "pos")
+
+
+def dup_span_doc_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-doc duplicated-span accounting, all exact integers:
+
+    - n_tokens, total_ngrams: doc size in the n-gram domain.
+    - dup_ngrams: n-gram starts whose text recurs in >= min_docs docs.
+    - covered_tokens: EXACT size of the union of the [pos, pos+n) dup
+      intervals — sorted starts p_1<..<p_m cover
+      sum_i min(n, p_{i+1}-p_i) with p_{m+1}=inf, computed with one
+      lead() window per doc (no list gymnastics, replayable in SQL).
+
+    A doc with 2*covered_tokens > n_tokens is majority-duplicated — the
+    drop rule of substring-dedup pipelines, as an integer inequality."""
+    from .textstats import tokens_simple
+
+    marks = dup_span_positions(docs, id_col, text_col, n, min_docs)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        marks.withColumn(
+            "_cov",
+            F.least(
+                F.lit(n),
+                F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n)),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dup_ngrams"),
+            F.sum("_cov").alias("covered_tokens"),
+        )
+    )
+    tk = tokens_simple(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        F.size(tk).cast("long").alias("n_tokens"),
+        F.greatest(F.size(tk) - (n - 1), F.lit(0)).cast("long").alias("total_ngrams"),
+    )
+    return base.join(per_doc, "doc_id", "left").fillna(
+        0, ["dup_ngrams", "covered_tokens"]
+    )
