@@ -2398,6 +2398,76 @@ FROM j GROUP BY lang ORDER BY lang
 """
 
 
+def q_dup_span_scrub(spark, sf_dir):
+    """The rewrite half of substring dedup: remove every token inside a
+    cross-doc duplicated 8-gram span, rebuild docs from the survivors,
+    and certify the EXACT cleaned corpus per language with an
+    md5-mod-2^16 content checksum (pii_scrub convention — power-of-two
+    modulus keeps Spark's signed pmod == DuckDB's unsigned mod)."""
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = dedup.remove_dup_spans(
+        docs, "doc_id", "text", n=_DUP_SPAN_N, min_docs=2, keep_cols=("lang",)
+    )
+    return (
+        cleaned.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("kept_tokens").alias("kept_tokens"),
+            (F.sum("n_tokens") - F.sum("kept_tokens")).alias("removed_tokens"),
+            F.sum(F.pmod(dedup._md5_lower64(F.col("kept_text")), F.lit(65536)))
+            .cast("long")
+            .alias("scrub_crc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_DUP_SPAN_SCRUB = f"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+), ge AS (
+  SELECT doc_id, s['pos'] AS pos, s['h'] AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(1, greatest(len(toks) - {_DUP_SPAN_N} + 1, 0)),
+             i -> struct_pack(
+               pos := i - 1,
+               h := md5_number_lower(
+                 array_to_string(toks[i : i + {_DUP_SPAN_N} - 1], ' '))))) AS s
+    FROM d
+  )
+), dup AS (
+  SELECT h FROM ge GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), covpos AS (
+  SELECT DISTINCT ge.doc_id, unnest(generate_series(pos, pos + {_DUP_SPAN_N} - 1)) AS cpos
+  FROM ge JOIN dup USING (h)
+), cov AS (
+  SELECT doc_id, array_agg(cpos) AS cps FROM covpos GROUP BY doc_id
+), k AS (
+  SELECT d.lang,
+         CAST(len(d.toks) AS BIGINT) AS n_tokens,
+         CASE WHEN cov.cps IS NULL THEN d.toks
+              ELSE list_filter(d.toks, (x, i) -> NOT list_contains(cov.cps, i - 1))
+         END AS kept
+  FROM d LEFT JOIN cov USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(len(kept)) AS BIGINT) AS kept_tokens,
+       CAST(sum(n_tokens) - sum(len(kept)) AS BIGINT) AS removed_tokens,
+       CAST(sum(md5_number_lower(coalesce(array_to_string(kept, ' '), ''))
+                % 65536)
+            AS BIGINT) AS scrub_crc
+FROM k GROUP BY lang ORDER BY lang
+"""
+# ^ coalesce: DuckDB's array_to_string of an EMPTY list is NULL (a doc whose
+#   every token sits in a duplicated span), Spark's array_join is '' — both
+#   engines must checksum md5('') for fully-scrubbed docs, not skip them.
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 registry
 # entries (r2 verdict: the engine_* entries sat at positions 52-66 and were
 # never driver-checked).  ORDER below pins the window composition: positions
@@ -2665,6 +2735,8 @@ _TAIL = [
     "gopher_repetition",
     # cross-doc duplicated spans (substring-dedup accounting, 8-grams)
     "dup_spans",
+    # substring-dedup REWRITE: remove dup spans, checksum the cleaned corpus
+    "dup_span_scrub",
 ]
 
 
@@ -2750,6 +2822,7 @@ def build_registry() -> tuple[
         "pii_scrub": q_pii_scrub,
         "gopher_repetition": q_gopher_repetition,
         "dup_spans": q_dup_spans,
+        "dup_span_scrub": q_dup_span_scrub,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -2827,6 +2900,7 @@ def build_registry() -> tuple[
         "pii_scrub": _sql_pii_scrub(),
         "gopher_repetition": SQL_GOPHER_REPETITION,
         "dup_spans": SQL_DUP_SPANS,
+        "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

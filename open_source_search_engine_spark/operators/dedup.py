@@ -680,3 +680,69 @@ def dup_span_doc_stats(
     return base.join(per_doc, "doc_id", "left").fillna(
         0, ["dup_ngrams", "covered_tokens"]
     )
+
+
+def remove_dup_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_docs: int = 2,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The corpus REWRITE half of substring dedup (Lee et al. 2021 drop
+    the duplicated bytes, not the documents): every token inside a
+    cross-doc duplicated n-gram span is removed and the doc is rebuilt
+    from the surviving tokens.
+
+    Output: (doc_id, *keep_cols, n_tokens, kept_tokens, kept_text) where
+    kept_text is the space-joined survivor tokens (the rewrite is defined
+    on the TOKEN stream — original whitespace/punct is not preserved, by
+    design: both engines reconstruct from the same token array, so the
+    result is engine-exact).
+
+    Scale shape: the only shuffle of this stage is the per-doc covered
+    POSITION sets (<= n rows per duplicated gram start, collected to a
+    sorted int array) joining back to the corpus by doc_id — token
+    arrays never leave their scan task; the removal itself is a codegen
+    array lambda `filter(_tk, (x, i) -> NOT array_contains(_cov, i))`.
+    Per-doc cost is O(len * |cov|) in the worst (mostly-duplicated) doc;
+    for those the accounting twin ``dup_span_doc_stats`` already says
+    "drop the whole doc", so the rewrite path is for the long tail where
+    |cov| << len."""
+    from .textstats import tokens_simple
+
+    marks = dup_span_positions(docs, id_col, text_col, n, min_docs)
+    cov = (
+        marks.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias(
+                "_cpos"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_set("_cpos")).alias("_cov"))
+    )
+    staged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
+        tokens_simple(F.col(text_col)).alias("_tk"),
+    )
+    kept = F.when(
+        F.col("_cov").isNull(), F.col("_tk")
+    ).otherwise(
+        F.filter(
+            "_tk", lambda x, i: ~F.array_contains(F.col("_cov"), i)
+        )
+    )
+    return (
+        staged.join(cov, "doc_id", "left")
+        .withColumn("_kept", kept)
+        .select(
+            "doc_id",
+            *keep_cols,
+            F.size("_tk").cast("long").alias("n_tokens"),
+            F.size("_kept").cast("long").alias("kept_tokens"),
+            F.array_join("_kept", " ").alias("kept_text"),
+        )
+    )

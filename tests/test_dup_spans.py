@@ -96,3 +96,35 @@ def test_positions_min_docs_bar(spark):
     )
     assert dup_span_positions(df, n=N, min_docs=2).count() == 2
     assert dup_span_positions(df, n=N, min_docs=3).count() == 0
+
+
+def _clean(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from open_source_search_engine_spark.operators.dedup import remove_dup_spans
+
+    out = remove_dup_spans(df, n=N, min_docs=2, **kw)
+    return {r["doc_id"]: r.asDict() for r in out.collect()}
+
+
+def test_remove_keeps_order_and_survivors(spark):
+    # docs 1/2 share "a b c": those 3 tokens go, the rest stay in order.
+    got = _clean(spark, [(1, "x a b c y z"), (2, "a b c")])
+    assert got[1]["kept_text"] == "x y z"
+    assert got[1]["n_tokens"] == 6 and got[1]["kept_tokens"] == 3
+    assert got[2]["kept_text"] == "" and got[2]["kept_tokens"] == 0
+
+
+def test_remove_overlapping_spans_union(spark):
+    # shared 3-grams at pos 0 and 1 of a 5-token doc: union covers 4
+    # tokens, the 5th survives.
+    got = _clean(spark, [(1, "a b c d e"), (2, "a b c d z")])
+    assert got[1]["kept_text"] == "e"
+    assert got[2]["kept_text"] == "z"
+
+
+def test_remove_untouched_doc_roundtrips_tokens(spark):
+    got = _clean(spark, [(1, "Hello, World! 42"), (2, "q w e")])
+    # no cross-doc dup: text rebuilt from the token stream (lowercased,
+    # punct-free) — the documented token-domain rewrite, not a byte copy
+    assert got[1]["kept_text"] == "hello world 42"
+    assert got[1]["kept_tokens"] == got[1]["n_tokens"] == 3
