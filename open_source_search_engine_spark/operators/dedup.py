@@ -215,7 +215,7 @@ def verify_pairs_jaccard(
     is LSH-bounded, so the arrays only materialize for candidates)."""
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(tokens_simple(F.col(text_col)), n)).alias("sh"),
+        F.array_distinct(shingles(tokens_simple(F.coalesce(F.col(text_col), F.lit(""))), n)).alias("sh"),
     )
     return (
         pairs.select("a", "b")
@@ -413,7 +413,7 @@ def ngram_jaccard_pairs(
     """
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(shingles(tokens_simple(F.col(text_col)), n)).alias("sh"),
+        F.array_distinct(shingles(tokens_simple(F.coalesce(F.col(text_col), F.lit(""))), n)).alias("sh"),
     )
     sizes = sh.select("id", F.size("sh").alias("nsh"))
     inv = sh.select("id", F.explode("sh").alias("g"))
@@ -618,7 +618,7 @@ def dup_span_positions(
     from .textstats import tokens_simple, word_ngrams
 
     staged = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_simple(F.col(text_col)).alias("_tk")
+        F.col(id_col).alias("doc_id"), tokens_simple(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk")
     )
     grams = _fan_out(staged).select(
         "doc_id",
@@ -670,7 +670,7 @@ def dup_span_doc_stats(
             F.sum("_cov").alias("covered_tokens"),
         )
     )
-    tk = tokens_simple(F.col(text_col))
+    tk = tokens_simple(F.coalesce(F.col(text_col), F.lit("")))
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_cols],
@@ -726,7 +726,7 @@ def remove_dup_spans(
     staged = docs.select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_cols],
-        tokens_simple(F.col(text_col)).alias("_tk"),
+        tokens_simple(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
     )
     kept = F.when(
         F.col("_cov").isNull(), F.col("_tk")

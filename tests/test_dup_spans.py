@@ -128,3 +128,21 @@ def test_remove_untouched_doc_roundtrips_tokens(spark):
     # punct-free) — the documented token-domain rewrite, not a byte copy
     assert got[1]["kept_text"] == "hello world 42"
     assert got[1]["kept_tokens"] == got[1]["n_tokens"] == 3
+
+
+def test_null_text_guard(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "a b c")],
+        "doc_id long, text string",
+    )
+    from open_source_search_engine_spark.operators.dedup import (
+        dup_span_doc_stats,
+        remove_dup_spans,
+    )
+
+    stats = {r["doc_id"]: r.asDict()
+             for r in dup_span_doc_stats(df, n=N, min_docs=2).collect()}
+    assert stats[1]["n_tokens"] == 0 and stats[1]["covered_tokens"] == 0
+    clean = {r["doc_id"]: r.asDict()
+             for r in remove_dup_spans(df, n=N, min_docs=2).collect()}
+    assert clean[1]["kept_text"] == "" and clean[1]["kept_tokens"] == 0
