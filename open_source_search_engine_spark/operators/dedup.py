@@ -617,10 +617,15 @@ def dup_span_positions(
     the hash projection."""
     from .textstats import tokens_simple, word_ngrams
 
-    staged = docs.select(
-        F.col(id_col).alias("doc_id"), tokens_simple(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk")
+    # fan out BEFORE tokenizing (minhash convention): the exchange moves
+    # raw text, not token arrays, and the heavy lambda work lands on all
+    # cores; the staged _tk projection still evaluates the tokenizer once
+    # per row (CollapseProject keeps a non-cheap multiply-referenced expr)
+    staged = _fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col).alias("doc_id"),
+        tokens_simple(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
     )
-    grams = _fan_out(staged).select(
+    grams = staged.select(
         "doc_id",
         F.posexplode(word_ngrams(F.col("_tk"), n)).alias("pos", "_gram"),
     ).select("doc_id", "pos", _md5_lower64(F.col("_gram")).alias("gram_h"))
@@ -723,7 +728,7 @@ def remove_dup_spans(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("_cpos")).alias("_cov"))
     )
-    staged = docs.select(
+    staged = _fan_out(docs.select(id_col, text_col, *keep_cols)).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_cols],
         tokens_simple(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
