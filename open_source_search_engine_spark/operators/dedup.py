@@ -676,7 +676,7 @@ def dup_span_doc_stats(
         )
     )
     tk = tokens_simple(F.coalesce(F.col(text_col), F.lit("")))
-    base = docs.select(
+    base = _fan_out(docs.select(id_col, text_col, *keep_cols)).select(
         F.col(id_col).alias("doc_id"),
         *[F.col(c) for c in keep_cols],
         F.size(tk).cast("long").alias("n_tokens"),
@@ -706,11 +706,13 @@ def remove_dup_spans(
     design: both engines reconstruct from the same token array, so the
     result is engine-exact).
 
-    Scale shape: the only shuffle of this stage is the per-doc covered
-    POSITION sets (<= n rows per duplicated gram start, collected to a
-    sorted int array) joining back to the corpus by doc_id — token
-    arrays never leave their scan task; the removal itself is a codegen
-    array lambda `filter(_tk, (x, i) -> NOT array_contains(_cov, i))`.
+    Scale shape: the only shuffle of this stage joins RAW text with the
+    per-doc covered POSITION sets (<= n rows per duplicated gram start,
+    collected to a sorted int array) by doc_id; tokenization runs once
+    per row AFTER that exchange, so token arrays are never shuffled and
+    the tokenizer work is spread across the shuffle partitions.  The
+    removal itself is a codegen array lambda
+    `filter(_tk, (x, i) -> NOT array_contains(_cov, i))`.
     Per-doc cost is O(len * |cov|) in the worst (mostly-duplicated) doc;
     for those the accounting twin ``dup_span_doc_stats`` already says
     "drop the whole doc", so the rewrite path is for the long tail where
@@ -728,10 +730,24 @@ def remove_dup_spans(
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_set("_cpos")).alias("_cov"))
     )
-    staged = _fan_out(docs.select(id_col, text_col, *keep_cols)).select(
-        F.col(id_col).alias("doc_id"),
-        *[F.col(c) for c in keep_cols],
-        tokens_simple(F.coalesce(F.col(text_col), F.lit(""))).alias("_tk"),
+    # join RAW text with the coverage sets first: the one exchange this
+    # stage owns moves (text, _cov) keyed by doc_id, and the tokenizer
+    # runs once per row AFTER the shuffle — already spread across the
+    # shuffle partitions, so no round-robin fan-out is needed and token
+    # arrays are never exchanged
+    staged = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            *[F.col(c) for c in keep_cols],
+            F.col(text_col).alias("_text"),
+        )
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            *keep_cols,
+            tokens_simple(F.coalesce(F.col("_text"), F.lit(""))).alias("_tk"),
+            "_cov",
+        )
     )
     kept = F.when(
         F.col("_cov").isNull(), F.col("_tk")
@@ -741,7 +757,7 @@ def remove_dup_spans(
         )
     )
     return (
-        staged.join(cov, "doc_id", "left")
+        staged
         .withColumn("_kept", kept)
         .select(
             "doc_id",
