@@ -146,3 +146,29 @@ def test_null_text_guard(spark):
     clean = {r["doc_id"]: r.asDict()
              for r in remove_dup_spans(df, n=N, min_docs=2).collect()}
     assert clean[1]["kept_text"] == "" and clean[1]["kept_tokens"] == 0
+
+
+def test_rewrite_plan_never_shuffles_token_arrays(spark):
+    """Scale invariant (r4 review): the rewrite stage's one exchange
+    moves RAW text keyed by doc_id; the tokenizer Project sits ABOVE the
+    coverage join and is evaluated once post-shuffle.  A regression that
+    tokenizes before the join would exchange token arrays — strictly
+    more bytes than the text they came from."""
+    from open_source_search_engine_spark.operators.dedup import remove_dup_spans
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d z")], "doc_id long, text string"
+    )
+    plan = (
+        remove_dup_spans(df, n=N, min_docs=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one coverage join, fed raw text (the _text projection)
+    assert plan.count("LeftOuter") == 1
+    assert "AS _text" in plan
+    # top-down print order: the rewrite tokenizer Project must appear
+    # before (above) the LeftOuter join; the only other _tk producers
+    # are the gram-side scans deeper in the tree
+    assert plan.index("AS _tk") < plan.index("LeftOuter")
