@@ -1270,6 +1270,61 @@ ORDER BY cosine DESC, a, b LIMIT 50
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SEMANTIC dedup (embedding-space near-dup clustering): exact-cosine
+    pairs at theta=0.3 through the LSH topology in its exhaustive
+    one-bucket configuration (same full-probe==exact trick as
+    pairwise_cosine, whose membership SQL this oracle embeds verbatim) ->
+    connected components (alternating star contraction) -> per-vector
+    keep/drop sheet (vec_id, cluster_id = component min, cluster_size,
+    is_canonical).  This is the embedding twin of dedup_clusters
+    (lexical simhash); together they are the two near-dup axes a
+    pretraining curation pass runs.  The Spark filter applies to the
+    4-digit-ROUNDED cosine (similarity.pairwise_cosine_above rounds
+    before thresholding), so the oracle thresholds the identical rounded
+    expression — membership is bit-reproducible on both sides."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.pairwise_cosine_above(
+        emb, threshold=0.3, bands=1, n_planes=0
+    )
+    return (
+        dedup.dedup_clusters(pairs)
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            "cluster_id",
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "is_canonical",
+        )
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+SQL_SEMANTIC_DEDUP = f"""
+WITH RECURSIVE pairs AS (
+  SELECT l.vec_id AS a, r.vec_id AS b
+  FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
+  WHERE l.embedding IS NOT NULL AND r.embedding IS NOT NULL
+    AND {_COS_SQL} >= 0.3
+),
+edges AS (
+  SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s WHERE e.d <> r.s
+),
+comp AS (
+  SELECT s AS vec_id, least(s, min(d)) AS cluster_id FROM reach GROUP BY s
+)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (vec_id = cluster_id) AS is_canonical
+FROM comp
+ORDER BY cluster_id, vec_id
+"""
+
+
 def q_embed_facets(spark, sf_dir):
     """facet counts over embedding labels + mean norm per label."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2598,7 +2653,13 @@ _WINDOW = [
     # IVF is the strictly newer ANN claim (r3); ann_lsh moved to the tail —
     # both share the identical full-probe==exact oracle (SQL_ANN_COSINE)
     "ann_ivf",
-    "pairwise_cosine",
+    # r4 (final): SEMANTIC dedup (cosine pairs -> connected components ->
+    # canonical sheet) takes pairwise_cosine's seat — its oracle embeds
+    # the IDENTICAL rounded-cosine pair-membership SQL and adds the
+    # transitive closure on top, so it is the strictly stronger claim;
+    # pairwise_cosine moves to the tail where test_registry_tail_oracles
+    # certifies it every CI run
+    "semantic_dedup",
     # r4: typeahead prefix completion over the stored dictionary takes
     # embed_facets' seat (facet aggregation is certified in-window three
     # ways: engine_facets, search_facets, facet_ranges); embed_facets
@@ -2646,6 +2707,10 @@ _TAIL = [
     # in-window three ways
     "ngram_jaccard",
     "embed_facets",
+    # pairwise_cosine moved here r4-final (seat taken by semantic_dedup):
+    # its rounded-cosine pair-membership SQL is embedded verbatim inside
+    # semantic_dedup's oracle CTE
+    "pairwise_cosine",
     # simhash pairs moved here r4 (seat taken by mmr_diversify): the
     # in-window dedup_clusters oracle replays the identical banded pair
     # set through the recursive closure
@@ -2804,6 +2869,7 @@ def build_registry() -> tuple[
         "ann_ivf": q_ann_ivf,
         "ann_quantized": q_ann_quantized,
         "pairwise_cosine": q_pairwise_cosine,
+        "semantic_dedup": q_semantic_dedup,
         "embed_facets": q_embed_facets,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
@@ -2881,6 +2947,7 @@ def build_registry() -> tuple[
         "ann_ivf": SQL_ANN_COSINE,  # full probe == exact brute force
         "ann_quantized": SQL_ANN_QUANTIZED,
         "pairwise_cosine": SQL_PAIRWISE_COSINE,  # one bucket == exact all-pairs
+        "semantic_dedup": SQL_SEMANTIC_DEDUP,  # same pair SQL + closure CTE
         "embed_facets": SQL_EMBED_FACETS,
         "multimodal_meta": SQL_MULTIMODAL_META,
         "multimodal_features": SQL_MULTIMODAL_FEATURES,
