@@ -98,19 +98,37 @@ EXTRAS = [
     "training_mix",
     "pack_sequences",
     "pii_scrub",
+    "gopher_repetition",
+    "dup_spans",
+    "dup_span_scrub",
 ]
+
+
+def _semantic_dedup_banded(spark, sf_dir: str):
+    # the SCALE configuration of semantic dedup (banded hyperplane LSH
+    # candidates, default 8 planes x 4 bands), not the registry entry's
+    # exhaustive one-bucket oracle mode — at sf0.1 the one-bucket mode is
+    # a deliberate O(n^2) single-task join and would time the oracle
+    # trick, not the operator
+    from open_source_search_engine_spark.operators import dedup, similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = similarity.pairwise_cosine_above(emb, threshold=0.3)
+    return dedup.dedup_clusters(pairs).orderBy("cluster_id", "doc_id")
 
 
 def run_extras(spark, sf_dir: str) -> dict[str, float]:
     from open_source_search_engine_spark.entry_queries import build_registry
 
     qs, _ = build_registry()
-    for name in EXTRAS:  # warm pass (codegen + caches)
-        qs[name](spark, sf_dir).collect()
+    fns = {name: qs[name] for name in EXTRAS}
+    fns["semantic_dedup_banded"] = _semantic_dedup_banded
+    for fn in fns.values():  # warm pass (codegen + caches)
+        fn(spark, sf_dir).collect()
     times: dict[str, float] = {}
-    for name in EXTRAS:
+    for name, fn in fns.items():
         t0 = time.time()
-        qs[name](spark, sf_dir).collect()
+        fn(spark, sf_dir).collect()
         times[name] = round(time.time() - t0, 3)
     return times
 
