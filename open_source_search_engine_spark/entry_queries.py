@@ -776,7 +776,9 @@ WITH req AS ({_FRONTIER_REQ_SQL}),
 elig AS (
   SELECT * FROM req
   WHERE err_count <= 4
-    AND floor(epoch(added_ts)) + 86400 * pow(2, err_count)
+    AND floor(epoch(added_ts))
+        + CASE WHEN err_count <= 0 THEN 0
+               ELSE 86400 * pow(2, err_count - 1) END
         <= floor(epoch(TIMESTAMP '{_FRONTIER_NOW}'))
 ),
 ranked AS (
@@ -850,7 +852,9 @@ WITH req AS ({_FRONTIER_REQ_SQL}),
 elig AS (
   SELECT * FROM req
   WHERE err_count <= 4
-    AND floor(epoch(added_ts)) + 86400 * pow(2, err_count)
+    AND floor(epoch(added_ts))
+        + CASE WHEN err_count <= 0 THEN 0
+               ELSE 86400 * pow(2, err_count - 1) END
         <= floor(epoch(TIMESTAMP '{_FRONTIER_NOW}'))
 ),
 doled AS (
@@ -1081,7 +1085,8 @@ dd AS (
 s AS (
   SELECT * FROM dd
   QUALIFY row_number() OVER (
-    PARTITION BY source ORDER BY md5(CAST(text AS VARCHAR)), doc_id) <= 3
+    PARTITION BY source
+    ORDER BY md5(coalesce(CAST(text AS VARCHAR), '')), doc_id) <= 3
 )
 SELECT doc_id, source, quality, CAST(n AS BIGINT) AS n_tokens
 FROM s ORDER BY doc_id
@@ -2128,7 +2133,8 @@ SQL_SAMPLE_STRATIFIED = """
 SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars
 FROM documents
 QUALIFY row_number() OVER (
-  PARTITION BY lang ORDER BY md5(CAST(text AS VARCHAR)), doc_id) <= 3
+  PARTITION BY lang
+  ORDER BY md5(coalesce(CAST(text AS VARCHAR), '')), doc_id) <= 3
 ORDER BY lang, doc_id
 """
 
@@ -2148,7 +2154,8 @@ def q_sample_hash(spark, sf_dir):
 
 SQL_SAMPLE_HASH = """
 SELECT doc_id FROM documents
-WHERE substr(md5('s1' || CAST(text AS VARCHAR)), 1, 8) < '40000000'
+WHERE substr(md5('s1' || coalesce(CAST(text AS VARCHAR), '')), 1, 8)
+      < '40000000'
 ORDER BY doc_id
 """
 

@@ -52,16 +52,22 @@ def dole_ready(
     ``now`` is passed in (a timestamp literal/column), never read from
     the clock — scheduling must be replayable.  Requests past ``max_err``
     failures are dropped from the dequeue entirely (the reference's
-    errCount give-up), others wait out ``base * 2^err_count`` seconds of
-    backoff from their added time.
+    errCount give-up).  ERROR backoff gates only requests that have
+    actually failed: a never-failed request (err_count=0) is eligible
+    the moment it is added, and the k-th failure waits out
+    ``base * 2^(k-1)`` seconds from its (re-)added time — backoff that
+    also delayed fresh URLs by the base interval would stall every new
+    discovery for a full politeness period with zero failures on record.
     """
     # epoch-seconds arithmetic (not interval types): identical semantics
     # in every engine, so the driver's DuckDB oracle replays it verbatim
+    backoff = F.when(F.col(err_col) <= 0, F.lit(0.0)).otherwise(
+        F.lit(backoff_base_secs) * F.pow(F.lit(2.0), F.col(err_col) - 1)
+    )
     eligible = requests.where(
         (F.col(err_col) <= F.lit(max_err))
         & (
-            F.unix_timestamp(F.col(added_col))
-            + F.lit(backoff_base_secs) * F.pow(F.lit(2.0), F.col(err_col))
+            F.unix_timestamp(F.col(added_col)) + backoff
             <= F.unix_timestamp(F.lit(now).cast("timestamp"))
         )
     )

@@ -41,14 +41,26 @@ def stratified_sample(
 ) -> DataFrame:
     """Keep the first ``n_per_stratum`` rows of each stratum, ordered by
     ``(md5(hash_col), id_col)`` — a deterministic, engine-replayable
-    quota sample.  Strata smaller than the quota are kept whole."""
+    quota sample.  Strata smaller than the quota are kept whole.
+
+    NULL ``hash_col`` values are hashed as '' (md5(NULL) is NULL, and
+    engines DISAGREE on where NULL sorts — Spark ASC is nulls-first,
+    DuckDB defaults nulls-last — so a raw NULL would silently break the
+    replayability contract; coalescing pins one deterministic order in
+    every engine)."""
     w = Window.partitionBy(strata_col).orderBy(
-        F.md5(F.col(hash_col).cast("string")), F.col(id_col)
+        F.md5(F.coalesce(F.col(hash_col).cast("string"), F.lit(""))),
+        F.col(id_col),
     )
+    # temp rank column: suffix until free so a caller column named _rn
+    # can never be silently overwritten + dropped
+    rn = "_rn"
+    while rn in df.columns:
+        rn += "_"
     return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_per_stratum)
-        .drop("_rn")
+        df.withColumn(rn, F.row_number().over(w))
+        .filter(F.col(rn) <= n_per_stratum)
+        .drop(rn)
     )
 
 
@@ -59,7 +71,12 @@ def hash_fraction_sample(
     digits (of ``salt || hash_col``) compare below the fraction
     threshold.  Fixed-width lowercase hex compares lexicographically ==
     numerically, so the rule is one string comparison — no shuffle, no
-    RNG, replayable anywhere md5 exists."""
+    RNG, replayable anywhere md5 exists.
+
+    NULL ``hash_col`` values hash as '' (concat/md5 propagate NULL and a
+    NULL comparison filters the row out REGARDLESS of fraction — a 99%
+    sample silently losing every NULL-keyed row is a skewed mix, not a
+    sample; coalescing gives those rows one deterministic verdict)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
     if fraction == 1.0:
@@ -67,6 +84,13 @@ def hash_fraction_sample(
         return df
     threshold = format(int(fraction * (1 << 32)), "08x")
     bucket = F.substring(
-        F.md5(F.concat(F.lit(salt), F.col(hash_col).cast("string"))), 1, 8
+        F.md5(
+            F.concat(
+                F.lit(salt),
+                F.coalesce(F.col(hash_col).cast("string"), F.lit("")),
+            )
+        ),
+        1,
+        8,
     )
     return df.filter(bucket < F.lit(threshold))

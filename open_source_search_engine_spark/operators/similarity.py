@@ -43,15 +43,25 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    keep_vec: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: one scan + TakeOrderedAndProject (no shuffle of
     the full table — the per-partition heap merges at the driver, the same
-    physical shape as the BM25 top-k)."""
+    physical shape as the BM25 top-k).
+
+    ``keep_vec=True`` carries the (casted) embedding through the top-k so
+    re-rank consumers (MMR) get the k vectors for free — k*dim values
+    through the heap instead of a SECOND full scan + join to recover
+    them."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
-    scored = vectors.select(
+    cast_vec = F.col(vec_col).cast("array<double>")
+    cols = [
         F.col(id_col),
-        F.round(cosine_col(F.col(vec_col).cast("array<double>"), q), 4).alias("cosine"),
-    )
+        F.round(cosine_col(cast_vec, q), 4).alias("cosine"),
+    ]
+    if keep_vec:
+        cols.append(cast_vec.alias(vec_col))
+    scored = vectors.select(*cols)
     return scored.orderBy(F.desc("cosine"), F.asc(id_col)).limit(k)
 
 

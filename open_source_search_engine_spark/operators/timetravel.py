@@ -15,6 +15,13 @@ paths only touch ``root`` / ``features()`` / table ``.read()`` /
 ``.latest()`` / ``.snapshot_ident()`` — and the version-keyed driver
 caches (stats, docmeta, serp results) key on the PINNED versions, so
 as-of reads and head reads never poison each other.
+
+Known cost (documented, not a defect): most driver caches keep ONE
+version per index root ("versions only move forward" eviction), with
+docmeta the two-version exception — so ALTERNATING head and as-of
+queries on the same root re-pays the stats/tombstone jobs on each
+switch.  Correctness is unaffected; audit workloads should batch their
+as-of queries together rather than interleave them with head traffic.
 """
 
 from __future__ import annotations
@@ -57,10 +64,28 @@ class PinnedTable:
             return self._table.latest()
         return self._table.at(self._version)
 
+    def history(self) -> list[int]:
+        # history as it stood AT the pin — the live table's later commits
+        # must not leak through the as-of view (consumers that walk
+        # history, e.g. delta-merge and fsck, would otherwise observe
+        # post-pin mutations)
+        hist = self._table.history()
+        if self._version is None:
+            return hist
+        return [v for v in hist if v <= self._version]
+
+    def at(self, version: int) -> Snapshot:
+        if self._version is not None and version > self._version:
+            raise ValueError(
+                f"snapshot v{version} is after this as-of view's pin "
+                f"(v{self._version})"
+            )
+        return self._table.at(version)
+
     def __getattr__(self, name):
-        # snapshot_ident, history, dir, ... passthrough (read-only use;
-        # write-side methods would mutate the underlying table, which the
-        # as-of contract forbids — queries never call them)
+        # snapshot_ident, dir, ... passthrough (read-only use; write-side
+        # methods would mutate the underlying table, which the as-of
+        # contract forbids — queries never call them)
         return getattr(self._table, name)
 
 
@@ -84,6 +109,17 @@ class _EmptyTable:
 
     def snapshot_ident(self, version: int) -> tuple:
         return ()
+
+    def history(self) -> list[int]:
+        # never-committed means NO history — the live table's commits
+        # (which all post-date the pin) must not leak through
+        return []
+
+    def at(self, version: int) -> Snapshot:
+        raise ValueError(
+            f"table had no snapshots at this as-of view's pin; "
+            f"v{version} does not exist in the pinned timeline"
+        )
 
     def __getattr__(self, name):
         return getattr(self._table, name)

@@ -118,17 +118,19 @@ def diversify_ann(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact-cosine top-N retrieval (distributed, TakeOrderedAndProject)
-    -> MMR re-rank to k (driver-side over the bounded list)."""
+    -> MMR re-rank to k (driver-side over the bounded list).  The
+    candidate embeddings ride THROUGH the top-k heap (keep_vec) — one
+    scan of the vector table total, not a second scan + join to recover
+    the N vectors the re-rank needs."""
     from ..operators.similarity import brute_force_topk
 
     topn = brute_force_topk(
-        vectors, query_vec, id_col=id_col, vec_col=vec_col, k=n_candidates
+        vectors, query_vec, id_col=id_col, vec_col=vec_col,
+        k=n_candidates, keep_vec=True,
     )
-    cand = topn.join(
-        vectors.select(F.col(id_col), F.col(vec_col)), id_col
-    ).select(
+    cand = topn.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col("cosine").alias("rel"),
-        F.col(vec_col).cast("array<double>").alias("embedding"),
+        F.col(vec_col).alias("embedding"),
     )
     return mmr_rerank(spark, cand, k=k, lam=lam)

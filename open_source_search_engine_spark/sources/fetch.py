@@ -70,6 +70,12 @@ def robots_filter(
         F.col("disallow_prefix").isNotNull()
         & (F.length("disallow_prefix") > 0)
     )
+    # a NULL host can never MATCH an exclusion rule (the join condition
+    # is NULL, anti-join keeps the row) — i.e. it would silently BYPASS
+    # robots.  Politeness is per-host; a row without a host can't be
+    # fetched politely at all, so it is dropped, the same fail-closed
+    # treatment fetch_documents gives null URLs
+    doled = doled.filter(F.col(host_col).isNotNull())
     return doled.join(
         F.broadcast(rules),
         (doled[host_col] == rules[host_col])
@@ -104,10 +110,26 @@ def fetch_documents(
     # the frontier — drop it up front
     doled = doled.filter(F.col(url_col).isNotNull())
 
+    def one(u: str) -> tuple[int, str]:
+        # the documented contract: a failure is an ERROR ROW (status +
+        # empty content) that joins back to the frontier, never a dead
+        # Spark stage — one timeout/DNS error among thousands of doled
+        # URLs must not kill the batch after task retries.  599 is the
+        # conventional network-connect-failure pseudo-status.
+        # NotImplementedError stays fatal: fetcher='real' in a
+        # socket-less sandbox is a configuration error, not a fetch
+        # failure to swallow.
+        try:
+            return fn(u)
+        except NotImplementedError:
+            raise
+        except Exception:
+            return 599, ""
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             urls = pdf[url_col].astype(str)
-            out = [fn(u) for u in urls]
+            out = [one(u) for u in urls]
             yield pd.DataFrame(
                 {
                     "url": urls.to_numpy(),

@@ -22,8 +22,8 @@ def requests(spark):
         ("a.com", 3, datetime(2024, 1, 1), 2, 0),   # eligible, high prio, older
         ("a.com", 4, datetime(2024, 1, 9), 0, 5),   # err>4: given up
         # backoff: added Jan 8 + 60*2^11 s ~= Jan 9 + 10h... use err=11? cap
-        ("b.com", 5, datetime(2024, 1, 9, 23, 0), 4, 4),  # 60*16s ok -> eligible
-        ("b.com", 6, datetime(2024, 1, 9, 23, 59, 30), 0, 1),  # 120s backoff > 30s left -> NOT eligible
+        ("b.com", 5, datetime(2024, 1, 9, 23, 0), 4, 4),  # 60*2^3=480s ok -> eligible
+        ("b.com", 6, datetime(2024, 1, 9, 23, 59, 30), 0, 1),  # 60*2^0=60s backoff > 30s left -> NOT eligible
         ("c.com", 7, datetime(2024, 2, 1), 2, 0),   # added after NOW -> not eligible
     ]
     return spark.createDataFrame(
@@ -43,6 +43,21 @@ def test_dole_rank_order_and_eligibility(requests):
     assert [r["url_id"] for r in by_host["b.com"]] == [5]
     # c.com: added after NOW -> nothing doled
     assert "c.com" not in by_host
+
+
+def test_fresh_requests_dole_immediately(spark):
+    """err_count=0 must not be gated by the ERROR backoff (review r4f:
+    the old rule charged fresh URLs base*2^0 seconds of backoff, stalling
+    every new discovery by a full politeness period with zero failures).
+    A URL added one second before 'now' is eligible at once."""
+    rows = [("x.com", 1, datetime(2024, 1, 9, 23, 59, 59), 0, 0)]
+    df = spark.createDataFrame(
+        rows,
+        "host string, url_id long, added_ts timestamp, priority int, "
+        "err_count int",
+    )
+    out = dole_ready(df, NOW, k_per_host=1, backoff_base_secs=60).collect()
+    assert [r["url_id"] for r in out] == [1]
 
 
 def test_given_up_requests_never_dole(requests):
