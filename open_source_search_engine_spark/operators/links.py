@@ -89,6 +89,11 @@ def derive_edges(
     it exactly — what is being certified is the invert + rank-join
     pipeline, not the (synthetic) graph itself.
     """
+    if fan_out < 1:
+        # F.sequence(0, fan_out-1) would DESCEND for fan_out<=0 (Spark
+        # defaults step to -1 when start > stop), silently emitting 2-3
+        # edges per doc where an empty graph was requested
+        raise ValueError(f"fan_out must be >= 1, got {fan_out}")
     n = docs.agg(F.count("*").cast("long").alias("_n_total"))
     fanned = (
         docs.select(
@@ -161,11 +166,19 @@ def anchor_postings(
     ``(dst, term)`` with map-side partial counts — the same single-shuffle
     inversion as `inlink_counts`.
     """
+    # tokenize a bounded PREFIX, not the whole content: the regexp over a
+    # full multi-MB doc materializes its complete token array just to
+    # keep the first n_tokens.  64 KiB is orders of magnitude past where
+    # any doc's first few tokens live (a doc whose third token starts
+    # beyond 64 KiB of leading non-token bytes is degenerate by
+    # construction), and it caps the per-row work corpus-wide.
     heads = docs.select(
         F.col(id_col).alias("src_doc_id"),
         F.slice(
             F.regexp_extract_all(
-                F.lower(F.col(content_col)), F.lit(token_re), F.lit(0)
+                F.lower(F.substring(F.col(content_col), 1, 65536)),
+                F.lit(token_re),
+                F.lit(0),
             ),
             1,
             n_tokens,
@@ -211,9 +224,10 @@ def anchor_counts(spark: SparkSession, index, token: str) -> DataFrame:
     ).select("doc_id", F.col("tf").cast("long").alias("n_anchor"))
     ddf = deletes_table(index).read(spark)
     if ddf is not None:
-        rows = rows.join(
-            F.broadcast(ddf.select("doc_id").distinct()), "doc_id", "left_anti"
-        )
+        # no broadcast hint (plans/exec.py convention): a PageReindex-
+        # scale delete batch must stay distributed; AQE broadcasts the
+        # tombstone side exactly when it is actually small
+        rows = rows.join(ddf.select("doc_id").distinct(), "doc_id", "left_anti")
     return rows
 
 
@@ -243,6 +257,45 @@ def search_anchor(
     return topk
 
 
+def _prior_rank_join(
+    results: DataFrame,
+    prior: DataFrame,
+    count_col: str,
+    factor: float,
+    out_col: str,
+    score_col: str,
+    k: int | None,
+) -> DataFrame:
+    """Shared log-blend of a per-doc citation prior into a ranked result
+    set: ``out = round(score * (1 + factor*ln(1+count)), 4)``, uncited
+    docs keep the neutral factor.
+
+    Join discipline at scale: the PRIOR table is corpus-sized (one row
+    per cited doc), the ranked set is k rows — so the prior is first
+    pruned to the ranked doc_ids with a broadcast SEMI-join (ships k ids
+    to the executors), and the final left join then joins two k-row
+    relations, which AQE broadcasts on its own.  Force-broadcasting the
+    prior side (the previous shape) would collect O(corpus) rows to the
+    driver exactly at the design scale this module claims."""
+    cnt = F.coalesce(F.col(count_col), F.lit(0)).cast("long")
+    blended = F.round(
+        F.col(score_col)
+        * (F.lit(1.0) + F.lit(factor) * F.log(F.lit(1.0) + cnt.cast("double"))),
+        4,
+    )
+    pruned = prior.join(
+        F.broadcast(results.select("doc_id")), "doc_id", "left_semi"
+    )
+    out = (
+        results.join(pruned, "doc_id", "left")
+        .select("doc_id", cnt.alias(count_col), blended.alias(out_col))
+        .orderBy(F.desc(out_col), F.asc("doc_id"))
+    )
+    if k is not None:
+        out = out.limit(k)
+    return out
+
+
 def anchor_rank_join(
     results: DataFrame,
     anchors: DataFrame,
@@ -255,23 +308,13 @@ def anchor_rank_join(
     match in inbound anchor text above a body match; SURVEY §2.3 J7):
     ``boost_score = round(score * (1 + beta*ln(1+n_anchor)), 4)``, docs
     nobody cites with the term keep the neutral factor.  ``anchors`` is
-    `anchor_counts` output — one row per cited doc, broadcast; only the
-    ranked docs' rows survive the join.  Unlike `static_rank_join`'s
-    query-independent popularity prior, this prior is per query term."""
-    na = F.coalesce(F.col("n_anchor"), F.lit(0)).cast("long")
-    blended = F.round(
-        F.col(score_col)
-        * (F.lit(1.0) + F.lit(beta) * F.log(F.lit(1.0) + na.cast("double"))),
-        4,
+    `anchor_counts` output; only the ranked docs' rows survive (see
+    `_prior_rank_join` for the join discipline).  Unlike
+    `static_rank_join`'s query-independent popularity prior, this prior
+    is per query term."""
+    return _prior_rank_join(
+        results, anchors, "n_anchor", beta, "boost_score", score_col, k
     )
-    out = (
-        results.join(F.broadcast(anchors), "doc_id", "left")
-        .select("doc_id", na.alias("n_anchor"), blended.alias("boost_score"))
-        .orderBy(F.desc("boost_score"), F.asc("doc_id"))
-    )
-    if k is not None:
-        out = out.limit(k)
-    return out
 
 
 def static_rank_join(
@@ -284,19 +327,9 @@ def static_rank_join(
     """Blend a static link-popularity prior into a scored result set
     (the Msg25 -> ranking join): ``rank_score = round(score * (1 +
     alpha*ln(1+inlinks)), 4)``, docs with no inlinks get the neutral
-    factor.  ``inlinks`` is broadcast — after `inlink_counts` it is one
-    row per doc, and only the ranked docs' rows survive the join."""
-    ink = F.coalesce(F.col("inlinks"), F.lit(0)).cast("long")
-    blended = F.round(
-        F.col(score_col)
-        * (F.lit(1.0) + F.lit(alpha) * F.log(F.lit(1.0) + ink.cast("double"))),
-        4,
+    factor.  ``inlinks`` is `inlink_counts` output — corpus-sized, so it
+    is semi-join-pruned to the ranked docs before the blend (see
+    `_prior_rank_join`)."""
+    return _prior_rank_join(
+        results, inlinks, "inlinks", alpha, "rank_score", score_col, k
     )
-    out = (
-        results.join(F.broadcast(inlinks), "doc_id", "left")
-        .select("doc_id", ink.alias("inlinks"), blended.alias("rank_score"))
-        .orderBy(F.desc("rank_score"), F.asc("doc_id"))
-    )
-    if k is not None:
-        out = out.limit(k)
-    return out

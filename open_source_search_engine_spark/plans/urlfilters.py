@@ -70,26 +70,41 @@ def compile_clause(clause: str) -> Column:
         for op in _OPS
         if (pos := clause.find(op)) > 0
     ]
-    for _pos, _neg, op in sorted(hits)[:1]:
-        pos = clause.find(op)
-        if pos > 0:
-            field, val = clause[:pos].strip(), clause[pos + len(op):].strip()
-            c = F.col(field)
-            if op == "~=":
-                return c.rlike(val)
-            if op == "^=":
-                return c.startswith(val)
-            if op == "*=":
-                return c.contains(val)
-            v = _coerce(val)
-            if op == "==":
-                return c == F.lit(v)
-            if op == "!=":
-                return c != F.lit(v)
-            n = F.lit(float(v))
-            cd = c.cast("double")
-            return {"<": cd < n, ">": cd > n, "<=": cd <= n, ">=": cd >= n}[op]
-    raise ValueError(f"unparseable url-filter clause: {clause!r}")
+    if not hits:
+        raise ValueError(f"unparseable url-filter clause: {clause!r}")
+    pos, _neg, op = min(hits)
+    field, val = clause[:pos].strip(), clause[pos + len(op):].strip()
+    c = F.col(field)
+    if op == "~=":
+        return c.rlike(val)
+    if op == "^=":
+        return c.startswith(val)
+    if op == "*=":
+        return c.contains(val)
+    v = _coerce(val)
+    if op == "==":
+        # compare in STRING space when the value parses numeric but the
+        # field may be a string column: ANSI mode (Spark 4 default) would
+        # otherwise throw on the implicit cast of a non-numeric cell; a
+        # rule row must classify rows, never abort the job
+        return c.eqNullSafe(F.lit(v)) if isinstance(v, str) else (
+            c.try_cast("double").eqNullSafe(F.lit(float(v)))
+        )
+    if op == "!=":
+        # null-safe: the ordered-conf semantics ('first matching row
+        # wins') treat a NULL/odd field value as 'not equal', not as a
+        # silent fall-through to later rules (SQL three-valued NULL would
+        # make the predicate unknown -> CASE skips the row)
+        return ~c.eqNullSafe(F.lit(v)) if isinstance(v, str) else ~(
+            c.try_cast("double").eqNullSafe(F.lit(float(v)))
+        )
+    n = F.lit(float(v))
+    # try_cast, not cast: under ANSI mode a non-numeric string cell would
+    # throw CAST_INVALID_INPUT and kill the job; the rule semantics are
+    # 'this clause is simply false for that row' (try_cast -> NULL ->
+    # comparison NULL -> CASE falls through to the next rule)
+    cd = c.try_cast("double")
+    return {"<": cd < n, ">": cd > n, "<=": cd <= n, ">=": cd >= n}[op]
 
 
 def compile_expr(expr: str) -> Column:

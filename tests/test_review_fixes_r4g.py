@@ -193,3 +193,78 @@ def test_diversify_ann_single_scan_no_join(spark):
         .toString()
     )
     assert "Join" not in plan
+
+
+# -------------------------------------------------------------- urlfilters
+
+
+def test_urlfilter_numeric_clause_survives_non_numeric_strings(spark):
+    """ANSI mode (Spark 4 default) throws on cast('double') of 'n/a'; the
+    rule semantics are 'clause is false for that row', so numeric clauses
+    must try_cast."""
+    from open_source_search_engine_spark.plans.urlfilters import (
+        UrlRule,
+        apply_url_filters,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "500"), ("u2", "n/a"), ("u3", "")],
+        "url string, n_chars string",
+    )
+    out = {
+        r["url"]: r["rule_idx"]
+        for r in apply_url_filters(
+            df, [UrlRule("n_chars>=400", 10), UrlRule("default", 50)]
+        ).collect()
+    }
+    assert out == {"u1": 0, "u2": 1, "u3": 1}
+
+
+def test_urlfilter_not_equals_matches_null(spark):
+    """Ordered-conf semantics: a NULL field value IS 'not equal' — SQL
+    three-valued NULL must not make the row fall through the != rule."""
+    from open_source_search_engine_spark.plans.urlfilters import (
+        UrlRule,
+        apply_url_filters,
+    )
+
+    df = spark.createDataFrame(
+        [("u1", "en"), ("u2", None), ("u3", "de")], "url string, lang string"
+    )
+    out = {
+        r["url"]: r["rule_idx"]
+        for r in apply_url_filters(
+            df, [UrlRule("lang!=en", 10), UrlRule("default", 50)]
+        ).collect()
+    }
+    assert out == {"u1": 1, "u2": 0, "u3": 0}
+
+
+# ------------------------------------------------------------------- links
+
+
+def test_derive_edges_rejects_non_positive_fan_out(spark):
+    from open_source_search_engine_spark.operators.links import derive_edges
+
+    docs = spark.createDataFrame([(0, 10), (1, 20)], "doc_id long, n_chars long")
+    with pytest.raises(ValueError, match="fan_out"):
+        derive_edges(docs, fan_out=0)
+
+
+def test_rank_join_prunes_prior_not_broadcasts_it(spark):
+    """The corpus-scale prior side must reach the blend through a
+    broadcast SEMI-join on the ranked ids — never a forced broadcast of
+    the prior itself (driver OOM at design scale)."""
+    from open_source_search_engine_spark.operators.links import static_rank_join
+
+    results = spark.createDataFrame(
+        [(1, 2.0), (2, 1.0)], "doc_id long, score double"
+    )
+    inlinks = spark.createDataFrame(
+        [(i, i % 5 + 1) for i in range(1, 200)], "doc_id long, inlinks long"
+    )
+    out = static_rank_join(results, inlinks, alpha=0.1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["inlinks"] == 2 and rows[2]["inlinks"] == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
