@@ -1080,7 +1080,10 @@ q AS (
 f AS (SELECT * FROM q WHERE quality >= 0.7 AND lang_pred = 'en'),
 dd AS (
   SELECT * FROM f
-  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+  QUALIFY row_number() OVER (
+    PARTITION BY CASE WHEN text IS NOT NULL THEN md5(text)
+                      ELSE 'null:' || CAST(doc_id AS VARCHAR) END
+    ORDER BY doc_id) = 1
 ),
 s AS (
   SELECT * FROM dd
@@ -2212,7 +2215,7 @@ def q_pii_scrub(spark, sf_dir):
     scrubbed doc (power-of-two modulus keeps signed pmod == DuckDB's
     unsigned mod)."""
     from .operators.dedup import _md5_lower64
-    from .operators.scrub import pii_count, scrub_pii
+    from .operators.scrub import pii_staged_counts, scrub_pii
 
     docs = _t(spark, sf_dir, "documents")
     did = F.col("doc_id")
@@ -2240,12 +2243,16 @@ def q_pii_scrub(spark, sf_dir):
         ).otherwise(F.lit("")),
     )
     scrubbed = scrub_pii(pii_text)
+    # staged counts (review r4h): each kind counted after the previous
+    # kinds' redactions, so the totals reconcile with scrub_pii's actual
+    # replacements — the oracle stages identically
+    staged = dict(pii_staged_counts(pii_text))
     return (
         docs.select(
             "lang",
-            pii_count(pii_text, "email").alias("_e"),
-            pii_count(pii_text, "ipv4").alias("_i"),
-            pii_count(pii_text, "hexkey").alias("_k"),
+            staged["email"].alias("_e"),
+            staged["ipv4"].alias("_i"),
+            staged["hexkey"].alias("_k"),
             F.length(scrubbed).alias("_len"),
             F.pmod(_md5_lower64(scrubbed), F.lit(65536)).alias("_crc"),
         )
@@ -2265,14 +2272,17 @@ def q_pii_scrub(spark, sf_dir):
 def _sql_pii_scrub() -> str:
     from .operators.scrub import PII_PATTERNS
 
+    # staged counting, mirroring scrub.pii_staged_counts: kind k counts
+    # on the text AFTER kinds 1..k-1 were redacted
     expr = "pii_text"
-    for _name, pat, rep in PII_PATTERNS:
+    count_parts = []
+    for name, pat, rep in PII_PATTERNS:
+        count_parts.append(
+            f"CAST(sum(len(regexp_extract_all({expr}, '{pat}'))) AS BIGINT)"
+            f" AS n_{name}"
+        )
         expr = f"regexp_replace({expr}, '{pat}', '{rep}', 'g')"
-    counts = ", ".join(
-        f"CAST(sum(len(regexp_extract_all(pii_text, '{pat}'))) AS BIGINT)"
-        f" AS n_{name}"
-        for name, pat, _rep in PII_PATTERNS
-    )
+    counts = ", ".join(count_parts)
     return f"""
 WITH p AS (
   SELECT lang,

@@ -76,12 +76,12 @@ def training_mix(
     gated = annotated.filter(F.col("quality") >= quality_min)
     if lang is not None:
         gated = gated.filter(F.col("lang_pred") == lang)
-    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    deduped = (
-        gated.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    # the ONE exact-dedup definition (streaming/dedup.py): min-id wins
+    # per content md5, NULL-safe key — three hand-rolled copies of this
+    # window drifted apart once already (review r4h)
+    from ..streaming.dedup import dedup_documents_batch
+
+    deduped = dedup_documents_batch(gated, text_col=text_col, id_col=id_col)
     sampled = stratified_sample(
         deduped, strata_col, n_per_stratum, hash_col=text_col, id_col=id_col
     )

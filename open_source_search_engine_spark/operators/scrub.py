@@ -51,14 +51,30 @@ def scrub_pii(col: Column) -> Column:
     return out
 
 
+def pii_staged_counts(col: Column) -> list[tuple[str, Column]]:
+    """Per-kind match counts taken on the SAME staged text the scrub
+    chain sees: kind k is counted AFTER kinds 1..k-1 were redacted.
+    Counting every kind on the raw text instead would double-count spans
+    matched by two patterns ('1.2.3.4@corp.com' is one email replacement,
+    but the raw text also matches the ipv4 pattern), so an audit
+    reconciling n_pii totals against redactions performed would never
+    balance.  Staged counts sum EXACTLY to the number of replacements
+    scrub_pii makes."""
+    out = []
+    staged = col
+    for name, pat, rep in PII_PATTERNS:
+        out.append((name, F.regexp_count(staged, F.lit(pat))))
+        staged = F.regexp_replace(staged, pat, rep)
+    return out
+
+
 def pii_report(col: Column) -> list[Column]:
     """Per-kind count columns ``n_<kind>`` plus ``n_pii`` total —
-    select-list helpers for a corpus audit pass."""
-    counts = [
-        pii_count(col, name).alias(f"n_{name}") for name, _p, _r in PII_PATTERNS
-    ]
+    select-list helpers for a corpus audit pass.  Counts are staged
+    (see pii_staged_counts): n_pii == replacements scrub_pii performs."""
+    staged = pii_staged_counts(col)
+    counts = [c.alias(f"n_{name}") for name, c in staged]
     total = None
-    for name, _p, _r in PII_PATTERNS:
-        c = pii_count(col, name)
+    for _name, c in staged:
         total = c if total is None else total + c
     return counts + [total.alias("n_pii")]

@@ -94,9 +94,17 @@ def describe_index(spark, index) -> dict:
                 "n_docs": int(r["n_docs"]),
                 "avgdl": round(float(r["avgdl"] or 0.0), 2),
             }
-    from .merge import deleted_doc_ids
+    from .merge import deletes_table
 
-    out["tombstones"] = int(len(deleted_doc_ids(spark, index)))
+    # distributed count, NOT deleted_doc_ids(): the stats page only needs
+    # the number — collecting + sorting every tombstone id to the driver
+    # (and warming the WAND dead-cache as a side effect) is exactly the
+    # driver-side materialization a large un-compacted delete backlog
+    # can't afford
+    ddf = deletes_table(index).read(spark)
+    out["tombstones"] = (
+        0 if ddf is None else int(ddf.select("doc_id").distinct().count())
+    )
     return out
 
 
@@ -140,7 +148,20 @@ def fsck_index(spark, index, deep: bool = False) -> dict:
                 f"{name}: v{snap.version} references {len(missing)} "
                 f"missing segment dir(s), e.g. {os.path.basename(missing[0])}"
             )
-    checked["tables"] = len(tables)
+    # the deletes table is root-addressed, not an Index attribute — but a
+    # broken deletes snapshot crashes EVERY query path's tombstone
+    # anti-join, the exact verify-before-rebuild failure fsck exists for
+    from .merge import deletes_table
+
+    dsnap = deletes_table(index).latest()
+    if dsnap is not None:
+        missing = [s for s in dsnap.segments if not os.path.isdir(s)]
+        if missing:
+            issues.append(
+                f"deletes: v{dsnap.version} references {len(missing)} "
+                f"missing segment dir(s), e.g. {os.path.basename(missing[0])}"
+            )
+    checked["tables"] = len(tables) + 1
 
     # half-committed delta batches (add_documents died before its
     # postings commit): their orphan segments double-count stats until

@@ -64,7 +64,16 @@ def search_collections(
     """
     if not collections:
         raise ValueError("search_collections needs at least one collection")
-    per_k = per_collection_k or k
+    per_k = k if per_collection_k is None else per_collection_k
+    if per_k < k:
+        # a doc in the global top-k need NOT be in its collection's
+        # top-(k-1): fetching fewer than k per collection silently
+        # returns wrong global results when one collection dominates
+        raise ValueError(
+            f"per_collection_k ({per_k}) must be >= k ({k}) — the global "
+            "top-k is only correct when each collection contributes its "
+            "own full top-k"
+        )
 
     def one(item: tuple[str, Index]) -> DataFrame:
         name, idx = item
@@ -195,9 +204,17 @@ def collection_total_hits(
 ) -> DataFrame:
     """Per-collection exact hit counts of a conjunctive query (the SERP's
     per-collection result-count line): one row (collection, total_hits)
-    per namespace, each from that collection's own pruned termlist scan."""
-    rows = [
-        (name, _conjunctive_hits(spark, idx, terms))
-        for name, idx in sorted(collections.items())
-    ]
+    per namespace, each from that collection's own pruned termlist scan.
+    The independent per-collection count jobs scatter from driver
+    threads like search_collections — serial dispatch would pay the
+    per-job floor C times in wall-clock for no reason."""
+    items = sorted(collections.items())
+    if len(items) > 1:
+        with ThreadPoolExecutor(max_workers=min(8, len(items))) as ex:
+            hits = list(
+                ex.map(lambda it: _conjunctive_hits(spark, it[1], terms), items)
+            )
+    else:
+        hits = [_conjunctive_hits(spark, items[0][1], terms)]
+    rows = [(name, h) for (name, _idx), h in zip(items, hits)]
     return spark.createDataFrame(rows, "collection string, total_hits long")

@@ -99,27 +99,37 @@ def _sessionize_fn(gap_secs: int, flush_timeout_secs: int | None):
         # datetime unit (pandas 2 may hand back us- or ns-resolution)
         ts_ns = ev["ts"].astype("datetime64[ns]").astype("int64").to_numpy()
         vals = ev["value"].fillna(0.0).to_numpy()
-        if state.exists:
-            start, last, n, sv = state.get
-        else:
-            start = last = None
-            n, sv = 0, 0.0
-        out = []
+        # 1) sessionize THIS batch's (sorted) events on their own
+        sessions: list[list] = []
         for t, v in zip(ts_ns.tolist(), vals.tolist()):
-            if start is None:
-                start, last, n, sv = t, t, 1, float(v)
-            elif t - last > gap_ns:
-                out.append((start, last, n, sv))  # closed by this event
-                start, last, n, sv = t, t, 1, float(v)
+            if sessions and t - sessions[-1][1] <= gap_ns:
+                s = sessions[-1]
+                s[1], s[2], s[3] = max(s[1], t), s[2] + 1, s[3] + float(v)
             else:
-                # a LATE cross-batch event (t <= last) lands here too: it
-                # joins the open session without rewinding its end —
-                # session bounds stay [min, max], matching the batch
-                # twin's sorted semantics.  (An event later than gap
-                # BEFORE the open session's start cannot retro-open an
-                # already-emitted session — the usual watermark bound.)
-                start = min(start, t)
-                last, n, sv = max(last, t), n + 1, sv + float(v)
+                sessions.append([t, t, 1, float(v)])
+        # 2) merge with the OPEN session interval by the same gap rule —
+        # a cross-batch late event whose gap to the open session exceeds
+        # gap_secs forms its OWN session (the batch twin's semantics),
+        # it must not be absorbed just because it arrived later.  The
+        # bounded-state deviation that remains: a session other than the
+        # latest emits at the end of the micro-batch that completes it,
+        # so an event arriving in a LATER batch can no longer merge into
+        # it (it will session on its own) — the usual watermark-style
+        # lateness bound, documented on sessionize_stream.
+        if state.exists:
+            sessions.append(list(state.get))
+            sessions.sort(key=lambda s: s[0])
+        merged: list[list] = []
+        for s in sessions:
+            if merged and s[0] - merged[-1][1] <= gap_ns:
+                m = merged[-1]
+                m[1], m[2], m[3] = max(m[1], s[1]), m[2] + s[2], m[3] + s[3]
+            else:
+                merged.append(s)
+        if not merged:  # defensively: no events and no prior state
+            return
+        out = [tuple(s) for s in merged[:-1]]  # all but the open tail
+        start, last, n, sv = merged[-1]
         state.update((start, last, n, sv))
         if flush_timeout_secs is not None:
             # flush the open tail if the user goes quiet for this much
@@ -162,7 +172,18 @@ def sessionize_stream(
     gap; with ``flush_timeout_secs`` set, a user's open tail session
     additionally flushes after that much quiet processing time (resident
     serving mode — the timer keeps the trigger ticking, so leave it None
-    for availableNow run-to-completion jobs).  Append output mode."""
+    for availableNow run-to-completion jobs).  Append output mode.
+
+    Out-of-order events: each micro-batch is sessionized sorted and
+    MERGED with the open session by the same gap rule, so a late event
+    whose gap to the open session exceeds ``gap_secs`` forms its own
+    session exactly like the batch twin — it is never absorbed into a
+    session it doesn't belong to.  The bounded-state lateness limit:
+    once a non-latest session is emitted (end of the micro-batch that
+    completed it), an even-later event can no longer merge into it and
+    sessions on its own — the streaming-vs-batch deviation is confined
+    to events arriving a micro-batch AFTER a session they should have
+    extended was closed."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     timeout = (

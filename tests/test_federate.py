@@ -231,3 +231,16 @@ def test_cli_trailing_comma_single_index(spark, two_collections, capsys):
     rows = [json.loads(ln) for ln in buf.getvalue().splitlines() if ln.strip()]
     assert len(rows) == 3 and "collection" not in rows[0]
     capsys.readouterr()
+
+
+def test_per_collection_k_below_k_rejected(spark):
+    """Fetching fewer than k per collection can silently return a wrong
+    global top-k (one dominant collection) — must be a loud error."""
+    import pytest as _pytest
+
+    from open_source_search_engine_spark.plans.federate import (
+        search_collections,
+    )
+
+    with _pytest.raises(ValueError, match="per_collection_k"):
+        search_collections(spark, {"a": object()}, "q", k=10, per_collection_k=5)

@@ -161,3 +161,27 @@ def test_word_ngrams_validation(spark):
 
     with pytest.raises(ValueError):
         textstats.word_ngrams(F.col("x"), 0)
+
+
+def test_pii_report_reconciles_with_scrub(spark):
+    """Staged counting (review r4h): n_pii must equal the number of
+    replacements scrub_pii performs, even when one span matches two
+    patterns ('1.2.3.4@corp.com' is ONE email redaction, not
+    email+ipv4)."""
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators.scrub import (
+        pii_report,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [("contact: 1.2.3.4@corp.com and 5.6.7.8",)], "text string"
+    )
+    row = df.select(
+        *pii_report(F.col("text")), scrub_pii(F.col("text")).alias("s")
+    ).first()
+    assert row["n_email"] == 1
+    assert row["n_ipv4"] == 1  # only the standalone IP
+    assert row["n_pii"] == 2
+    assert row["s"] == "contact: <EMAIL> and <IP>"

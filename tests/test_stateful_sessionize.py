@@ -207,3 +207,42 @@ def test_batch_sessionize_on_events_fixture(spark):
     rows = got.collect()
     assert sum(r["n_events"] for r in rows) == ev.count()
     assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_streaming_late_event_beyond_gap_is_its_own_session(spark, tmp_path):
+    """Review r4h: a cross-batch late event whose gap to the OPEN session
+    exceeds gap_secs must form its own session (batch-twin semantics),
+    not be absorbed into a session it doesn't belong to."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    os.makedirs(src, exist_ok=True)
+    # batch 1: open session for user 9 at t=1000s
+    b1 = [_ev(0, 1000, 9), _ev(1, 1010, 9)]
+    spark.createDataFrame(b1, EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out1 = _run_stream_once(spark, src, ckpt, out)
+    assert out1 == []  # everything still open
+    # batch 2: one event 900s EARLIER than the open session start
+    # (gap 60s) plus a later event that closes everything
+    b2 = [_ev(2, 100, 9, 7.0), _ev(3, 5000, 9)]
+    spark.createDataFrame(b2, EV_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out2 = sorted(
+        (
+            r["session_start"].isoformat(),
+            r["session_end"].isoformat(),
+            r["n_events"],
+            round(r["sum_value"], 4),
+        )
+        for r in _run_stream_once(spark, src, ckpt, out)
+    )
+    # batch twin over the union: [100], [1000-1010], [5000(open)] -> the
+    # two closed sessions emit, the late event is NOT merged into
+    # [1000-1010]
+    assert out2 == [
+        ("2024-01-01T00:01:40", "2024-01-01T00:01:40", 1, 7.0),
+        ("2024-01-01T00:16:40", "2024-01-01T00:16:50", 2, 2.0),
+    ]

@@ -54,3 +54,16 @@ def test_batch_twin_keeps_min_doc_id(spark):
     rows = dedup_documents_batch(docs).collect()
     kept = {r["content"]: r["doc_id"] for r in rows}
     assert kept == {"x": 3, "y": 5}
+
+
+def test_null_content_rows_are_not_duplicates_of_each_other(spark):
+    """md5(NULL) is NULL and a NULL dedup key groups ALL null-content
+    rows together — distinct failed-fetch docs must all survive."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, content string",
+    )
+    kept = sorted(
+        r["doc_id"] for r in dedup_documents_batch(docs).collect()
+    )
+    assert kept == [1, 2, 3]
