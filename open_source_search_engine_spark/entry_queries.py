@@ -2540,6 +2540,169 @@ FROM k GROUP BY lang ORDER BY lang
 #   engines must checksum md5('') for fully-scrubbed docs, not skip them.
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """Bigram-LM perplexity quality filter (the CCNet shape, Wenzek et
+    al. 2020): fit an add-1 bigram model on the REFERENCE slice
+    (lang='en' plays Wikipedia), score every document by mean token
+    log-probability, aggregate per language.  In-domain (en) text must
+    score strictly better than out-of-domain — the model-based twin of
+    the heuristic quality battery.  Compared floats are per-lang means
+    rounded to 4 decimals (per-term libm drift is ~1e-15, twelve orders
+    below the grid); every count is an exact BIGINT."""
+    from .operators import quality_ml
+
+    docs = _t(spark, sf_dir, "documents")
+    lm = quality_ml.train_bigram_lm(docs.where(F.col("lang") == "en"))
+    scored = quality_ml.score_docs_lm(docs, lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bigrams").alias("sum_bigrams"),
+            F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+            F.sum(
+                F.when(F.col("avg_logprob") < -7.0, 1).otherwise(0)
+            ).cast("long").alias("n_low"),
+        )
+        .orderBy("lang")
+    )
+
+
+_LM_PAIRS = """unnest(list_transform(
+             generate_series(1, greatest(len(toks) - 1, 0)),
+             i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s"""
+
+SQL_LM_PERPLEXITY = f"""
+WITH d AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+), rp AS (
+  SELECT s['w1'] AS w1, s['w2'] AS w2
+  FROM (SELECT {_LM_PAIRS} FROM d WHERE lang = 'en')
+), pc AS (
+  SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY 1, 2
+), cc AS (
+  SELECT w1, sum(c12) AS c1 FROM pc GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT t) + 1 AS vocab
+  FROM (SELECT unnest(toks) AS t FROM d WHERE lang = 'en')
+), dp AS (
+  SELECT doc_id, lang, s['w1'] AS w1, s['w2'] AS w2, count(*) AS cnt
+  FROM (SELECT doc_id, lang, {_LM_PAIRS} FROM d)
+  GROUP BY 1, 2, 3, 4
+), sc AS (
+  SELECT dp.doc_id, any_value(dp.lang) AS lang,
+         sum(dp.cnt) AS n_bigrams,
+         sum(dp.cnt * (ln(coalesce(pc.c12, 0) + 1.0)
+                       - ln(coalesce(cc.c1, 0)
+                            + 1.0 * (SELECT vocab FROM v))))
+           / sum(dp.cnt) AS avg_lp
+  FROM dp LEFT JOIN pc USING (w1, w2) LEFT JOIN cc USING (w1)
+  GROUP BY dp.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS sum_bigrams,
+       round(avg(avg_lp), 4) AS mean_logprob,
+       CAST(sum(CASE WHEN avg_lp < -7.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_low
+FROM sc GROUP BY lang ORDER BY lang
+"""
+
+_PERC_DIM = 512  # power of two: signed pmod (Spark) == unsigned % (DuckDB)
+
+
+def q_quality_perceptron(spark, sf_dir):
+    """fastText-style hashed linear classifier, trained IN SPARK with a
+    3-epoch full-batch integer perceptron (label: lang='en' vs rest) and
+    served back over the corpus.  Every margin/gradient/weight is an
+    integer, so training itself is bit-replayable in the oracle — the
+    SQL twin chains three join+groupBy CTE blocks, one per epoch, and
+    must land on the identical BIGINT weight vector and margins."""
+    from .operators import quality_ml
+
+    docs = _t(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(-1)).alias("y"),
+    )
+    feats = quality_ml.hashed_features(docs, dim=_PERC_DIM)
+    w = quality_ml.train_perceptron(feats, labels, epochs=3)
+    scored = (
+        quality_ml.score_linear(feats, w)
+        .join(labels, "doc_id")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("margin") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pos_pred"),
+            F.sum(F.when(F.col("y") * F.col("margin") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_correct"),
+            F.sum("margin").alias("sum_margin"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_QUALITY_PERCEPTRON = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks
+  FROM documents
+), f AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(y) AS y,
+         CAST(md5_number_lower(t) % {_PERC_DIM} AS BIGINT) AS bucket,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT doc_id, lang, y, unnest(toks) AS t FROM d)
+  GROUP BY doc_id, md5_number_lower(t) % {_PERC_DIM}
+), w1 AS (  -- epoch 1 from w=0: margin 0 counts as misclassified -> all docs
+  SELECT bucket, sum(y * cnt) AS w FROM f GROUP BY 1
+), m1 AS (
+  SELECT f.doc_id AS doc_id, any_value(f.y) AS my,
+         sum(f.cnt * w1.w) AS margin
+  FROM f JOIN w1 USING (bucket) GROUP BY f.doc_id
+), g1 AS (
+  SELECT f.bucket, sum(f.y * f.cnt) AS dw
+  FROM f JOIN m1 ON f.doc_id = m1.doc_id
+  WHERE m1.my * m1.margin <= 0 GROUP BY 1
+), w2 AS (  -- every bucket is already in w1 (epoch 1 saw all docs)
+  SELECT w1.bucket, w1.w + coalesce(g1.dw, 0) AS w
+  FROM w1 LEFT JOIN g1 ON w1.bucket = g1.bucket
+), m2 AS (
+  SELECT f.doc_id AS doc_id, any_value(f.y) AS my,
+         sum(f.cnt * w2.w) AS margin
+  FROM f JOIN w2 USING (bucket) GROUP BY f.doc_id
+), g2 AS (
+  SELECT f.bucket, sum(f.y * f.cnt) AS dw
+  FROM f JOIN m2 ON f.doc_id = m2.doc_id
+  WHERE m2.my * m2.margin <= 0 GROUP BY 1
+), w3 AS (
+  SELECT w2.bucket, w2.w + coalesce(g2.dw, 0) AS w
+  FROM w2 LEFT JOIN g2 ON w2.bucket = g2.bucket
+), m3 AS (
+  SELECT f.doc_id AS doc_id, any_value(f.lang) AS lang,
+         any_value(f.y) AS my, sum(f.cnt * w3.w) AS margin
+  FROM f JOIN w3 USING (bucket) GROUP BY f.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos_pred,
+       CAST(sum(CASE WHEN my * margin > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       CAST(sum(margin) AS BIGINT) AS sum_margin
+FROM m3 GROUP BY lang ORDER BY lang
+"""
+
+
 # The driver's correctness gate evaluates exactly the FIRST 50 registry
 # entries (r2 verdict: the engine_* entries sat at positions 52-66 and were
 # never driver-checked).  ORDER below pins the window composition: positions
@@ -2585,7 +2748,13 @@ _WINDOW = [
     "engine_lang_boost",
     "engine_proximity",
     # index-backed stats / serp ops under their original names
-    "tf",
+    # late-r4: tf moved to the tail — per-(term,doc) tf feeds every
+    # in-window engine BM25 hash (same transitive argument that moved
+    # collstats), and the tail CI test certifies it directly every run;
+    # its seat goes to lm_perplexity, the CCNet-shape model-based quality
+    # filter (bigram LM fitted in Spark on a reference slice, scored over
+    # the corpus, oracle replays training AND scoring in SQL)
+    "lm_perplexity",
     "termstats",
     # r4: collstats moved to the tail — N/avgdl are transitively certified
     # by every in-window engine BM25 hash (they feed the scoring math);
@@ -2644,7 +2813,14 @@ _WINDOW = [
     # all-pairs jaccard); ngram_jaccard moves to the tail
     "dedup_clusters",
     "token_stats_bpe",
-    "quality_full",
+    # late-r4: quality_full moved to the tail — its quality-gate CASE
+    # expressions are embedded verbatim inside in-window training_mix's
+    # oracle, and the tail CI test certifies the full battery directly
+    # every run; its seat goes to quality_perceptron, the fastText-shape
+    # hashed linear classifier whose INTEGER perceptron training is
+    # bit-replayed by the oracle (training itself is driver-certified,
+    # not just serving)
+    "quality_perceptron",
     # late-r4: langid moved to the tail — its stopword-ratio classifier
     # is embedded VERBATIM (same CASE expression) inside training_mix's
     # oracle, which takes the seat: the composed curation pipeline
@@ -2819,6 +2995,12 @@ _TAIL = [
     "dup_spans",
     # substring-dedup REWRITE: remove dup spans, checksum the cleaned corpus
     "dup_span_scrub",
+    # moved out of the window late-r4 (seats taken by lm_perplexity /
+    # quality_perceptron): tf feeds every in-window engine BM25 hash;
+    # quality_full's gate expressions are embedded in training_mix's
+    # oracle.  Both stay directly oracle-certified here every CI run.
+    "tf",
+    "quality_full",
 ]
 
 
@@ -2879,6 +3061,8 @@ def build_registry() -> tuple[
         "token_stats_bpe": q_token_stats_bpe,
         "quality": q_quality,
         "quality_full": q_quality_full,
+        "lm_perplexity": q_lm_perplexity,
+        "quality_perceptron": q_quality_perceptron,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
@@ -2957,6 +3141,11 @@ def build_registry() -> tuple[
         "token_stats_bpe": SQL_TOKEN_STATS_BPE,
         "quality": SQL_QUALITY,
         "quality_full": SQL_QUALITY_FULL,
+        # LM training + scoring replayed in SQL; floats rounded to a 4dp
+        # grid twelve orders above libm drift
+        "lm_perplexity": SQL_LM_PERPLEXITY,
+        # perceptron training replayed as 3 epoch CTE blocks, all-integer
+        "quality_perceptron": SQL_QUALITY_PERCEPTRON,
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine": SQL_ANN_COSINE,
