@@ -101,6 +101,8 @@ EXTRAS = [
     "gopher_repetition",
     "dup_spans",
     "dup_span_scrub",
+    "lm_perplexity",
+    "quality_perceptron",
 ]
 
 

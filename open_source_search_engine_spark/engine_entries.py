@@ -1214,6 +1214,37 @@ LIMIT 20
 """
 
 
+# Java-regex ∩ RE2 subset (scrub.py contract): classes, greedy +,
+# literal run " join " whose interior fragment is the required token
+REGEX_PATTERN = "[a-z0-9]+ join [a-z0-9]+"
+
+
+def q_engine_regex(spark, sf_dir):
+    """Indexed regex search — grep-at-scale (plans/regex.py; the Google
+    Code Search / Zoekt prefilter shape over WORD termlists, no
+    reference analog).  The pattern's required literal token ('join')
+    is intersected from the bloom-pruned stored termlists; the regex
+    itself runs only on the candidate docs semi-joined back into the
+    source corpus table.  Oracle = a full-scan regexp over raw text, so
+    a green hash proves the prefilter lost no matching doc (100%
+    recall) AND the Java/RE2 match-count parity."""
+    from .plans.regex import regex_search
+
+    idx = engine_index(spark, sf_dir)
+    corpus = _docs_as_corpus(spark, sf_dir)
+    return regex_search(spark, idx, corpus, REGEX_PATTERN)
+
+
+SQL_ENGINE_REGEX = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{REGEX_PATTERN}')) AS BIGINT)
+         AS n_matches
+FROM documents
+WHERE len(regexp_extract_all(text, '{REGEX_PATTERN}')) > 0
+ORDER BY n_matches DESC, doc_id
+"""
+
+
 def q_engine_mlt(spark, sf_dir):
     """More-like-this (A7 gigabits scorer applied to ONE doc + U1
     match-any retrieval): top-5 tf*idf terms of doc 7 against the STORED
@@ -1386,6 +1417,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_link_rank": q_engine_link_rank,
         "engine_anchor": q_engine_anchor,
         "engine_anchor_boost": q_engine_anchor_boost,
+        "engine_regex": q_engine_regex,
         "engine_federated": q_engine_federated,
         "engine_federated_batch": q_engine_federated_batch,
         "hybrid_rrf": q_hybrid_rrf,
@@ -1441,6 +1473,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_link_rank": _sql_engine_link_rank(),
         "engine_anchor": SQL_ENGINE_ANCHOR,
         "engine_anchor_boost": _sql_engine_anchor_boost(),
+        "engine_regex": SQL_ENGINE_REGEX,
         "engine_federated": SQL_ENGINE_FEDERATED,
         "engine_federated_batch": _sql_engine_federated_batch(),
         "hybrid_rrf": SQL_HYBRID_RRF,

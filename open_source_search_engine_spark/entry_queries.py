@@ -2764,7 +2764,14 @@ _WINDOW = [
     "engine_anchor",
     "gigabits",
     "spell_suggest",
-    "serp_dedup",
+    # late-r4: serp_dedup moved to the tail — W3 keep-first-per-site is
+    # the rank<=1 case of the same serp window certified in-window by
+    # site_cluster (W1 top-2-per-site), and the tail CI test checks it
+    # directly every run; its seat goes to engine_regex, indexed regex
+    # search (the Code Search / Zoekt prefilter over stored termlists —
+    # a genuinely new retrieval capability whose full-scan oracle proves
+    # 100% prefilter recall)
+    "engine_regex",
     "snippet",
     "search_facets",
     # r4: facet_ranges moved to the tail (facet aggregation stays
@@ -3001,6 +3008,9 @@ _TAIL = [
     # oracle.  Both stay directly oracle-certified here every CI run.
     "tf",
     "quality_full",
+    # moved out late-r4 (seat taken by engine_regex): keep-first-per-site
+    # is the rank<=1 case of in-window site_cluster's serp window
+    "serp_dedup",
 ]
 
 

@@ -1,0 +1,227 @@
+"""Indexed regex search — grep-at-scale through the stored termlists.
+
+The reference engine has no regex operator; this is the classic
+code-search capability (Google Code Search's trigram prefilter, Cox
+2012; Zoekt's shard prefilter) re-expressed over this engine's WORD
+termlists, which is the natural granule for a `[a-z0-9]+` tokenizer:
+
+1. **Extract required literal tokens** from the pattern: a conservative
+   literal-run scanner keeps only alphanumeric fragments that occur in
+   every possible match (see ``required_literal_tokens``).  Soundness,
+   not completeness, is the contract — returning FEWER tokens only
+   widens the candidate set.
+2. **Candidates from the index**: the required tokens' termlists are
+   read through the bloom-pruned postings scan (same path as every
+   query plan) and intersected with one ``groupBy(doc_id)`` whose
+   distinct-term count must equal the token count.  A required token
+   missing from the dictionary proves zero matches without touching
+   the corpus.
+3. **Verify on candidates only**: the candidate set semi-joins the
+   source corpus table (the titledb/Msg22 blob-store analog is the
+   source-of-truth content table) and the actual regex runs as a
+   codegen `rlike`/`regexp_count` over that slice.  Tombstoned docs are
+   excluded by the same distributed anti-join the exhaustive plan uses.
+
+At 100 TB the plan is: tiny pruned termlist scan -> one candidate
+shuffle (keyed by doc_id, sized by the rarest required token, NOT the
+corpus) -> point semi-join into the corpus -> regex over the survivors.
+A pattern with no safe literal (e.g. ``[0-9]+``) honestly degrades to
+the full corpus scan — exactly what Code Search did — and the caller
+can see which mode ran via ``required_literal_tokens``.
+
+Patterns must stay in the Java-regex ∩ RE2 subset (same contract as
+``operators/scrub.py``) so the DuckDB oracle replays them exactly.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.build import Index
+
+_ALNUM_FRAG = re.compile(r"[a-zA-Z0-9]+")
+
+
+def _skip_class(pattern: str, i: int) -> int:
+    """i points AT '['; return index just past the closing ']'."""
+    i += 1
+    if i < len(pattern) and pattern[i] == "^":
+        i += 1
+    if i < len(pattern) and pattern[i] == "]":  # literal ']' first
+        i += 1
+    while i < len(pattern) and pattern[i] != "]":
+        if pattern[i] == "\\":
+            i += 1
+        i += 1
+    return i + 1
+
+
+def _literal_runs(pattern: str) -> list[str] | None:
+    """Maximal literal-character runs that occur in EVERY match.
+
+    Returns None when nothing can be required (top-level alternation).
+    Conservative by construction: groups and classes are opaque (they
+    terminate the current run), ``*``/``?``/``{m,n}`` drop the previous
+    character from the run (optional or repeat-separated), ``+`` keeps
+    it (one occurrence is guaranteed contiguous) but ends the run.
+    """
+    runs: list[str] = []
+    cur: list[str] = []
+
+    def flush() -> None:
+        if cur:
+            runs.append("".join(cur))
+            cur.clear()
+
+    i, n = 0, len(pattern)
+    while i < n:
+        c = pattern[i]
+        if c == "\\":
+            i += 1
+            if i >= n:
+                break
+            esc = pattern[i]
+            if esc.isalnum():
+                # \d \w \s \b \1 ... : a metacharacter, not a literal
+                flush()
+            else:
+                cur.append(esc)  # escaped punctuation is literal
+            i += 1
+        elif c == "[":
+            flush()
+            i = _skip_class(pattern, i)
+        elif c == "(":
+            # opaque group: skip to the matching close (classes inside
+            # may contain unbalanced parens)
+            flush()
+            depth = 1
+            i += 1
+            while i < n and depth:
+                if pattern[i] == "\\":
+                    i += 2
+                    continue
+                if pattern[i] == "[":
+                    i = _skip_class(pattern, i)
+                    continue
+                if pattern[i] == "(":
+                    depth += 1
+                elif pattern[i] == ")":
+                    depth -= 1
+                i += 1
+        elif c == "|":
+            # top-level alternation: no literal is required by all branches
+            return None
+        elif c in "*?":
+            if cur:
+                cur.pop()
+            flush()
+            i += 1
+        elif c == "{":
+            # {m,n} quantifier: conservatively treat like '*' (drop the
+            # quantified char).  A brace that opens no quantifier is
+            # still skipped — dropping literals is always sound.
+            if cur:
+                cur.pop()
+            flush()
+            while i < n and pattern[i] != "}":
+                i += 1
+            i += 1
+        elif c == "+":
+            # one-or-more: the previous char IS required and contiguous
+            # to its left context; repetition may separate it from what
+            # follows, so the run ends here but keeps the char
+            flush()
+            i += 1
+        elif c in ".^$)":
+            flush()
+            i += 1
+        else:
+            cur.append(c)
+            i += 1
+    flush()
+    return runs
+
+
+def required_literal_tokens(pattern: str) -> list[str]:
+    """Lowercased full tokens guaranteed to appear in every match.
+
+    Only alphanumeric fragments bounded on BOTH sides by literal
+    non-alphanumeric characters inside a run qualify: a fragment
+    touching a run boundary may be a prefix/suffix of a longer token in
+    the document (pattern ``def ret`` must NOT require token ``ret`` —
+    it matches "def return").  Sorted for deterministic plans.
+    """
+    runs = _literal_runs(pattern)
+    if not runs:
+        return []
+    toks: set[str] = set()
+    for run in runs:
+        for m in _ALNUM_FRAG.finditer(run):
+            if m.start() > 0 and m.end() < len(run):
+                toks.add(m.group(0).lower())
+    return sorted(toks)
+
+
+def regex_search(
+    spark: SparkSession,
+    index: Index,
+    corpus: DataFrame,
+    pattern: str,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    limit: int | None = None,
+) -> DataFrame:
+    """(doc_id, n_matches) for every live doc whose text matches.
+
+    ``corpus`` is the source-of-truth content table carrying ``id_col``
+    (the ids ``build_index`` preserved/derived) and ``text_col``; the
+    index supplies the candidate prefilter and the tombstone set.
+    Results order by (n_matches desc, doc_id) — grep-style density
+    ranking — with an optional limit.
+    """
+    from ..operators.merge import decode_to_postings, deletes_table
+    from .exec import _stats_cached
+
+    toks = required_literal_tokens(pattern)
+    base = corpus
+    if toks:
+        _n_docs, _avgdl, stats = _stats_cached(spark, index, toks)
+        if any(t not in stats for t in toks):
+            # a required token absent from the dictionary: provably no match
+            return spark.createDataFrame(
+                [], f"{id_col} long, n_matches long"
+            )
+        tids = [stats[t][0] for t in toks]
+        blocks = index.postings.read_pruned(spark, tids)
+        cand = (
+            decode_to_postings(
+                blocks.filter(F.col("term_id").isin(tids)),
+                with_positions=False,
+            )
+            .groupBy("doc_id")
+            .agg(F.countDistinct("term_id").alias("_nt"))
+            .filter(F.col("_nt") == len(tids))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        base = corpus.join(cand, id_col, "left_semi")
+    # else: no safe required literal — honest full scan (the Code Search
+    # fallback); the regex below is still one codegen pass
+
+    out = (
+        base.select(
+            F.col(id_col),
+            F.regexp_count(F.col(text_col), F.lit(pattern))
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )
+    ddf = deletes_table(index).read(spark)
+    if ddf is not None:
+        dead = ddf.select(F.col("doc_id").alias(id_col)).distinct()
+        out = out.join(dead, id_col, "left_anti")
+    out = out.orderBy(F.desc("n_matches"), id_col)
+    return out.limit(int(limit)) if limit else out

@@ -1,0 +1,155 @@
+"""Indexed regex search (plans/regex.py): literal extraction soundness +
+prefilter==full-scan equivalence over a real stored index."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_source_search_engine_spark.plans.regex import (
+    regex_search,
+    required_literal_tokens,
+)
+
+
+# --- extractor -------------------------------------------------------------
+
+
+def test_boundary_fragments_dropped():
+    # 'ret' is a PREFIX of 'return' in a matching doc — must not require it
+    assert required_literal_tokens("def ret") == []
+
+
+def test_interior_fragment_required():
+    assert required_literal_tokens("[a-z0-9]+ join (table|index) scan") == [
+        "join"
+    ]
+
+
+def test_top_level_alternation_requires_nothing():
+    assert required_literal_tokens("alpha beta|gamma delta") == []
+
+
+def test_escaped_punct_is_literal_boundary():
+    assert required_literal_tokens(r"raise\.ValueError\(") == ["valueerror"]
+
+
+def test_optional_char_dropped():
+    assert required_literal_tokens("colou?r map x") == ["map"]
+
+
+def test_brace_quantifier_conservative():
+    assert required_literal_tokens("ab{2}c d e") == ["d"]
+
+
+def test_plus_keeps_prev_char():
+    # 'ab+ cd ef' -> runs 'ab', ' cd ef': 'cd' interior of the second run
+    assert required_literal_tokens("xab+ cd ef") == ["cd"]
+
+
+def test_case_folded():
+    assert required_literal_tokens("(a|b) Error Code x") == ["code", "error"]
+
+
+@pytest.mark.parametrize(
+    "pattern,matching_text",
+    [
+        ("[a-z0-9]+ join (table|index) scan", "hash join table scan"),
+        (r"raise\.ValueError\(", "x raise.valueerror( y"),
+        ("colou?r map x", "color map x"),
+        ("xab+ cd ef", "xabbb cd ef"),
+        ("(a|b) error code x", "b error code x"),
+        ("for [a-z]+ in range", "for i in range"),
+    ],
+)
+def test_required_tokens_soundness(pattern, matching_text):
+    """Every required token must be a full token of a matching text —
+    the 100%-recall property the candidate prefilter rests on."""
+    assert re.search(pattern, matching_text, re.IGNORECASE) is not None
+    toks = set(re.findall("[a-z0-9]+", matching_text.lower()))
+    for t in required_literal_tokens(pattern):
+        assert t in toks, (pattern, t)
+
+
+# --- search over the stored index ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def micro_corpus(spark, micro_docs):
+    from open_source_search_engine_spark.operators.build import derive_ids
+
+    return derive_ids(micro_docs)
+
+
+@pytest.mark.parametrize(
+    "pattern",
+    [
+        "[a-z]+ search tree",  # prefilter on 'search'
+        "binary (search|tree|heap)",  # boundary-only literals: full scan
+        "hash (map|set)",  # full scan (no interior fragment)
+        "linear search [a-z]+",  # prefilter on 'search'
+    ],
+)
+def test_prefilter_equals_full_scan(spark, micro_index, micro_corpus, pattern):
+    got = {
+        (r.doc_id, r.n_matches)
+        for r in regex_search(
+            spark, micro_index, micro_corpus, pattern
+        ).collect()
+    }
+    want = {
+        (r.doc_id, r.n)
+        for r in micro_corpus.select(
+            "doc_id",
+            F.regexp_count("content", F.lit(pattern)).cast("long").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+        .collect()
+    }
+    assert got == want
+
+
+def test_missing_required_token_short_circuits(spark, micro_index, micro_corpus):
+    out = regex_search(
+        spark, micro_index, micro_corpus, "[a-z]+ zzzqqq yyy"
+    )
+    assert out.count() == 0
+    # and the plan never scans the corpus (empty local relation only)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Scan parquet" not in plan and "rlike" not in plan.lower()
+
+
+def test_limit_and_order(spark, micro_index, micro_corpus):
+    # 'search' appears 3x in e.rs, 1x in a.py/b.py: density order
+    out = regex_search(
+        spark, micro_index, micro_corpus, "search", limit=1
+    ).collect()
+    # boundary-only literal -> full scan; top doc is the 3x one
+    assert len(out) == 1
+    assert out[0].n_matches == 3
+
+
+def test_tombstones_excluded(spark, micro_docs, tmp_path):
+    from open_source_search_engine_spark.operators.build import (
+        build_index,
+        derive_ids,
+    )
+    from open_source_search_engine_spark.operators.merge import delete_docs
+
+    corpus = derive_ids(micro_docs)
+    idx = build_index(
+        spark, micro_docs, str(tmp_path / "idx"), n_shards=1,
+        code_aware=False, block_size=4, salt_target=1000,
+    )
+    before = {
+        r.doc_id
+        for r in regex_search(spark, idx, corpus, "[a-z]+ search tree").collect()
+    }
+    assert before  # the a.py doc matches
+    victim = sorted(before)[0]
+    delete_docs(spark, idx, [victim])
+    after = {
+        r.doc_id
+        for r in regex_search(spark, idx, corpus, "[a-z]+ search tree").collect()
+    }
+    assert after == before - {victim}
