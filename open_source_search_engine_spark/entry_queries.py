@@ -2730,47 +2730,37 @@ def q_percolate(spark, sf_dir):
 
 
 def _sql_percolate() -> str:
+    # the same fused single-join shape as operators/percolate.percolate:
+    # positives and negatives ride one rule relation with a sign column,
+    # and the match condition is one grouped HAVING.  Token grammar is
+    # the engine's SIMPLE_TOKEN_RE ([a-z0-9_]+ — parse_query's charset).
     from .operators.percolate import compile_queries
 
     pq = compile_queries(_PERC_QUERIES)
-    pos_vals = ", ".join(f"({q}, {s}, '{t}')" for q, s, t in pq.pos)
-    meta_vals = ", ".join(f"({q}, {n})" for q, n in pq.meta)
-    neg_cte = ""
-    final = (
-        "SELECT m.doc_id, CAST(m.query_id AS BIGINT) AS query_id FROM m"
+    rule_vals = ", ".join(
+        [f"({q}, {s}, '{t}', FALSE)" for q, s, t in pq.pos]
+        + [f"({q}, -1, '{t}', TRUE)" for q, t in pq.neg]
     )
-    if pq.neg:
-        neg_vals = ", ".join(f"({q}, '{t}')" for q, t in pq.neg)
-        neg_cte = f""",
-nh AS (
-  SELECT DISTINCT t.doc_id, q.query_id
-  FROM toks t JOIN (VALUES {neg_vals}) AS q(query_id, term)
-    ON t.tok = q.term
-)"""
-        final = (
-            "SELECT m.doc_id, CAST(m.query_id AS BIGINT) AS query_id "
-            "FROM m ANTI JOIN nh USING (doc_id, query_id)"
-        )
+    meta_vals = ", ".join(f"({q}, {n})" for q, n in pq.meta)
     return f"""
 WITH toks AS (
   SELECT doc_id,
-         unnest(list_distinct(regexp_extract_all(lower(text), '{TOKEN_RE}')))
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')))
            AS tok
   FROM documents
 ),
 hits AS (
-  SELECT DISTINCT t.doc_id, q.query_id, q.slot
-  FROM toks t JOIN (VALUES {pos_vals}) AS q(query_id, slot, term)
+  SELECT DISTINCT t.doc_id, q.query_id, q.slot, q.is_neg
+  FROM toks t
+  JOIN (VALUES {rule_vals}) AS q(query_id, slot, term, is_neg)
     ON t.tok = q.term
-),
-m AS (
-  SELECT h.doc_id, h.query_id
-  FROM hits h JOIN (VALUES {meta_vals}) AS qm(query_id, n_slots)
-    USING (query_id)
-  GROUP BY h.doc_id, h.query_id, qm.n_slots
-  HAVING count(DISTINCT h.slot) = qm.n_slots
-){neg_cte}
-{final}
+)
+SELECT h.doc_id, CAST(h.query_id AS BIGINT) AS query_id
+FROM hits h
+JOIN (VALUES {meta_vals}) AS qm(query_id, n_slots) USING (query_id)
+GROUP BY h.doc_id, h.query_id, qm.n_slots
+HAVING count(DISTINCT CASE WHEN NOT h.is_neg THEN h.slot END) = qm.n_slots
+   AND max(CASE WHEN h.is_neg THEN 1 ELSE 0 END) = 0
 ORDER BY query_id, doc_id
 """
 

@@ -18,13 +18,14 @@ metadata context a token join does not carry).
 Plan per batch of docs:
 
     toks  = docs -> explode(array_distinct(tokenize(text)))
-    hits  = toks JOIN broadcast(query term table) ON token = term
-    match = hits.groupBy(doc, query).countDistinct(slot) == n_slots
-    out   = match ANTI JOIN (toks JOIN broadcast(neg terms))
+    hits  = toks JOIN broadcast(pos+neg rule terms, sign column)
+    match = hits.groupBy(doc, query):
+              countDistinct(positive slot) == n_slots AND no neg hit
 
-One corpus scan, broadcast-only joins against the rule set, and the
-single shuffle is keyed by (doc, query) HIT pairs — proportional to
-matches, not to |docs| x |queries|.  Composes with Structured Streaming
+ONE corpus scan (positives and negatives share the broadcast relation),
+broadcast-only joins against the rule set, and the single shuffle is
+keyed by (doc, query) HIT pairs — proportional to matches, not to
+|docs| x |queries|.  Composes with Structured Streaming
 via ``foreachBatch`` (each micro-batch percolates independently;
 matching is stateless per doc).  Every step is integer/set algebra, so
 the driver oracle replays it verbatim in SQL.
@@ -37,8 +38,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.tokenize import SIMPLE_TOKEN_RE
 from ..plans.query import QueryPlan, parse_query
-from .textstats import tokens_simple
 
 
 @dataclass
@@ -92,46 +93,49 @@ def percolate(
 ) -> DataFrame:
     """(id, query_id) for every (doc, standing query) match.
 
-    Tokenization is the simple ``[a-z0-9]+`` tokenizer (the oracle
-    grammar); per-doc tokens are distinct-ed BEFORE the join so a term
-    repeated in a doc produces one hit row, keeping the shuffle keyed
-    by distinct (doc, query, slot) hits."""
+    Tokenization is the engine's SIMPLE token grammar
+    (``[a-z0-9_]+`` — the same charset ``parse_query`` normalizes query
+    terms with, so a standing query containing an underscore matches
+    exactly the docs the stored index would match); per-doc tokens are
+    distinct-ed BEFORE the join so a term repeated in a doc produces one
+    hit row, keeping the shuffle keyed by distinct (doc, query, slot)
+    hits.  Positive and negative rule terms ride ONE broadcast relation
+    (sign column) so the probe stream is scanned and tokenized exactly
+    once, negations included."""
     spark = docs.sparkSession
-    pos_df = spark.createDataFrame(
-        pq.pos, "query_id long, slot int, term string"
+    rule_rows = [(q, s, t, False) for (q, s, t) in pq.pos] + [
+        (q, -1, t, True) for (q, t) in pq.neg
+    ]
+    rules_df = spark.createDataFrame(
+        rule_rows, "query_id long, slot int, term string, is_neg boolean"
     )
     meta_df = spark.createDataFrame(pq.meta, "query_id long, n_slots int")
 
     toks = docs.select(
         F.col(id_col),
         F.explode(
-            F.array_distinct(tokens_simple(F.col(text_col)))
+            F.array_distinct(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)),
+                    F.lit(SIMPLE_TOKEN_RE),
+                    F.lit(0),
+                )
+            )
         ).alias("_tok"),
     )
     hits = (
-        toks.join(
-            F.broadcast(pos_df), toks["_tok"] == pos_df["term"]
-        )
-        .select(id_col, "query_id", "slot")
+        toks.join(F.broadcast(rules_df), toks["_tok"] == rules_df["term"])
+        .select(id_col, "query_id", "slot", "is_neg")
         .distinct()
     )
-    matched = (
-        hits.groupBy(id_col, "query_id")
-        .agg(F.countDistinct("slot").alias("_ns"))
-        .join(F.broadcast(meta_df), "query_id")
-        .filter(F.col("_ns") == F.col("n_slots"))
+    per_query = hits.groupBy(id_col, "query_id").agg(
+        F.countDistinct(
+            F.when(~F.col("is_neg"), F.col("slot"))
+        ).alias("_ns"),
+        F.max(F.col("is_neg").cast("int")).alias("_has_neg"),
+    )
+    return (
+        per_query.join(F.broadcast(meta_df), "query_id")
+        .filter((F.col("_ns") == F.col("n_slots")) & (F.col("_has_neg") == 0))
         .select(id_col, "query_id")
     )
-    if pq.neg:
-        neg_df = spark.createDataFrame(pq.neg, "query_id long, term string")
-        neg_hits = (
-            toks.join(
-                F.broadcast(neg_df), toks["_tok"] == neg_df["term"]
-            )
-            .select(id_col, "query_id")
-            .distinct()
-        )
-        matched = matched.join(
-            neg_hits, [id_col, "query_id"], "left_anti"
-        )
-    return matched

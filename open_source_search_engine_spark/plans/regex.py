@@ -3,13 +3,15 @@
 The reference engine has no regex operator; this is the classic
 code-search capability (Google Code Search's trigram prefilter, Cox
 2012; Zoekt's shard prefilter) re-expressed over this engine's WORD
-termlists, which is the natural granule for a `[a-z0-9]+` tokenizer:
+termlists, which is the natural granule for a word tokenizer
+(``[a-z0-9_]+`` in simple mode; code-aware mode adds camel subtokens
+but always emits the whole word too):
 
 1. **Extract required literal tokens** from the pattern: a conservative
-   literal-run scanner keeps only alphanumeric fragments that occur in
-   every possible match (see ``required_literal_tokens``).  Soundness,
-   not completeness, is the contract — returning FEWER tokens only
-   widens the candidate set.
+   literal-run scanner keeps only word fragments (the index tokenizer's
+   ``[A-Za-z0-9_]`` charset) that occur in every possible match (see
+   ``required_literal_tokens``).  Soundness, not completeness, is the
+   contract — returning FEWER tokens only widens the candidate set.
 2. **Candidates from the index**: the required tokens' termlists are
    read through the bloom-pruned postings scan (same path as every
    query plan) and intersected with one ``groupBy(doc_id)`` whose
@@ -42,7 +44,12 @@ from pyspark.sql import functions as F
 
 from ..operators.build import Index
 
-_ALNUM_FRAG = re.compile(r"[a-zA-Z0-9]+")
+# the index word charset (functions/tokenize._WORD_RE): underscore is a
+# TOKEN character in both simple and code-aware modes (whole words are
+# always emitted; camel subtokens are additive), so fragments must keep
+# it — splitting at '_' would require a token the dictionary never
+# stores and break the prefilter's 100%-recall contract
+_ALNUM_FRAG = re.compile(r"[a-zA-Z0-9_]+")
 
 
 def _skip_class(pattern: str, i: int) -> int:
@@ -148,11 +155,12 @@ def _literal_runs(pattern: str) -> list[str] | None:
 def required_literal_tokens(pattern: str) -> list[str]:
     """Lowercased full tokens guaranteed to appear in every match.
 
-    Only alphanumeric fragments bounded on BOTH sides by literal
-    non-alphanumeric characters inside a run qualify: a fragment
-    touching a run boundary may be a prefix/suffix of a longer token in
-    the document (pattern ``def ret`` must NOT require token ``ret`` —
-    it matches "def return").  Sorted for deterministic plans.
+    Only word fragments (``[A-Za-z0-9_]+`` — the index tokenizer's
+    charset, underscore included) bounded on BOTH sides by literal
+    non-word characters inside a run qualify: a fragment touching a run
+    boundary may be a prefix/suffix of a longer token in the document
+    (pattern ``def ret`` must NOT require token ``ret`` — it matches
+    "def return").  Sorted for deterministic plans.
     """
     runs = _literal_runs(pattern)
     if not runs:
@@ -224,4 +232,4 @@ def regex_search(
         dead = ddf.select(F.col("doc_id").alias(id_col)).distinct()
         out = out.join(dead, id_col, "left_anti")
     out = out.orderBy(F.desc("n_matches"), id_col)
-    return out.limit(int(limit)) if limit else out
+    return out.limit(int(limit)) if limit is not None else out

@@ -98,3 +98,14 @@ def test_streaming_foreachbatch(spark, docs, tmp_path):
     )
     q.awaitTermination(120)
     assert matches == EXPECT
+
+
+def test_underscore_token_parity_with_query_parser(spark):
+    # parse_query keeps '_' inside a token ([a-z0-9_]+); the doc-side
+    # tokenizer must use the SAME charset or underscore rules never fire
+    docs = spark.createDataFrame(
+        [(1, "use foo_bar here"), (2, "foo bar split")],
+        "doc_id long, text string",
+    )
+    out = percolate(docs, compile_queries([(9, "foo_bar")])).collect()
+    assert [(r.doc_id, r.query_id) for r in out] == [(1, 9)]

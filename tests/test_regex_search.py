@@ -153,3 +153,39 @@ def test_tombstones_excluded(spark, micro_docs, tmp_path):
         for r in regex_search(spark, idx, corpus, "[a-z]+ search tree").collect()
     }
     assert after == before - {victim}
+
+
+def test_underscore_is_token_char():
+    # '_' is a token character in the index dictionary (_WORD_RE); the
+    # extractor must not split at it, which would require a token the
+    # index never stores and silently drop matching docs
+    assert required_literal_tokens("= foo_bar (x|y)") == ["foo_bar"]
+
+
+def test_underscore_prefilter_recall(spark, tmp_path):
+    from open_source_search_engine_spark.operators.build import (
+        build_index,
+        derive_ids,
+    )
+
+    rows = [
+        ("r", "a.py", "c", "py", "def foo_bar(): return 1"),
+        ("r", "b.py", "c", "py", "def foo(): bar()"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    idx = build_index(
+        spark, docs, str(tmp_path / "idx"), n_shards=1,
+        code_aware=False, block_size=4, salt_target=1000,
+    )
+    corpus = derive_ids(docs)
+    got = regex_search(spark, idx, corpus, r"def foo_bar\(").collect()
+    assert len(got) == 1 and got[0].n_matches == 1
+
+
+def test_limit_zero_returns_empty(spark, micro_index, micro_corpus):
+    assert (
+        regex_search(spark, micro_index, micro_corpus, "search", limit=0).count()
+        == 0
+    )
