@@ -103,6 +103,9 @@ EXTRAS = [
     "dup_span_scrub",
     "lm_perplexity",
     "quality_perceptron",
+    "engine_regex",
+    "percolate",
+    "regex_rules",
 ]
 
 

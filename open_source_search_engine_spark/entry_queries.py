@@ -2703,6 +2703,43 @@ FROM m3 GROUP BY lang ORDER BY lang
 """
 
 
+# multi-pattern regex rule table (Java ∩ RE2 subset; rule 3 has no safe
+# required literal -> exercises the honest per-rule full-scan fallback)
+_REGEX_RULES = [
+    (1, "[a-z0-9]+ join [a-z0-9]+"),
+    (2, "(hash|merge) sort"),
+    (3, "[0-9][0-9][0-9]+"),
+]
+
+
+def q_regex_rules(spark, sf_dir):
+    """Multi-pattern regex scan (plans/regex.py regex_rules_scan): N
+    policy rules against the corpus in ONE pass — per-rule required-
+    literal token prefilter (broadcast rule relations, one tokenize
+    scan), column-pattern regex verify only on candidate (doc, rule)
+    pairs; rules with no safe literal fall back to every doc for that
+    rule only.  Oracle = the full cross-product regexp in SQL, so a
+    green hash proves per-rule prefilter recall + count parity."""
+    from .plans.regex import regex_rules_scan
+
+    docs = _t(spark, sf_dir, "documents")
+    return regex_rules_scan(docs, _REGEX_RULES, text_col="text").orderBy(
+        "rule_id", "doc_id"
+    )
+
+
+def _sql_regex_rules() -> str:
+    rule_vals = ", ".join(f"({r}, '{p}')" for r, p in _REGEX_RULES)
+    return f"""
+SELECT d.doc_id, r.rule_id,
+       CAST(len(regexp_extract_all(d.text, r.pattern)) AS BIGINT)
+         AS n_matches
+FROM documents d CROSS JOIN (VALUES {rule_vals}) AS r(rule_id, pattern)
+WHERE len(regexp_extract_all(d.text, r.pattern)) > 0
+ORDER BY rule_id, doc_id
+"""
+
+
 _PERC_QUERIES = [
     (1, "spark join"),
     (2, "vector OR stream"),
@@ -2781,7 +2818,14 @@ _WINDOW = [
     # indexes, per-collection stats, merged SERP), a genuinely new
     # capability whose oracle recomputes BM25 per corpus half
     "engine_federated",
-    "engine_bm25_and2",
+    # late-r4: engine_bm25_and2 moved to the tail — the same slot-count
+    # twin argument that moved and3 there (J1 N-way intersection stays
+    # in-window via engine_bm25_batch's 3-term AND member, engine_bm25_neg
+    # and every multi-slot entry; and2 stays tail-CI-certified).  Its
+    # seat goes to regex_rules, the multi-pattern regex scan (N policy
+    # rules, one corpus pass, per-rule literal prefilter) — a genuinely
+    # new operator whose oracle is the full cross-product regexp
+    "regex_rules",
     # engine_bm25_and3 moved to the tail r4 (a slot-count twin of and2 —
     # same J1 N-way intersection; 3-term ANDs also ride in-window via
     # engine_bm25_batch's members); its seat goes to the AS-OF snapshot
@@ -3084,6 +3128,10 @@ _TAIL = [
     # moved out late-r4 (seat taken by percolate): F1 pushed range scans
     # ride every in-window engine entry; F7 is in-window engine_sortby
     "numeric_range",
+    # moved out late-r4 (seat taken by regex_rules): the slot-count twin
+    # argument that moved and3 — J1 stays in-window via the batch AND
+    # member and every multi-slot entry
+    "engine_bm25_and2",
 ]
 
 
@@ -3147,6 +3195,7 @@ def build_registry() -> tuple[
         "lm_perplexity": q_lm_perplexity,
         "quality_perceptron": q_quality_perceptron,
         "percolate": q_percolate,
+        "regex_rules": q_regex_rules,
         "langid": q_langid,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
@@ -3232,6 +3281,8 @@ def build_registry() -> tuple[
         "quality_perceptron": SQL_QUALITY_PERCEPTRON,
         # reverse search: same compiled query relations as VALUES lists
         "percolate": _sql_percolate(),
+        # multi-pattern scan: oracle is the honest full cross product
+        "regex_rules": _sql_regex_rules(),
         "langid": SQL_LANGID,
         "fingerprint": SQL_FINGERPRINT,
         "ann_cosine": SQL_ANN_COSINE,

@@ -233,3 +233,98 @@ def regex_search(
         out = out.join(dead, id_col, "left_anti")
     out = out.orderBy(F.desc("n_matches"), id_col)
     return out.limit(int(limit)) if limit is not None else out
+
+
+def regex_rules_scan(
+    docs: DataFrame,
+    rules: list[tuple[int, str]],
+    id_col: str = "doc_id",
+    text_col: str = "content",
+) -> DataFrame:
+    """Multi-pattern regex scan: match every doc against a TABLE of
+    regex rules in one pass — the policy/PII-audit shape (N patterns x
+    100 TB must not be N corpus scans).
+
+    Per rule the same required-literal prefilter as ``regex_search``
+    applies, but doc-side: one tokenize pass feeds a broadcast join
+    against the (rule_id, token) relation, a (doc, rule) candidate
+    survives when it carries ALL the rule's required tokens, and the
+    regex itself (a COLUMN, not a literal — both Spark and the DuckDB
+    oracle evaluate non-constant patterns) runs only on candidate
+    pairs re-joined to the text.  Rules with no safe literal fall back
+    to every doc (the honest cross product for those rules only).
+
+    Output: (id, rule_id, n_matches > 0).  Plan: one tokenize scan, one
+    text re-join keyed by candidate doc ids, broadcast-only rule joins;
+    the candidate shuffle is proportional to token hits, not
+    |docs| x |rules|.
+    """
+    from ..functions.tokenize import SIMPLE_TOKEN_RE
+
+    spark = docs.sparkSession
+    req_rows: list[tuple[int, str]] = []
+    meta_rows: list[tuple[int, str, int]] = []
+    for rid, pat in rules:
+        toks = required_literal_tokens(pat)
+        meta_rows.append((int(rid), pat, len(toks)))
+        for t in toks:
+            req_rows.append((int(rid), t))
+    meta_df = spark.createDataFrame(
+        meta_rows, "rule_id long, pattern string, n_req int"
+    )
+
+    full_scan_ids = [r for (r, _p, n) in meta_rows if n == 0]
+    text = docs.select(F.col(id_col), F.col(text_col))
+
+    cand_parts = []
+    if req_rows:
+        req_df = spark.createDataFrame(req_rows, "rule_id long, term string")
+        toks = docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(
+                    F.regexp_extract_all(
+                        F.lower(F.col(text_col)),
+                        F.lit(SIMPLE_TOKEN_RE),
+                        F.lit(0),
+                    )
+                )
+            ).alias("_tok"),
+        )
+        hits = toks.join(
+            F.broadcast(req_df), toks["_tok"] == req_df["term"]
+        ).select(id_col, "rule_id", "term")
+        cand_parts.append(
+            hits.groupBy(id_col, "rule_id")
+            .agg(F.countDistinct("term").alias("_nt"))
+            .join(F.broadcast(meta_df.select("rule_id", "n_req")), "rule_id")
+            .filter(F.col("_nt") == F.col("n_req"))
+            .select(id_col, "rule_id")
+        )
+    if full_scan_ids:
+        fs = spark.createDataFrame(
+            [(int(r),) for r in full_scan_ids], "rule_id long"
+        )
+        cand_parts.append(
+            docs.select(id_col).crossJoin(F.broadcast(fs))
+        )
+    if not cand_parts:
+        return spark.createDataFrame(
+            [], f"{id_col} long, rule_id long, n_matches long"
+        )
+    cand = cand_parts[0]
+    for p in cand_parts[1:]:
+        cand = cand.unionByName(p)
+
+    return (
+        cand.join(text, id_col)
+        .join(F.broadcast(meta_df.select("rule_id", "pattern")), "rule_id")
+        .select(
+            F.col(id_col),
+            F.col("rule_id"),
+            F.expr(f"regexp_count({text_col}, pattern)")
+            .cast("long")
+            .alias("n_matches"),
+        )
+        .filter(F.col("n_matches") > 0)
+    )

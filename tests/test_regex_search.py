@@ -189,3 +189,51 @@ def test_limit_zero_returns_empty(spark, micro_index, micro_corpus):
         regex_search(spark, micro_index, micro_corpus, "search", limit=0).count()
         == 0
     )
+
+
+# --- multi-pattern rule scan -------------------------------------------------
+
+
+def test_rules_scan_equals_cross_product(spark, micro_corpus):
+    from open_source_search_engine_spark.plans.regex import regex_rules_scan
+
+    rules = [
+        (1, "[a-z]+ search tree"),  # prefiltered on 'search'
+        (2, "hash (map|set)"),  # no interior literal -> full scan rule
+        (3, "binary"),  # boundary-only literal -> full scan rule
+    ]
+    got = {
+        (r.doc_id, r.rule_id, r.n_matches)
+        for r in regex_rules_scan(
+            micro_corpus, rules, text_col="content"
+        ).collect()
+    }
+    want = set()
+    for rid, pat in rules:
+        for r in micro_corpus.select(
+            "doc_id",
+            F.regexp_count("content", F.lit(pat)).cast("long").alias("n"),
+        ).filter(F.col("n") > 0).collect():
+            want.add((r.doc_id, rid, r.n))
+    assert got == want
+
+
+def test_rules_scan_prefilter_prunes(spark, micro_corpus):
+    from open_source_search_engine_spark.plans.regex import regex_rules_scan
+
+    # a rule whose required token matches nothing yields no rows and the
+    # other rules are unaffected
+    rules = [(1, "= zzznothing (a|b)"), (2, "linear search [a-z]+")]
+    got = {
+        (r.doc_id, r.rule_id)
+        for r in regex_rules_scan(
+            micro_corpus, rules, text_col="content"
+        ).collect()
+    }
+    assert {rid for _d, rid in got} == {2}
+
+
+def test_rules_scan_empty_rules(spark, micro_corpus):
+    from open_source_search_engine_spark.plans.regex import regex_rules_scan
+
+    assert regex_rules_scan(micro_corpus, [], text_col="content").count() == 0
