@@ -725,6 +725,24 @@ GROUP BY t.doc_id HAVING count(*) >= 1 ORDER BY doc_id
 """
 
 
+def q_semantic_decontam(spark, sf_dir):
+    """SEMANTIC train/test decontamination: train vectors within cosine
+    0.3 of ANY eval vector (vec_id % 10 == 0 plays the eval split, the
+    same engine-portable rule as decontam_ngram) -> (vec_id, n_hits,
+    max_cosine).  The eval matrix is broadcast into a nested-loop join
+    against the train scan — the train side is never shuffled; cosines
+    round to 4dp before threshold/max so the oracle replays membership
+    bit-exactly (the pairwise_cosine convention)."""
+    from .operators import decontam
+
+    emb = _t(spark, sf_dir, "embeddings")
+    is_eval = F.col("vec_id") % 10 == 0
+    report = decontam.decontaminate_semantic(
+        emb.where(~is_eval), emb.where(is_eval), "vec_id", "embedding", 0.3
+    )
+    return report.orderBy("vec_id")
+
+
 def _frontier_requests(spark, sf_dir):
     """Deterministic spiderdb-shaped frontier derived from the events
     table (host=ip bucket, priority from event class, synthetic error
@@ -1330,6 +1348,17 @@ SELECT vec_id, cluster_id,
        (vec_id = cluster_id) AS is_canonical
 FROM comp
 ORDER BY cluster_id, vec_id
+"""
+
+# semantic decontamination: l = train split, r = eval split — the same
+# rounded-cosine expression as pairwise_cosine/semantic_dedup, thresholded
+# and max'd AFTER rounding exactly as the Spark plan does
+SQL_SEMANTIC_DECONTAM = f"""
+SELECT l.vec_id AS vec_id, count(*) AS n_hits, max({_COS_SQL}) AS max_cosine
+FROM embeddings l JOIN embeddings r
+  ON (r.vec_id % 10 = 0) AND (l.vec_id % 10 <> 0)
+WHERE {_COS_SQL} >= 0.3
+GROUP BY l.vec_id ORDER BY l.vec_id
 """
 
 
@@ -3132,6 +3161,11 @@ _TAIL = [
     # argument that moved and3 — J1 stays in-window via the batch AND
     # member and every multi-slot entry
     "engine_bm25_and2",
+    # SEMANTIC decontamination (r4-final): the embedding twin of in-window
+    # decontam_ngram — broadcast eval matrix, rounded-cosine membership;
+    # its cosine expression is the in-window semantic_dedup/hybrid_rrf
+    # convention.  CI-certified here every run (test_registry_tail_oracles)
+    "semantic_decontam",
 ]
 
 
@@ -3185,6 +3219,7 @@ def build_registry() -> tuple[
         "dedup_exact": q_dedup_exact,
         "ngram_jaccard": q_ngram_jaccard,
         "decontam_ngram": q_decontam_ngram,
+        "semantic_decontam": q_semantic_decontam,
         "frontier_dole": q_frontier_dole,
         "frontier_quota": q_frontier_quota,
         "fetch_sim": q_fetch_sim,
@@ -3267,6 +3302,8 @@ def build_registry() -> tuple[
         "dedup_exact": SQL_DEDUP_EXACT,
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "decontam_ngram": SQL_DECONTAM_NGRAM,
+        # eval broadcast + rounded-cosine membership, replayed exactly
+        "semantic_decontam": SQL_SEMANTIC_DECONTAM,
         "frontier_dole": SQL_FRONTIER_DOLE,
         "frontier_quota": SQL_FRONTIER_QUOTA,
         "fetch_sim": SQL_FETCH_SIM,
