@@ -106,6 +106,7 @@ EXTRAS = [
     "engine_regex",
     "percolate",
     "regex_rules",
+    "semantic_decontam",
 ]
 
 
