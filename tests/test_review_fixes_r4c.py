@@ -109,14 +109,23 @@ def test_prune_stats_tombstone_overflow_raises(spark, tmp_path, monkeypatch):
         n_shards=1,
         code_aware=False,
     )
-    ids = [r["doc_id"] for r in idx.docstats.read(spark).collect()]
-    delete_docs(spark, idx, ids[:3])
+    # deterministic victims (collect() order is not): delete one doc that
+    # matches "table" (a.py) and two that don't, so the post-delete search
+    # must still find b.py/e.py while honoring a.py's tombstone
+    dead = [
+        r["doc_id"]
+        for r in idx.docstats.read(spark)
+        .filter(F.col("path").isin("a.py", "c.py", "d.py"))
+        .collect()
+    ]
+    assert len(dead) == 3
+    delete_docs(spark, idx, dead)
     monkeypatch.setattr(topk, "MAX_DEAD_INLINE", 2)
     with pytest.raises(ValueError, match="tombstones"):
         search_wand(spark, idx, "table", k=3, with_prune_stats=True)
     # the plain path still answers (exhaustive fallback), tombstones honored
     got = {r["doc_id"] for r in search_wand(spark, idx, "table", k=5, enrich=False).collect()}
-    assert got and not (got & set(ids[:3]))
+    assert got and not (got & set(dead))
 
 
 def test_snippets_phrase_and_custom_doc_id(spark, tmp_path):
