@@ -107,6 +107,7 @@ EXTRAS = [
     "percolate",
     "regex_rules",
     "semantic_decontam",
+    "engine_changelog",
 ]
 
 

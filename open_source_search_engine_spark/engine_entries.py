@@ -809,6 +809,52 @@ def q_engine_incremental(spark, sf_dir):
     return _round_topk(search_wand(spark, idx, "spark join", k=20, enrich=False), 10)
 
 
+def q_engine_changelog(spark, sf_dir):
+    """Snapshot CDC (operators/changelog.py — the Iceberg incremental
+    read, dual of engine_time_travel's AS-OF): live-set changes between
+    two pins, exercised on BOTH real mutation histories the fixtures
+    carry — the removed side diffs the tombstoned variant across its
+    delete commit (pre-pin = HEAD minus the deletes table), the added
+    side diffs the incremental variant across its second add batch
+    (docstats v[0] -> v[-1], the odd-doc_id half).  Both windows are
+    append-only, so both ride the segment-diff fast path; the oracle
+    replays the two mutation rules straight from the raw corpus."""
+    from .operators.changelog import index_changes
+    from .operators.timetravel import index_versions
+
+    tomb = engine_index_tombstoned(spark, sf_dir)
+    v_to = index_versions(tomb)
+    v_from = {k: v for k, v in v_to.items() if k != "deletes"}
+    removed = index_changes(spark, tomb, v_from, v_to)
+
+    incr = engine_index_incremental(spark, sf_dir)
+    hist = incr.docstats.history()
+    added = index_changes(
+        spark, incr, {"docstats": hist[0]}, {"docstats": hist[-1]}
+    )
+
+    return (
+        removed.unionByName(added)
+        .select("doc_id", "repo", "path", "change")
+        .orderBy("change", "doc_id")
+    )
+
+
+def _sql_engine_changelog() -> str:
+    tl = ", ".join(str(i) for i in TOMBSTONED_DOC_IDS)
+    return f"""
+WITH m AS (
+  SELECT doc_id, source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+)
+SELECT doc_id, repo, path, 'added' AS change FROM m WHERE doc_id % 2 = 1
+UNION ALL
+SELECT doc_id, repo, path, 'removed' AS change FROM m WHERE doc_id IN ({tl})
+ORDER BY change, doc_id
+"""
+
+
 def q_engine_boolean(spark, sf_dir):
     """U1 nested boolean over the index: parens + AND/OR/NOT evaluated
     per doc from the postings presence sets (Expression::isTruth)."""
@@ -1403,6 +1449,7 @@ def engine_registry() -> tuple[dict, dict]:
         "engine_query_delete": q_engine_query_delete,
         "engine_compacted": q_engine_compacted,
         "engine_time_travel": q_engine_time_travel,
+        "engine_changelog": q_engine_changelog,
         "engine_incremental": q_engine_incremental,
         "engine_total_hits": q_engine_total_hits,
         "engine_facets": q_engine_facets,
@@ -1458,6 +1505,10 @@ def engine_registry() -> tuple[dict, dict]:
         ),
         # AS-OF the pre-mutation pins == the never-mutated full corpus
         "engine_time_travel": _bm25_engine_oracle(["table"]),
+        # CDC across the fixtures' mutation windows: removed = the tomb
+        # variant's literal delete set, added = the incremental variant's
+        # second batch (odd doc_ids) — both replayed from the raw corpus
+        "engine_changelog": _sql_engine_changelog(),
         "engine_incremental": _bm25_engine_oracle(["spark", "join"]),
         # minor merge is a pure physical rewrite: same oracle as above
         "engine_minor_merge": _bm25_engine_oracle(["spark", "join"]),

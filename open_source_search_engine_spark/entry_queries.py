@@ -2919,7 +2919,15 @@ _WINDOW = [
     # relational operator analogs (unique SURVEY rows)
     "agg_pricing",
     "join_enrich",
-    "semi_join",
+    # late-r4: semi_join moved to the tail — J2 left-semi semantics are
+    # certified in-window by engine_regex (candidate semi-join into the
+    # corpus) and decontam_ngram (broadcast gram semi-join), and the
+    # tail CI test checks the relational twin directly every run.  Its
+    # seat goes to engine_changelog, snapshot CDC (the Iceberg
+    # incremental read over the snapshot log — live-set diff between
+    # pins, segment-diff fast path), a genuinely new capability whose
+    # oracle replays both fixture mutation windows from the raw corpus
+    "engine_changelog",
     # r4: window_top2 moved to the tail — W1 top-2-per-site stays
     # certified in-window by site_cluster (the same window over the serp);
     # its seat goes to the link-rank join, J7 converted from out-of-scope
@@ -3019,6 +3027,10 @@ _WINDOW = [
 ]
 
 _TAIL = [
+    # moved here late-r4 (seat taken by engine_changelog, snapshot CDC):
+    # J2 left-semi stays certified in-window by engine_regex and
+    # decontam_ngram; the relational twin is CI-certified here every run
+    "semi_join",
     # late-r4 moves (seats taken by engine_federated / training_mix):
     # single-term BM25 is the one-slot case of every in-window AND/OR
     # entry; langid's classifier expression is embedded verbatim in
