@@ -137,6 +137,29 @@ def main(argv: list[str] | None = None) -> None:
         help="match docs containing ANY query group instead of ALL",
     )
 
+    vs = sub.add_parser(
+        "versions",
+        help="print the per-table snapshot pins as JSON (capture BEFORE "
+        "a mutation; feed the file to `changes --from` later)",
+    )
+    vs.add_argument("--index", required=True)
+
+    ch = sub.add_parser(
+        "changes",
+        help="snapshot changelog (Iceberg incremental read): docs "
+        "added/removed between a captured pin set and HEAD (or --to)",
+    )
+    ch.add_argument("--index", required=True)
+    ch.add_argument(
+        "--from", dest="from_pins", required=True,
+        help="pins JSON from `versions` — a file path or inline JSON",
+    )
+    ch.add_argument(
+        "--to", dest="to_pins", default=None,
+        help="optional end pins (default: HEAD)",
+    )
+    ch.add_argument("--limit", type=int, default=0)
+
     ml = sub.add_parser(
         "mlt", help="more-like-this: top-k docs similar to --doc-id"
     )
@@ -197,6 +220,47 @@ def main(argv: list[str] | None = None) -> None:
 
         stats = vacuum_index(Index(args.index), keep_last=args.keep_last)
         print(json.dumps({"index": args.index, "expired": stats}))
+        return
+
+    if args.cmd == "versions":
+        from .operators.build import Index
+        from .operators.timetravel import index_versions
+
+        print(json.dumps(index_versions(Index(args.index))))
+        return
+
+    if args.cmd == "changes":
+        import os
+
+        from .operators.build import Index
+        from .operators.changelog import changelog_mode, index_changes
+        from .operators.timetravel import index_versions
+
+        def _pins(arg: str | None) -> dict | None:
+            if arg is None:
+                return None
+            text = open(arg).read() if os.path.exists(arg) else arg
+            pins = json.loads(text)
+            if not isinstance(pins, dict):
+                raise SystemExit(f"pins must be a JSON object, got: {text!r}")
+            return pins
+
+        idx = Index(args.index)
+        vf = _pins(args.from_pins)
+        vt = _pins(args.to_pins) or index_versions(idx)
+        out = index_changes(spark, idx, vf, vt)
+        if args.limit:
+            out = out.limit(args.limit)
+        rows = [json.loads(r) for r in out.toJSON().collect()]
+        print(
+            json.dumps(
+                {
+                    "mode": changelog_mode(idx, vf, vt),
+                    "n_changes": len(rows),
+                    "changes": rows,
+                }
+            )
+        )
         return
 
     if args.cmd == "suggest":

@@ -164,3 +164,34 @@ def test_incremental_added_side_scans_only_new_segments(spark, idx):
         assert not any(f.startswith("file:" + s) or f.startswith(s) for s in old_segs), (
             f"incremental added side read a pre-window segment: {f}"
         )
+
+
+def test_cli_versions_then_changes(spark, idx, tmp_path):
+    """S10 CLI surface: `versions` captures pins, a mutation happens,
+    `changes --from pins.json` reports it with mode + metadata."""
+    import io
+    import json
+    from contextlib import redirect_stdout
+
+    from open_source_search_engine_spark.__main__ import main
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["--cores", "4", "versions", "--index", idx.root])
+    pins_file = tmp_path / "pins.json"
+    pins_file.write_text(buf.getvalue().strip().splitlines()[-1])
+
+    add_documents(spark, idx, spark.createDataFrame(DOC_NEW, SCHEMA), code_aware=False)
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(
+            ["--cores", "4", "changes", "--index", idx.root,
+             "--from", str(pins_file)]
+        )
+    out = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["mode"] == "incremental"
+    assert out["n_changes"] == 1
+    (row,) = out["changes"]
+    assert (row["path"], row["change"]) == ("d.py", "added")
+    assert row["content_sha256"]
