@@ -480,6 +480,7 @@ def connected_components(
     a_col: str = "a",
     b_col: str = "b",
     max_iter: int = 30,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``, where
     component = the minimum node id reachable through the pair graph —
@@ -488,34 +489,68 @@ def connected_components(
     a single stored content hash, J8; transitive near-dup clusters have
     no analog there — this is the LLM-pipeline extension).
 
-    Algorithm: alternating large-star / small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SOCC'14) — the
-    two-operation fixpoint that provably converges in O(log^2 n) rounds
-    even on adversarial shapes (a path graph defeats naive
-    min-propagation at O(diameter)).  Each round is pure DataFrame
-    shuffles (a groupBy-min + a join per star op), never a driver-side
-    graph.  At the fixpoint the edge set is a forest of stars
-    (member -> component-min), which IS the output mapping.  Lineage is
-    truncated per round with localCheckpoint so the plan doesn't grow
-    exponentially.
+    Two physical paths producing the IDENTICAL unique min-label
+    fixpoint (so the choice is invisible to callers and oracles):
+
+    - **distributed** (above ``driver_threshold`` deduped edges):
+      alternating large-star / small-star (Kiveris et al., "Connected
+      Components in MapReduce and Beyond", SOCC'14) — the two-operation
+      fixpoint that provably converges in O(log^2 n) rounds even on
+      adversarial shapes (a path graph defeats naive min-propagation at
+      O(diameter)).  Each round is pure DataFrame shuffles (a
+      groupBy-min + a join per star op), never a driver-side graph;
+      lineage is truncated per round with localCheckpoint.  This is the
+      100-TB path.
+    - **driver union-find** (at or below the threshold): a near-dup
+      pair set that small is driver-scale by definition, and each
+      distributed round costs ~0.5-1 s of pure job dispatch at that
+      size — the hybrid every production CC implementation ships.  Pass
+      ``driver_threshold=0`` to force the distributed rounds.
 
     Determinism: min() labels make the fixpoint unique regardless of
-    iteration count or partitioning.
+    iteration count, partitioning, or which path ran.
     """
     e0 = pairs.select(
         F.col(a_col).cast("long").alias("u"), F.col(b_col).cast("long").alias("v")
     ).filter(F.col("u") != F.col("v"))
-    nodes = (
-        e0.select(F.col("u").alias("node"))
-        .union(e0.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
     # canonical orientation big -> small: (u, v) with u > v
     edges = (
         e0.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()  # checkpoint is materialized: count is free
+    if 0 < n_edges <= driver_threshold:
+        collected = edges.collect()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in collected:
+            u, v = r["u"], r["v"]
+            parent.setdefault(u, u)
+            parent.setdefault(v, v)
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[ru] = rv
+        comp_min: dict[int, int] = {}
+        for x in parent:
+            root = find(x)
+            if x < comp_min.get(root, x + 1):
+                comp_min[root] = x
+        return pairs.sparkSession.createDataFrame(
+            [(x, comp_min[find(x)]) for x in sorted(parent)],
+            "node long, component long",
+        )
+    nodes = (
+        e0.select(F.col("u").alias("node"))
+        .union(e0.select(F.col("v").alias("node")))
         .distinct()
         .localCheckpoint()
     )

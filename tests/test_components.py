@@ -28,7 +28,7 @@ def test_long_chain_converges_logarithmically(spark):
     # a 64-node path is the adversarial case for naive min-propagation
     # (O(diameter)=63 rounds); star contraction must finish in O(log n)
     edges = [(i, i + 1) for i in range(63)]
-    m = _comp_map(connected_components(_pairs(spark, edges), max_iter=12))
+    m = _comp_map(connected_components(_pairs(spark, edges), max_iter=12, driver_threshold=0))
     assert set(m.values()) == {0} and len(m) == 64
 
 
@@ -52,7 +52,9 @@ def test_self_loops_ignored(spark):
 def test_nonconvergence_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(
-            _pairs(spark, [(i, i + 1) for i in range(40)]), max_iter=1
+            _pairs(spark, [(i, i + 1) for i in range(40)]),
+            max_iter=1,
+            driver_threshold=0,
         )
 
 
@@ -62,3 +64,21 @@ def test_dedup_clusters_sheet(spark):
     assert by_doc[1]["is_canonical"] and by_doc[1]["cluster_size"] == 3
     assert not by_doc[3]["is_canonical"] and by_doc[3]["cluster_id"] == 1
     assert by_doc[10]["is_canonical"] and by_doc[10]["cluster_size"] == 2
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The hybrid's contract: both physical paths produce the identical
+    min-label fixpoint on an arbitrary graph (chains, a cycle, cross
+    links, singleton pair, duplicate + reversed edges)."""
+    edges = (
+        [(i, i + 1) for i in range(20)]          # chain
+        + [(100, 101), (101, 102), (102, 100)]   # cycle
+        + [(10, 102), (300, 200)]                # cross link + pair
+        + [(5, 4), (4, 5), (5, 4)]               # dup / reversed
+    )
+    fast = _comp_map(connected_components(_pairs(spark, edges)))
+    slow = _comp_map(
+        connected_components(_pairs(spark, edges), driver_threshold=0)
+    )
+    assert fast == slow
+    assert fast[102] == 0 and fast[300] == 200
