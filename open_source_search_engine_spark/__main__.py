@@ -239,7 +239,12 @@ def main(argv: list[str] | None = None) -> None:
         def _pins(arg: str | None) -> dict | None:
             if arg is None:
                 return None
-            text = open(arg).read() if os.path.exists(arg) else arg
+            if os.path.exists(arg):
+                text = open(arg).read()
+            elif arg.lstrip().startswith("{"):
+                text = arg  # inline JSON
+            else:
+                raise SystemExit(f"pins file not found: {arg}")
             pins = json.loads(text)
             if not isinstance(pins, dict):
                 raise SystemExit(f"pins must be a JSON object, got: {text!r}")
@@ -247,18 +252,17 @@ def main(argv: list[str] | None = None) -> None:
 
         idx = Index(args.index)
         vf = _pins(args.from_pins)
-        vt = _pins(args.to_pins) or index_versions(idx)
+        vt = _pins(args.to_pins)
+        if vt is None:  # an explicit empty {} pin set must NOT mean HEAD
+            vt = index_versions(idx)
+        mode = changelog_mode(idx, vf, vt)
         out = index_changes(spark, idx, vf, vt)
         if args.limit:
             out = out.limit(args.limit)
         rows = [json.loads(r) for r in out.toJSON().collect()]
         print(
             json.dumps(
-                {
-                    "mode": changelog_mode(idx, vf, vt),
-                    "n_changes": len(rows),
-                    "changes": rows,
-                }
+                {"mode": mode, "n_changes": len(rows), "changes": rows}
             )
         )
         return

@@ -152,18 +152,46 @@ def test_from_genesis_everything_is_added(spark, idx):
 
 
 def test_incremental_added_side_scans_only_new_segments(spark, idx):
-    """The Iceberg incremental-read claim: the added side's scan lists
-    ONLY the window's new docstats segments."""
+    """The Iceberg incremental-read claim, asserted on the PHYSICAL
+    plan: the added side's full-schema docstats scan lists ONLY the
+    window's new segments; pre-window segments may appear only as the
+    dup-guard's column-pruned probe (ReadSchema = doc_id alone,
+    broadcast into the LeftAnti join).  inputFiles() alone cannot
+    check this — it unions both scans' files."""
+    import os as _os
+    import re
+
     v0 = index_versions(idx)
     old_segs = set(idx.docstats.at(v0["docstats"]).segments)
     add_documents(spark, idx, spark.createDataFrame(DOC_NEW, SCHEMA), code_aware=False)
+    new_segs = set(idx.docstats.latest().segments) - old_segs
+    assert old_segs and new_segs
+    old_names = {_os.path.basename(s) for s in old_segs}
+    new_names = {_os.path.basename(s) for s in new_segs}
+
     ch = index_changes(spark, idx, v0).filter(F.col("change") == "added")
-    files = set(ch.inputFiles())
-    assert files, "added side should read parquet files"
-    for f in files:
-        assert not any(f.startswith("file:" + s) or f.startswith(s) for s in old_segs), (
-            f"incremental added side read a pre-window segment: {f}"
+    plan = ch._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
         )
+    )
+    scans = [
+        b
+        for b in re.split(r"\n\(\d+\) ", plan)
+        if b.startswith("Scan parquet") and "/docstats/" in b
+    ]
+    assert scans, "plan should contain docstats scans"
+    saw_full_new = False
+    for b in scans:
+        schema = re.search(r"ReadSchema: (\S+)", b).group(1)
+        narrow = schema == "struct<doc_id:bigint>"
+        if any(n in b for n in old_names):
+            assert narrow, f"pre-window segment scanned with {schema}"
+        if any(n in b for n in new_names) and not narrow:
+            saw_full_new = True
+    assert saw_full_new, "no full-schema scan over the new segments found"
+    # and the old full-schema data never rides into the result
+    assert {r["path"] for r in ch.collect()} == {"d.py"}
 
 
 def test_cli_versions_then_changes(spark, idx, tmp_path):
