@@ -68,20 +68,48 @@ def describe_index(spark, index) -> dict:
         row = blocks.agg(
             F.count("*").alias("blocks"),
             F.sum("n_docs").alias("postings"),
+            F.sum("sum_tf").alias("occurrences"),
             F.sum(
                 F.octet_length("doc_ids_enc")
                 + F.octet_length("tfs_enc")
                 + F.octet_length("doclens_enc")
                 + F.octet_length("positions_enc")
             ).alias("bytes_encoded"),
+            F.sum(
+                F.octet_length("doc_ids_enc")
+                + F.octet_length("tfs_enc")
+                + F.octet_length("doclens_enc")
+            ).alias("bytes_core"),
+            F.sum(F.octet_length("positions_enc")).alias("bytes_positions"),
             F.countDistinct("shard").alias("n_shards"),
             F.countDistinct("term_id").alias("n_terms"),
             F.max("n_docs").alias("max_block_docs"),
         ).collect()[0]
         out["postings"] = {k: (int(v) if v is not None else 0) for k, v in row.asDict().items()}
         p = out["postings"]
+        # two densities, two units (mixing them overstates the posting
+        # cost): core = (doc_id gap, tf, doclen) per POSTING — the
+        # "~7 B/posting at 40-bit gaps" claim and the unit of the
+        # reference's 6-12 B prefix-compressed posdb keys; positions are
+        # per-OCCURRENCE payload (cf occurrences, not df postings)
         p["bytes_per_posting"] = (
             round(p["bytes_encoded"] / p["postings"], 2) if p["postings"] else 0.0
+        )
+        p["bytes_per_posting_core"] = (
+            round(p["bytes_core"] / p["postings"], 2) if p["postings"] else 0.0
+        )
+        p["bytes_per_occurrence_positions"] = (
+            round(p["bytes_positions"] / p["occurrences"], 2)
+            if p["occurrences"]
+            else 0.0
+        )
+        # the reference-band unit: posdb stores ONE 18-byte key per
+        # occurrence (prefix-compressed to 6-12 B), so total encoded
+        # bytes / occurrences is the number comparable to that band
+        p["bytes_per_occurrence_total"] = (
+            round(p["bytes_encoded"] / p["occurrences"], 2)
+            if p["occurrences"]
+            else 0.0
         )
     cs = index.collstats.read(spark)
     if cs is not None:
