@@ -49,9 +49,6 @@ from ..functions.tokenize import (
 )
 from ..sources.tables import SnapshotTable
 
-K1 = 1.2
-B = 0.75
-
 BLOCK_SCHEMA = (
     "term_id long, salt int, n_salts int, block_id int, n_docs int, sum_tf long, "
     "min_doc_id long, "

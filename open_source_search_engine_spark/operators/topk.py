@@ -39,10 +39,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import codec
+from ..functions.bm25 import K1, B, py_idf
 from .build import Index, docmeta_cached
-
-K1 = 1.2
-B = 0.75
 
 # tombstone count above which search_wand stops shipping the dead set
 # inside qmeta and falls back to the exhaustive plan's anti-join
@@ -129,16 +127,16 @@ def _wand_kernel(
             widf[t] = max(widf.get(t, 0.0), w)
 
     # per-block impact bound and weighted upper bound (0 for
-    # negative-only terms: never candidates)
-    imp_block = np.array(
-        [
-            _impact(float(mt), float(md), avgdl)
-            for mt, md in zip(max_tf.tolist(), min_dl.tolist())
-        ]
+    # negative-only terms: never candidates) — vectorized: in batch mode
+    # the kernel reruns per query over the UNION of all queries' blocks,
+    # so per-row Python here multiplies across the whole batch
+    imp_block = _impact(
+        max_tf.astype(np.float64), min_dl.astype(np.float64), avgdl
     )
-    ub_block = (
-        np.array([widf.get(t, 0.0) for t in term_ids.tolist()]) * imp_block
-    )
+    wt_block = np.zeros(len(term_ids))
+    for t, w in widf.items():
+        wt_block[term_ids == t] = w
+    ub_block = wt_block * imp_block
     # slot upper bounds over this shard, each with the SLOT'S OWN member
     # weights; a slot with no member present here kills the AND for the
     # whole shard
@@ -196,46 +194,58 @@ def _wand_kernel(
     skipped_blocks = 0
     results: dict[int, float] = {}
 
-    def probe(
-        t: int, cd: np.ndarray, cu: np.ndarray
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """(tf, doclen, present) of candidates in term t's salt sub-lists:
-        the sub-list holding a doc is pmod(doc, n_salts) — computed, not
-        searched — then the candidate's block is found via the stored
-        range metadata and decoded lazily.  doclen comes from the probed
-        termlist's own stored values (anchor:/num: lists carry 0)."""
-        nonlocal other_decodes
+    def _route(t: int, cd: np.ndarray, cu: np.ndarray, mask=None):
+        """Route candidates to term t's block rows — the ONE copy of the
+        salt-computation + range-metadata lookup both probes share:
+        sub-list = pmod(doc, n_salts) (computed, not searched), block =
+        searchsorted on the sorted [min_doc, max_doc] ranges.  Yields
+        (block_row, global_candidate_idx, shifted_doc_ids) per block
+        holding >=1 candidate (restricted to mask-true candidates)."""
         ns = n_salts.get(t, 1)
-        tf_t = np.zeros(len(cd), dtype=np.float64)
-        dl_t = np.zeros(len(cd), dtype=np.float64)
-        present = np.zeros(len(cd), dtype=bool)
         salt_of = np.mod(cd, ns)  # numpy mod is non-negative for ns>0
-        for s in np.unique(salt_of).tolist():
-            m = salt_of == s
+        base = (
+            mask if mask is not None else np.ones(len(cd), dtype=bool)
+        )
+        for s in np.unique(salt_of[base]).tolist():
+            m = base & (salt_of == s)
             meta = probe_blocks.get((t, int(s)))
             if meta is None:
                 continue
             lo, hi, rows = meta
-            cu_m = cu[m]
+            midx = np.flatnonzero(m)
+            cu_m = cu[midx]
             bpos = np.searchsorted(lo, cu_m, side="right") - 1
-            valid = (bpos >= 0) & (cu_m <= hi[np.clip(bpos, 0, len(hi) - 1)])
+            valid = (bpos >= 0) & (
+                cu_m <= hi[np.clip(bpos, 0, len(hi) - 1)]
+            )
             if not valid.any():
                 continue
-            midx = np.flatnonzero(m)
             for b in np.unique(bpos[valid]).tolist():
-                row = int(rows[b])
-                was_new = row not in decoded
-                d_arr, t_arr, l_arr = decode_row(row)
-                if was_new:
-                    other_decodes += 1
                 sel = valid & (bpos == b)
-                pos = np.searchsorted(d_arr, cu_m[sel])
-                pos_c = np.clip(pos, 0, len(d_arr) - 1)
-                found = d_arr[pos_c] == cu_m[sel]
-                idxs = midx[sel][found]
-                present[idxs] = True
-                tf_t[idxs] = t_arr[pos_c[found]]
-                dl_t[idxs] = l_arr[pos_c[found]]
+                yield int(rows[b]), midx[sel], cu_m[sel]
+
+    def probe(
+        t: int, cd: np.ndarray, cu: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(tf, doclen, present) of candidates in term t's salt sub-lists
+        (routing via ``_route``); decoded lazily.  doclen comes from the
+        probed termlist's own stored values (anchor:/num: lists carry 0)."""
+        nonlocal other_decodes
+        tf_t = np.zeros(len(cd), dtype=np.float64)
+        dl_t = np.zeros(len(cd), dtype=np.float64)
+        present = np.zeros(len(cd), dtype=bool)
+        for row, gidx, cvals in _route(t, cd, cu):
+            was_new = row not in decoded
+            d_arr, t_arr, l_arr = decode_row(row)
+            if was_new:
+                other_decodes += 1
+            pos = np.searchsorted(d_arr, cvals)
+            pos_c = np.clip(pos, 0, len(d_arr) - 1)
+            found = d_arr[pos_c] == cvals
+            idxs = gidx[found]
+            present[idxs] = True
+            tf_t[idxs] = t_arr[pos_c[found]]
+            dl_t[idxs] = l_arr[pos_c[found]]
         return tf_t, dl_t, present
 
     # lazy per-block POSITION decode (phrase mode only): pair termlists
@@ -259,34 +269,15 @@ def _wand_kernel(
 
     def probe_positions(t: int, cd: np.ndarray, cu: np.ndarray, mask: np.ndarray):
         """Per-candidate position arrays of term t (None where absent),
-        computed only for mask-true candidates — same salt routing +
-        range-metadata block lookup as ``probe``."""
+        computed only for mask-true candidates (routing via ``_route``)."""
         out: list = [None] * len(cd)
-        ns = n_salts.get(t, 1)
-        salt_of = np.mod(cd, ns)
-        for s in np.unique(salt_of[mask]).tolist():
-            m = mask & (salt_of == s)
-            meta = probe_blocks.get((t, int(s)))
-            if meta is None:
-                continue
-            lo, hi, rows = meta
-            midx = np.flatnonzero(m)
-            cu_m = cu[midx]
-            bpos = np.searchsorted(lo, cu_m, side="right") - 1
-            valid = (bpos >= 0) & (cu_m <= hi[np.clip(bpos, 0, len(hi) - 1)])
-            if not valid.any():
-                continue
-            for b in np.unique(bpos[valid]).tolist():
-                row = int(rows[b])
-                d_u, pos, bounds, ends = decode_row_pos(row)
-                sel = valid & (bpos == b)
-                p = np.searchsorted(d_u, cu_m[sel])
-                pc = np.clip(p, 0, len(d_u) - 1)
-                found = d_u[pc] == cu_m[sel]
-                for gi, pi in zip(
-                    midx[sel][found].tolist(), pc[found].tolist()
-                ):
-                    out[gi] = pos[bounds[pi] : ends[pi]]
+        for row, gidx, cvals in _route(t, cd, cu, mask):
+            d_u, pos, bounds, ends = decode_row_pos(row)
+            p = np.searchsorted(d_u, cvals)
+            pc = np.clip(p, 0, len(d_u) - 1)
+            found = d_u[pc] == cvals
+            for gi, pi in zip(gidx[found].tolist(), pc[found].tolist()):
+                out[gi] = pos[bounds[pi] : ends[pi]]
         return out
 
     def verify_phrases(cd: np.ndarray, cu: np.ndarray, alive: np.ndarray) -> None:
@@ -509,7 +500,8 @@ def _scan_blocks(
     # bloom-sidecar segment pruning (functions/bloom.py): only the
     # segments that may contain a queried term are listed/scanned
     base = index.postings.read_pruned(spark, list(word_ids) + list(pair_ids))
-    word_ids = [t for t in word_ids if t not in set(pair_ids)]
+    _pair_set = set(pair_ids)
+    word_ids = [t for t in word_ids if t not in _pair_set]
     scan = base.filter(F.col("term_id").isin(word_ids)).drop("positions_enc")
     if not pair_ids:
         return scan
@@ -564,6 +556,10 @@ def search_wand(
     from ..plans.exec import search as _exhaustive_search
     from ..plans.query import parse_query
 
+    if k <= 0:
+        # the kernel's heap threshold would index an empty heap; the
+        # exhaustive plan answers k<=0 with an empty frame — match it
+        return _empty_result(spark, enrich, with_prune_stats)
     plan = parse_query(query) if isinstance(query, str) else query
     if synonyms:
         from ..functions.synonyms import expand_plan
@@ -754,16 +750,19 @@ def _build_slots(plan, stats, n_docs):
     phrase_chains: list[list[int]] = []
 
     def idf(df_: int) -> float:
-        return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+        return py_idf(df_, n_docs)
 
     for g in plan.groups:
         if len(g.members) == 1 and len(g.members[0].phrase) > 1:
             toks, pairs = _phrase_terms(g.members[0])
             if any(t not in stats for t in toks + pairs):
                 return None
+            # a user weight on the quoted phrase ('"a b"^W') scales every
+            # member token's idf — same place single-term weights apply
+            pw = getattr(g.members[0], "weight", 1.0)
             for t in toks:
                 st = stats[t]
-                slots.append({st[0]: idf(st[1])})
+                slots.append({st[0]: pw * idf(st[1])})
                 slot_dfs.append(st[1])
             chain = []
             for b in pairs:
@@ -831,6 +830,11 @@ def search_wand_batch(
     qlabels = [q if isinstance(q, str) else str(q) for q in queries]
     if not plans:
         raise ValueError("empty query batch")
+    if k <= 0:  # same contract as search_wand: empty frame, full schema
+        schema = "query string, doc_id long, score double"
+        if enrich:
+            schema += ", repo string, path string, lang string"
+        return spark.createDataFrame([], schema)
     for p in plans:
         if not p.groups:
             raise ValueError("query has no positive terms")
@@ -940,7 +944,9 @@ def search_wand_batch(
         "score",
     )
     if not enrich:
-        return labeled
+        # same deterministic ordering contract as the enrich branch and
+        # search_wand (callers read ranks / cursors off row order)
+        return labeled.orderBy("query", F.desc("score"), F.asc("doc_id"))
     docmeta = docmeta_cached(spark, index)
     return (
         F.broadcast(labeled)

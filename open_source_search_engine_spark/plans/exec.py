@@ -27,8 +27,7 @@ from pyspark.sql import functions as F
 from ..operators.build import Index, decode_blocks, docmeta_cached
 from .query import QueryPlan, parse_query
 
-K1 = 1.2
-B = 0.75
+from ..functions.bm25 import K1, B, py_idf
 
 
 def idf_col(df_: Column, n_docs: Column) -> Column:
@@ -141,8 +140,11 @@ def search(
     for g in plan.groups:
         if len(g.members) == 1 and g.members[0].phrase:
             toks = g.members[0].phrase
+            # '"a b"^W' scales every member token's idf (parity with the
+            # WAND kernel's _build_slots phrase branch)
+            pw = float(getattr(g.members[0], "weight", 1.0))
             for seq, t in enumerate(toks):
-                member_rows.append((t, slot + seq, phrase_id, seq, 1.0))
+                member_rows.append((t, slot + seq, phrase_id, seq, pw))
             phrase_specs.append((phrase_id, len(toks)))
             phrase_toks[phrase_id] = toks
             slot += len(toks)
@@ -562,10 +564,8 @@ def cached_result(
     return spark.createDataFrame(pdf, schema)
 
 
-def _py_idf(df_: int, n_docs: float) -> float:
-    import math
-
-    return math.log(1.0 + (n_docs - df_ + 0.5) / (df_ + 0.5))
+# single copy in functions/bm25.py; alias kept for existing importers
+_py_idf = py_idf
 
 
 # -- per-snapshot driver-side stat caches (Msg2's termlist-cache analog):
