@@ -587,7 +587,7 @@ def search_wand(
         )
     has_phrase = any(
         len(m.phrase) > 1 for g in plan.groups for m in g.members
-    )
+    ) or any(len(t.phrase) > 1 for t in plan.negatives)
     if has_phrase and not index.features().get("bigrams", False):
         # no pair termlists in this index: the general plan's positional
         # scan over member termlists is the only exact path
@@ -775,6 +775,13 @@ def _build_slots(plan, stats, n_docs):
         slot: dict[int, float] = {}
         df_sum = 0
         for m in g.members:
+            if len(getattr(m, "phrase", ()) or ()) > 2:
+                # a 3+-token phrase has no single stored termlist; its
+                # 'a b c' text would silently read as an absent term
+                raise NotImplementedError(
+                    "3+-token phrases inside OR groups are not supported; "
+                    "quote the phrase as its own group"
+                )
             st = stats.get(m.text)
             if st is None:
                 continue
@@ -841,7 +848,7 @@ def search_wand_batch(
 
     has_phrase = any(
         len(m.phrase) > 1 for p in plans for g in p.groups for m in g.members
-    )
+    ) or any(len(t.phrase) > 1 for p in plans for t in p.negatives)
     dead = deleted_doc_ids(spark, index)
     if (
         len(dead) > MAX_DEAD_INLINE

@@ -30,19 +30,11 @@ from .query import QueryPlan, parse_query
 from ..functions.bm25 import K1, B, py_idf
 
 
-def idf_col(df_: Column, n_docs: Column) -> Column:
-    return F.log(F.lit(1.0) + (n_docs - df_ + F.lit(0.5)) / (df_ + F.lit(0.5)))
-
-
 def impact_col(tf: Column, doclen: Column, avgdl: Column) -> Column:
     """tf-saturation * length-normalization factor of BM25 (idf excluded)."""
     return (tf * F.lit(K1 + 1.0)) / (
         tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * doclen / avgdl)
     )
-
-
-def bm25_contrib(tf: Column, doclen: Column, df_: Column, n_docs: Column, avgdl: Column) -> Column:
-    return idf_col(df_, n_docs) * impact_col(tf, doclen, avgdl)
 
 
 def search(
@@ -128,6 +120,30 @@ def search(
             ),
         )
 
+    if k <= 0:
+        # limit(-1) is an AnalysisException; k<=0 means an empty page on
+        # both query paths (search_wand guards identically)
+        return _empty_result(spark, enrich)
+
+    # phrase members OUTSIDE their own singleton group (inside a
+    # multi-member OR, or negated) can only be honored via a stored
+    # adjacent-pair termlist: exactly 2 tokens on a bigram index.
+    # Anything else must refuse loudly — treating the phrase as an
+    # ordinary (never-indexed) 'a b' text term silently drops the
+    # adjacency the user asked for (or no-ops the negation).
+    has_bigrams = index.features().get("bigrams", False)
+    for m in [m for g in plan.groups if len(g.members) > 1 for m in g.members] + list(
+        plan.negatives
+    ):
+        ph = getattr(m, "phrase", ()) or ()
+        if len(ph) > 2 or (len(ph) == 2 and not has_bigrams):
+            raise NotImplementedError(
+                "phrase members inside OR groups and negated phrases are "
+                "supported only as 2-token adjacent pairs on a "
+                "bigram-terms index; got "
+                f"{' '.join(ph)!r} (bigrams={bool(has_bigrams)})"
+            )
+
     # term table: slot id per AND-group, member terms OR'd within a slot.
     # Phrase members are expanded to ordinary AND slots + a positional
     # adjacency filter (J4) applied before aggregation.
@@ -202,8 +218,8 @@ def search(
     ]
     # phrase adjacency rides a dedicated Arrow pass over encoded bytes;
     # only the proximity re-rank consumes decoded position arrays (over
-    # the tiny candidate set)
-    need_positions = proximity_bonus > 0
+    # the tiny candidate set, in its own second scan — scoring NEVER
+    # reads the positions column from parquet)
     qterms = spark.createDataFrame(
         qt_rows, "term_id long, slot int, phrase_id int, seq int, idf double"
     )
@@ -211,19 +227,11 @@ def search(
     pos_ids = [df_by_term[t][0] for (t, _s, _p, _q, _w) in present_members]
     # bloom-sidecar segment pruning: skip segments containing no query term
     blocks = index.postings.read_pruned(spark, pos_ids)
-    if need_positions:
-        # proximity re-rank needs decoded position arrays
-        cand = decode_blocks(
-            blocks.filter(F.col("term_id").isin(pos_ids)), with_positions=True
-        ).join(F.broadcast(qterms), "term_id")
-    else:
-        # vectorized Arrow decode WITHOUT positions: the scoring path
-        # never reads the positions column from parquet at all
-        from ..operators.merge import decode_to_postings
+    from ..operators.merge import decode_to_postings
 
-        cand = decode_to_postings(
-            blocks.filter(F.col("term_id").isin(pos_ids)), with_positions=False
-        ).join(F.broadcast(qterms), "term_id")
+    cand = decode_to_postings(
+        blocks.filter(F.col("term_id").isin(pos_ids)), with_positions=False
+    ).join(F.broadcast(qterms), "term_id")
 
     cand = cand.withColumn(
         "contrib",
@@ -381,14 +389,16 @@ def search(
         )
 
     if proximity_bonus > 0 and len(required_slots) > 1:
-        # the re-rank reads cand a second time (position explode for the
-        # top candidates); persist so the pruned scan + position decode
-        # pipeline is not re-executed inside the same job
-        from pyspark import StorageLevel
-
-        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+        # two-phase W4: scoring above never touched positions; the
+        # re-rank builds its OWN position-bearing scan over the same
+        # pruned termlists, consumed once (no persist to leak) and only
+        # when a multi-slot re-rank actually runs
+        pos_src = decode_blocks(
+            blocks.filter(F.col("term_id").isin(pos_ids)),
+            with_positions=True,
+        ).join(F.broadcast(qterms.select("term_id", "slot").distinct()), "term_id")
         scored = _proximity_rerank(
-            scored, cand, len(required_slots), proximity_bonus, k
+            scored, pos_src, len(required_slots), proximity_bonus, k
         )
 
     if after is not None:
@@ -486,10 +496,17 @@ def _proximity_rerank(
     spans = posx.groupBy("doc_id").applyInPandas(
         minspan_fn, "doc_id long, minspan long"
     )
-    bonus = F.lit(1.0) + F.lit(float(w)) / (
+    # denominator clamped to >= 1: when a term occurs standalone AND
+    # inside a quoted phrase, slots can share positions and minspan drops
+    # below n_slots-1 — unclamped that divides by zero (NULL score, doc
+    # sorts last) or negative (bonus becomes a penalty).  For disjoint
+    # slots minspan >= n_slots-1 and the clamp is the identity, so every
+    # oracle-certified score is unchanged.
+    bonus = F.lit(1.0) + F.lit(float(w)) / F.greatest(
+        F.lit(1.0),
         F.lit(1.0)
         + F.coalesce(F.col("minspan"), F.lit(1_000_000)).cast("double")
-        - F.lit(float(n_slots - 1))
+        - F.lit(float(n_slots - 1)),
     )
     return (
         base.join(spans, "doc_id", "left")
@@ -643,7 +660,13 @@ def _stats_cached(
                 df = df.unionByName(p)
             for r in df.collect():
                 if r["kind"] == "c":
-                    _COLL_CACHE[ckey] = (float(r["v2"]), float(r["v3"]))
+                    # an empty-but-finalized index stores n_docs=0 with a
+                    # NULL avgdl (avg over no rows) — stats are (0, 0),
+                    # not a float(None) TypeError
+                    _COLL_CACHE[ckey] = (
+                        float(r["v2"] or 0.0),
+                        float(r["v3"] or 0.0),
+                    )
                 else:
                     cache[r["term"]] = (int(r["v1"]), int(r["v2"]), int(r["v3"]))
         for t in missing:  # negative-cache absent terms
@@ -652,11 +675,6 @@ def _stats_cached(
     return n_docs, avgdl, {
         t: cache[t] for t in terms if cache.get(t, (0, 0, 0))[1] > 0
     }
-
-
-def _collstats_cached(spark: SparkSession, index: Index) -> tuple[float, float]:
-    n_docs, avgdl, _ = _stats_cached(spark, index, [])
-    return n_docs, avgdl
 
 
 def _termstats_cached(

@@ -54,7 +54,10 @@ class QueryPlan:
         return out
 
 
-_TOKEN_RE = re.compile(r'"[^"]*"|\S+')
+# a quoted phrase may carry a leading '-' (negated phrase: -"a b");
+# without the -? the unit tokenized as -"a  +  b" — a negated first
+# token plus a stray positive, silently inverting the user's intent
+_TOKEN_RE = re.compile(r'-?"[^"]*"|\S+')
 
 
 def plan_key(plan: QueryPlan) -> tuple:

@@ -75,3 +75,96 @@ def test_batch_nonenrich_ordering_is_deterministic(spark, widx):
     ).collect()
     keys = [(r["query"], -r["score"], r["doc_id"]) for r in rows]
     assert keys == sorted(keys), "batch non-enrich output must be ordered"
+
+
+def test_proximity_overlapping_slots_no_null_score(spark, widx):
+    """'table "table scan"' makes slot positions overlap: minspan <
+    n_slots-1, which un-clamped divides by zero (NULL score, doc sorts
+    last) — the clamp keeps every score finite and positive."""
+    rows = search(
+        spark, widx, 'table "table scan"', k=5, proximity_bonus=0.5
+    ).collect()
+    assert rows, "query should match"
+    for r in rows:
+        assert r["score"] is not None and r["score"] > 0
+
+
+def test_phrase_in_or_group_requires_pair_support(spark, widx, tmp_path):
+    # 2-token phrase member inside an OR group works on a bigram index
+    # (adjacency via the pair termlist)...
+    got = {
+        r["doc_id"]
+        for r in search(spark, widx, 'scan "lookup table" OR missingzz', k=10).collect()
+    }
+    pair = {
+        r["doc_id"]
+        for r in search(spark, widx, 'scan "lookup table"', k=10).collect()
+    }
+    assert got == pair
+    # ...3+-token phrases in OR groups refuse loudly on both paths
+    with pytest.raises(NotImplementedError):
+        search(spark, widx, '"fast lookup table" OR scan', k=5)
+    with pytest.raises(NotImplementedError):
+        search_wand(spark, widx, '"fast lookup table" OR scan', k=5)
+    # ...and a bigram-less index refuses the 2-token case instead of
+    # silently dropping the member
+    nobi = build_index(
+        spark,
+        spark.createDataFrame(DOCS, SCHEMA),
+        str(tmp_path / "nobi"),
+        n_shards=1,
+        code_aware=False,
+        block_size=4,
+    )
+    with pytest.raises(NotImplementedError):
+        search(spark, nobi, 'scan "lookup table" OR words', k=5)
+
+
+def test_negated_phrase_honored_or_refused(spark, widx, tmp_path):
+    # on a bigram index, '-"lookup table"' excludes exactly the
+    # adjacency matches (d.py has 'lookup table' adjacent; e.py has both
+    # words but not adjacent)
+    base = {
+        r["doc_id"]: r["path"]
+        for r in search_wand(spark, widx, "scan", k=10).collect()
+    }
+    neg = {
+        r["path"]
+        for r in search_wand(spark, widx, 'scan -"lookup table"', k=10).collect()
+    }
+    assert "e.py" in neg and "d.py" not in neg and "c.py" not in neg
+    # exhaustive path agrees
+    neg_x = {
+        r["path"]
+        for r in search(spark, widx, 'scan -"lookup table"', k=10).collect()
+    }
+    assert neg_x == neg
+    # a bigram-less index cannot honor it -> refuse, don't no-op
+    nobi = build_index(
+        spark,
+        spark.createDataFrame(DOCS, SCHEMA),
+        str(tmp_path / "nobi2"),
+        n_shards=1,
+        code_aware=False,
+        block_size=4,
+    )
+    with pytest.raises(NotImplementedError):
+        search(spark, nobi, 'scan -"lookup table"', k=5)
+    with pytest.raises(NotImplementedError):
+        search_wand(spark, nobi, 'scan -"lookup table"', k=5)
+
+
+def test_empty_corpus_index_returns_empty_not_typeerror(spark, tmp_path):
+    idx = build_index(
+        spark,
+        spark.createDataFrame([], SCHEMA),
+        str(tmp_path / "empty"),
+        n_shards=1,
+        code_aware=False,
+    )
+    assert search(spark, idx, "anything", k=5).count() == 0
+
+
+def test_negative_k_matches_zero_k(spark, widx):
+    assert search(spark, widx, "table", k=-1).count() == 0
+    assert search_wand(spark, widx, "table", k=-1, enrich=False).count() == 0

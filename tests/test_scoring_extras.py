@@ -78,7 +78,9 @@ def test_proximity_bonus_matches_python_oracle(spark, micro_index):
     expect = {}
     for p, s in base.items():
         span = _minspan_py(MICRO[p][1], terms)
-        expect[p] = s * (1.0 + w / (1.0 + span - (len(terms) - 1)))
+        # denominator clamped >= 1 like the plan (identity for disjoint
+        # slots; guards the overlapping-slot zero/negative case)
+        expect[p] = s * (1.0 + w / max(1.0, 1.0 + span - (len(terms) - 1)))
     got = search(
         spark, micro_index, "binary tree", k=10, proximity_bonus=w
     ).collect()
