@@ -42,11 +42,7 @@ from pyspark.sql import functions as F
 
 from ..functions import codec
 from ..functions.hashing import content_sha256, doc_id_col, term_hash_py
-from ..functions.tokenize import (
-    tokenize_code,
-    tokenize_simple,
-    tokenize_to_postings,
-)
+from ..functions.tokenize import tokenize_to_postings
 from ..sources.tables import SnapshotTable
 
 BLOCK_SCHEMA = (
@@ -164,7 +160,15 @@ def docmeta_cached(spark: SparkSession, index: Index) -> DataFrame:
                 _DOCMETA_CACHE.pop(stale).unpersist()
             except Exception:
                 pass
-        base = index.docstats.read(spark)
+        # read the SAME version the key was computed from — a commit
+        # racing between latest() and read() would otherwise cache the
+        # newer snapshot's rows under the older version's key (and an
+        # AS-OF view pinned at that version would then serve them)
+        base = (
+            index.docstats.read(spark, version=snap.version)
+            if snap is not None
+            else None
+        )
         if base is None:
             raise RuntimeError(
                 f"docstats snapshot absent under {index.root!r} — build the "
@@ -195,19 +199,6 @@ def derive_ids(docs: DataFrame) -> DataFrame:
             "doc_id", doc_id_col(F.col("repo"), F.col("path"), F.col("commit"))
         )
     return docs.withColumn("content_sha256", content_sha256(F.col("content")))
-
-
-def tokenize_docs(ids: DataFrame, code_aware: bool = True) -> DataFrame:
-    """+ tokens, doclen — the expensive pandas-UDF stage, run per shard."""
-    tok = tokenize_code if code_aware else tokenize_simple
-    return ids.withColumn("tokens", tok(F.col("content"))).withColumn(
-        "doclen", F.size("tokens")
-    )
-
-
-def derive_docs(docs: DataFrame, code_aware: bool = True) -> DataFrame:
-    """documents -> + doc_id, content_sha256, tokens, doclen."""
-    return tokenize_docs(derive_ids(docs), code_aware=code_aware)
 
 
 _BLOCK_COLS = [
@@ -273,6 +264,21 @@ def _encode_sorted_postings(
 
     # ---- doc ids: shifted-uint64 deltas, reset to absolute per block ----
     u = doc_ids.astype(np.uint64) + np.uint64(1 << 63)
+    # sorted-run invariant: within a (term, salt[, shard]) group doc ids
+    # must be STRICTLY ascending.  A duplicate (term, doc) — e.g.
+    # extra_postings colliding with a term the doc's own content produced
+    # — would double-count df and break per-doc probes; fail the build
+    # loudly instead of writing a corrupt block.
+    if nd > 1:
+        dup = (~change[1:]) & (u[1:] == u[:-1])
+        if dup.any():
+            i = int(np.flatnonzero(dup)[0]) + 1
+            raise ValueError(
+                "duplicate (term_id, doc_id) posting in encode input: "
+                f"term_id={int(term_ids[i])} doc_id={int(doc_ids[i])} — "
+                "injected extra_postings must use terms the document's "
+                "own content never produces (prefix them, e.g. 'anchor:')"
+            )
     ddelta = np.empty(nd, dtype=np.uint64)
     ddelta[0] = u[0]
     np.subtract(u[1:], u[:-1], out=ddelta[1:])
@@ -537,6 +543,12 @@ def build_index(
     """
     idx = Index(index_root)
     run_id = run_id or uuid.uuid4().hex[:12]
+    if extra_postings is not None and not extra_label:
+        raise ValueError(
+            "extra_postings requires a non-empty extra_label: the label is "
+            "what lets a resume verify the same injected posting source "
+            "(an empty label makes that guard vacuous)"
+        )
     done = _completed_shards(spark, idx)
 
     # Guard against appending a second full build into a non-empty root:
@@ -555,11 +567,23 @@ def build_index(
                 "fresh root"
             )
         if not any(ns == n_shards for _s, ns in done):
-            raise ValueError(
-                f"index root {index_root} has postings from a different "
-                f"build configuration (no completed shards for n_shards="
-                f"{n_shards}); start a fresh root"
-            )
+            # no checkpoint landed — resumable iff every tagged commit in
+            # the postings history belongs to THIS sharding (the crash
+            # window before the FIRST checkpoint); the orphan cleanup
+            # below then removes the half-done commits before re-running
+            metas = [
+                (idx.postings.at(v).meta or {})
+                for v in idx.postings.history()
+            ]
+            tagged = [m for m in metas if "n_shards" in m]
+            if not (
+                tagged and all(m.get("n_shards") == n_shards for m in tagged)
+            ):
+                raise ValueError(
+                    f"index root {index_root} has postings from a different "
+                    f"build configuration (no completed shards for n_shards="
+                    f"{n_shards}); start a fresh root"
+                )
         if idx.features().get("bigrams", False) != bigram_terms:
             raise ValueError(
                 f"index root {index_root} was built with bigram_terms="
@@ -639,9 +663,17 @@ def build_index(
         # alongside the doc's real doclen, and distinct would emit both rows
         # (duplicating the doc in docstats)
         doclens = posts.groupBy("doc_id").agg(F.max("doclen").alias("doclen"))
-        docstats = d.select(
-            "doc_id", "repo", "path", "commit", "lang", "content_sha256"
-        ).join(doclens, "doc_id")
+        # LEFT join: a doc producing zero postings (empty content with
+        # field_terms=False) must still exist in docstats — dropping it
+        # would skew n_docs/avgdl vs the true corpus and lose its
+        # content_sha256 row (the north-rule per-row invariant)
+        docstats = (
+            d.select(
+                "doc_id", "repo", "path", "commit", "lang", "content_sha256"
+            )
+            .join(doclens, "doc_id", "left")
+            .withColumn("doclen", F.coalesce(F.col("doclen"), F.lit(0)).cast("int"))
+        )
         ds_seg = idx.docstats.write_segment(docstats, label=f"shard{shard}")
         # persist encoded blocks: repartitionByRange's boundary-sampling
         # pass would otherwise run the whole encode twice
@@ -676,11 +708,17 @@ def build_index(
         # and the checkpoint leaves identifiable orphans: resume removes
         # them before re-running the shard (see _drop_orphan_shard_commits)
         tag = {"shard": shard, "n_shards": n_shards, "run_id": run_id}
-        idx.docstats.commit(add=[ds_seg], meta=tag)
-        idx.termdict.commit(add=[td_seg], meta=tag)
-        idx.postings.commit(add=[po_seg], meta=tag)
-        idx.termstats_partial.commit(add=[tsp_seg], meta=tag)
-        _checkpoint(spark, idx, run_id, shard, n_shards, time.time() - t0)
+        snaps = {
+            "docstats": idx.docstats.commit(add=[ds_seg], meta=tag),
+            "termdict": idx.termdict.commit(add=[td_seg], meta=tag),
+            "postings": idx.postings.commit(add=[po_seg], meta=tag),
+            "termstats_partial": idx.termstats_partial.commit(
+                add=[tsp_seg], meta=tag
+            ),
+        }
+        _checkpoint(
+            spark, idx, run_id, shard, n_shards, time.time() - t0, snaps
+        )
 
     todo = [s for s in range(n_shards) if not (resume and (s, n_shards) in done)]
     if resume and existing is not None and existing.segments:
@@ -772,10 +810,20 @@ def _drop_orphan_shard_commits(idx: Index, shard: int, n_shards: int) -> None:
         live = set(latest.segments)
         orphans: list[str] = []
         prev: set[str] = set()
+        first = True
         for v in t.history():
             snap = t.at(v)
             cur = set(snap.segments)
             m = snap.meta or {}
+            if first and v != 0:
+                # expire_snapshots removed earlier manifests: cur - prev
+                # would attribute EVERY surviving segment (other shards'
+                # included) to this commit — only later diffs are
+                # trustworthy, so the earliest survivor is baseline only
+                prev = cur
+                first = False
+                continue
+            first = False
             if m.get("shard") == shard and m.get("n_shards") == n_shards:
                 orphans.extend(cur - prev)
             prev = cur
@@ -797,7 +845,13 @@ def _completed_shards(spark: SparkSession, idx: Index) -> set[tuple[int, int]]:
 
 
 def _checkpoint(
-    spark: SparkSession, idx: Index, run_id: str, shard: int, n_shards: int, secs: float
+    spark: SparkSession,
+    idx: Index,
+    run_id: str,
+    shard: int,
+    n_shards: int,
+    secs: float,
+    snaps: dict | None = None,
 ) -> None:
     # rows_out carries n_shards so a resume with a different shard count
     # never wrongly skips (lineage of the partitioning itself).
@@ -830,8 +884,9 @@ def _checkpoint(
     # lineage; Repair.cpp's rebuild bookkeeping analog)
     rows = []
     for tname in ("postings", "docstats", "termdict", "termstats_partial"):
-        t = getattr(idx, tname)
-        snap = t.latest()
+        # the snapshot THIS shard's commit produced — under parallel
+        # shards, latest() may already be a sibling's later commit
+        snap = (snaps or {}).get(tname) or getattr(idx, tname).latest()
         rows.append(
             {
                 "run_id": run_id,

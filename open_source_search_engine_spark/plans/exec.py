@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.build import Index, decode_blocks, docmeta_cached
+from ..operators.build import Index, docmeta_cached
 from .query import QueryPlan, parse_query
 
 from ..functions.bm25 import K1, B, py_idf
@@ -393,7 +393,7 @@ def search(
         # re-rank builds its OWN position-bearing scan over the same
         # pruned termlists, consumed once (no persist to leak) and only
         # when a multi-slot re-rank actually runs
-        pos_src = decode_blocks(
+        pos_src = decode_to_postings(
             blocks.filter(F.col("term_id").isin(pos_ids)),
             with_positions=True,
         ).join(F.broadcast(qterms.select("term_id", "slot").distinct()), "term_id")
@@ -458,14 +458,27 @@ def _proximity_rerank(
 
     n_cand = max(10 * k, 100)
     base = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(n_cand)
+    # positions stay delta+varint ENCODED until this per-doc kernel: the
+    # join ships one small binary per (doc, slot, term) of the candidate
+    # set, never an exploded array<int> column (the object-array decode
+    # path was the proximity hot spot)
     posx = cand.join(F.broadcast(base.select("doc_id")), "doc_id").select(
-        "doc_id", "slot", F.explode("positions").alias("pos")
+        "doc_id", "slot", "tf", "pos_enc"
     )
 
     def minspan_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions import codec
+
         doc = pdf["doc_id"].iloc[0]
-        pos = pdf["pos"].to_numpy()
-        slots = pdf["slot"].to_numpy()
+        parts_p: list[np.ndarray] = []
+        parts_s: list[np.ndarray] = []
+        for slot, tf, enc in zip(pdf["slot"], pdf["tf"], pdf["pos_enc"]):
+            deltas = codec.decode_varint(enc, int(tf))
+            pp = np.cumsum(deltas.astype(np.int64))
+            parts_p.append(pp)
+            parts_s.append(np.full(len(pp), int(slot), dtype=np.int64))
+        pos = np.concatenate(parts_p)
+        slots = np.concatenate(parts_s)
         order = np.argsort(pos, kind="mergesort")
         pos, slots = pos[order], slots[order]
         uniq = np.unique(slots)
