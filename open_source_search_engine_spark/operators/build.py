@@ -575,9 +575,19 @@ def build_index(
                 (idx.postings.at(v).meta or {})
                 for v in idx.postings.history()
             ]
-            tagged = [m for m in metas if "n_shards" in m]
+            # only build_shard commits carry a "shard" key; compaction
+            # also writes "n_shards" (its doc-partition width), and
+            # accepting it here would let a fresh build reuse shard ids
+            # the compacted segment already occupies (colliding salt
+            # moduli -> mis-routed WAND probes)
+            ours = [m for m in metas if "shard" in m and "n_shards" in m]
+            other = [
+                m for m in metas if "shard" not in m and "cleanup_shard" not in m
+            ]
             if not (
-                tagged and all(m.get("n_shards") == n_shards for m in tagged)
+                ours
+                and not other
+                and all(m.get("n_shards") == n_shards for m in ours)
             ):
                 raise ValueError(
                     f"index root {index_root} has postings from a different "

@@ -39,7 +39,10 @@ def deletes_table(idx: Index) -> SnapshotTable:
 
 def delete_docs(spark: SparkSession, idx: Index, doc_ids: list[int]) -> None:
     """Append tombstones (merge-on-read): queries exclude these doc_ids
-    until the next compaction physically drops them."""
+    until the next compaction physically drops them.  An empty list
+    commits nothing (same no-churn contract as delete_docs_df)."""
+    if not doc_ids:
+        return
     pdf = pd.DataFrame({"doc_id": np.asarray(doc_ids, dtype=np.int64)})
     t = deletes_table(idx)
     seg = _write_tiny_segment(t, pdf, "del")
@@ -73,23 +76,36 @@ def delete_docs_df(spark: SparkSession, idx: Index, doc_ids: DataFrame) -> int:
 _DEAD_CACHE: dict[tuple[str, int], np.ndarray] = {}
 
 
-def deleted_doc_ids(spark: SparkSession, idx: Index) -> np.ndarray:
-    """Sorted live tombstones (small between compactions by design),
-    cached per deletes-table snapshot version."""
+def deleted_doc_ids(
+    spark: SparkSession, idx: Index, version: int | None = None
+) -> np.ndarray:
+    """Sorted DISTINCT live tombstones (small between compactions by
+    design), cached per deletes-table snapshot.  The key carries the
+    snapshot file identity: an index root deleted and rebuilt in place
+    restarts version numbering, and a bare (root, version) key would
+    serve the old build's dead set (the same aliasing every other
+    version-keyed cache here guards against).  Dedup matters too:
+    delete_docs appends without checking prior segments, and a repeated
+    delete must not inflate the count toward MAX_DEAD_INLINE.
+    ``version`` pins a specific snapshot (compaction uses this so the
+    set it annihilates is exactly the set whose segments it clears)."""
     t = deletes_table(idx)
-    snap = t.latest()
-    key = (idx.root, snap.version if snap else -1)
+    snap = t.latest() if version is None else t.at(version)
+    ident = t.snapshot_ident(snap.version) if snap else ()
+    key = (idx.root, snap.version if snap else -1, ident)
     hit = _DEAD_CACHE.get(key)
     if hit is not None:
         return hit
     # versions only move forward: evict this root's stale-version entries
     for k in [k for k in _DEAD_CACHE if k[0] == idx.root and k != key]:
         del _DEAD_CACHE[k]
-    df = t.read(spark)
+    df = t.read(spark, version=snap.version if snap else None) if snap else None
     if df is None:
         out = np.empty(0, dtype=np.int64)
     else:
-        vals = np.array([r["doc_id"] for r in df.collect()], dtype=np.int64)
+        vals = np.unique(
+            np.array([r["doc_id"] for r in df.collect()], dtype=np.int64)
+        )
         u = vals.astype(np.uint64) + np.uint64(1 << 63)
         out = vals[np.argsort(u)]
     _DEAD_CACHE[key] = out
@@ -245,15 +261,19 @@ def compact_deltas(
             "int"
         ),
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    # persist: repartitionByRange's boundary-sampling pass would
+    # otherwise run the whole merge-encode twice (same hazard build.py
+    # and compact_postings guard against)
     merged = encode_blocks(
         posts, salt_target=salt_target, block_size=block_size, sharded=True
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     merged_sorted = merged.repartitionByRange("term_id").sortWithinPartitions(
         "term_id", "salt", "block_id"
     )
     seg = idx.postings.write_segment(
         merged_sorted, label="minor", bloom_col="term_id"
     )
+    merged.unpersist()
     posts.unpersist()
     idx.postings.commit(
         add=[seg],
@@ -301,18 +321,36 @@ def compact_postings(
     from ..streaming.incremental import repair_orphan_deltas
 
     repair_orphan_deltas(idx)
-    blocks_df = idx.postings.read(spark)
+    # capture the snapshots FIRST, read those exact versions: a commit
+    # landing between read() and latest() (concurrent add_documents /
+    # delete) would otherwise have its segment removed by the swap below
+    # without its contents being merged — silent data loss
+    prev_snap = idx.postings.latest()
+    if prev_snap is None:
+        return
+    blocks_df = idx.postings.read(spark, version=prev_snap.version)
     if blocks_df is None:
         return
-    prev_snap = idx.postings.latest()
+    dt = deletes_table(idx)
+    del_snap = dt.latest()
     if n_shards is None:
         n_shards = max(int(blocks_df.select("shard").distinct().count()), 1)
-    dead = deleted_doc_ids(spark, idx)
-    posts = decode_to_postings(blocks_df)
-    if len(dead):
-        dead_df = F.broadcast(
-            spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
+    dead = (
+        deleted_doc_ids(spark, idx, version=del_snap.version)
+        if del_snap is not None
+        else np.empty(0, dtype=np.int64)
+    )
+    dead_df = (
+        F.broadcast(
+            spark.createDataFrame(
+                pd.DataFrame({"doc_id": dead.astype(np.int64)})
+            )
         )
+        if len(dead)
+        else None
+    )
+    posts = decode_to_postings(blocks_df)
+    if dead_df is not None:
         posts = posts.join(dead_df, "doc_id", "left_anti")
     posts = posts.withColumn(
         "shard", F.pmod(F.col("doc_id"), F.lit(n_shards)).cast("int")
@@ -352,18 +390,18 @@ def compact_postings(
     idx.termstats_partial.commit(
         add=[tsp_seg], remove=list(prev_tsp.segments), operation="compact"
     )
-    # docstats: physically drop tombstoned docs
-    if len(dead):
-        ds = idx.docstats.read(spark)
-        dead_df = F.broadcast(
-            spark.createDataFrame([(int(x),) for x in dead], "doc_id long")
-        )
+    # docstats: physically drop tombstoned docs (snapshot captured
+    # before the read, same as postings above)
+    if dead_df is not None:
+        prev_ds = idx.docstats.latest()
+        ds = idx.docstats.read(spark, version=prev_ds.version)
         live = ds.join(dead_df, "doc_id", "left_anti")
         ds_seg = idx.docstats.write_segment(live, label="compacted")
-        prev_ds = idx.docstats.latest()
         idx.docstats.commit(add=[ds_seg], remove=list(prev_ds.segments), operation="compact")
-        dt = deletes_table(idx)
-        prev_del = dt.latest()
-        if prev_del and prev_del.segments:
-            dt.commit(remove=list(prev_del.segments), operation="clear")
+        # clear ONLY the tombstone segments whose ids were annihilated
+        # (del_snap, captured before `dead`): a delete committed while
+        # the compaction jobs ran keeps its segment — and its docs stay
+        # excluded merge-on-read instead of resurrecting
+        if del_snap is not None and del_snap.segments:
+            dt.commit(remove=list(del_snap.segments), operation="clear")
     finalize_stats(spark, idx, run_id)

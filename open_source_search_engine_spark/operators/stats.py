@@ -233,7 +233,19 @@ def fsck_index(spark, index, deep: bool = False) -> dict:
         n_blocks = blocks.count()
         ts_blocks = ts.agg(F.sum("n_blocks").alias("b")).collect()[0]["b"]
         checked["postings_blocks"] = n_blocks
-        if ts_blocks is not None and int(ts_blocks) != n_blocks:
+        # a tiered minor merge re-blocks the merged deltas WITHOUT
+        # touching stats (df/cf are merge-invariant; n_blocks is a
+        # physical count) — after one, the mismatch is expected, not an
+        # orphan signal, until the next finalize/compact
+        minor_merged = any(
+            index.postings.at(v).operation == "minor-merge"
+            for v in index.postings.history()
+        )
+        if (
+            ts_blocks is not None
+            and int(ts_blocks) != n_blocks
+            and not minor_merged
+        ):
             issues.append(
                 f"termstats n_blocks sum={int(ts_blocks)} != postings "
                 f"block count={n_blocks} (orphan or missing segments?)"
