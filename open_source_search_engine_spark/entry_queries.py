@@ -2837,6 +2837,228 @@ ORDER BY query_id, doc_id
 # 0-49 hold the stored-index engine entries plus every UNIQUE operator;
 # positions 50+ hold redundant ad-hoc analogs whose semantics are already
 # certified by an in-window twin (kept for API breadth + pytest coverage).
+def q_c4_filters(spark, sf_dir):
+    """C4-style heuristic filter battery (Raffel et al. 2020 §2.2) over
+    pages with deterministically synthesized line structure (the fixture
+    text is single-line — the entry builds pages by a closed-form
+    doc_id/text rule both engines replay, the pii_scrub convention):
+    sentence boundaries injected at ' the '/' a ' gaps, plus per-doc_id
+    marker lines exercising every rule (javascript line, lorem-ipsum
+    page, curly-brace page, bad-word page, a 2-word line, a trailing
+    no-punctuation fragment).  Per-language: page/line totals, survivors
+    of the line rules (terminal punct + >=3 words + no 'javascript') and
+    page rules (>=3 kept lines, no poison markers), cleaned-corpus chars
+    and an md5-mod-2^16 checksum of every cleaned page.  The whole
+    battery is scan-fused codegen — the one shuffle is this aggregate."""
+    from .operators import c4
+    from .operators.dedup import _md5_lower64
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    page = F.concat(
+        F.regexp_replace(F.col("text"), " (the|a) ", ".|"),
+        F.when(did % 7 == 0, F.lit("|contains javascript tracker.")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 11 == 0, F.lit("|lorem ipsum dolor sit.")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 13 == 0, F.lit("|code block { return 0; }.")).otherwise(
+            F.lit("")
+        ),
+        F.when(did % 17 == 0, F.lit("|this mentions badword here.")).otherwise(
+            F.lit("")
+        ),
+        F.lit("|short one.|tail fragment without punct"),
+    )
+    # stage page -> lines -> kept as NAMED columns (the gopher_repetition
+    # lesson: an inline array expr referenced k times re-evaluates k
+    # times; CollapseProject keeps non-cheap exprs as real projections)
+    staged = docs.select("lang", page.alias("_page"))
+    lines = staged.select(
+        "lang", "_page", F.split(F.col("_page"), "[|]").alias("_lines")
+    )
+    kept = lines.select(
+        "lang",
+        "_page",
+        F.size(F.col("_lines")).alias("_nl"),
+        c4.kept_lines(F.col("_lines")).alias("_kept"),
+    )
+    flagged = kept.select(
+        "lang",
+        "_nl",
+        F.size(F.col("_kept")).alias("_nk"),
+        c4.page_kept(F.col("_page"), F.size(F.col("_kept"))).alias("_keepflag"),
+        F.col("_kept"),
+    )
+    cleaned = flagged.select(
+        "lang",
+        "_nl",
+        "_nk",
+        F.col("_keepflag").cast("int").alias("_keep"),
+        F.when(F.col("_keepflag"), F.array_join(F.col("_kept"), " "))
+        .otherwise(F.lit(""))
+        .alias("_clean"),
+    )
+    per_page = cleaned.select(
+        "lang",
+        "_nl",
+        "_nk",
+        "_keep",
+        F.length(F.col("_clean")).alias("_len"),
+        F.pmod(_md5_lower64(F.col("_clean")), F.lit(65536)).alias("_crc"),
+    )
+    return (
+        per_page.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("_keep").cast("long").alias("pages_kept"),
+            F.sum("_nl").cast("long").alias("lines_total"),
+            F.sum("_nk").cast("long").alias("lines_kept"),
+            F.sum("_len").cast("long").alias("clean_chars"),
+            F.sum("_crc").cast("long").alias("clean_crc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_c4_filters() -> str:
+    from .operators.c4 import (
+        BAD_WORDS,
+        MIN_LINES_PER_PAGE,
+        MIN_WORDS_PER_LINE,
+        TERMINAL_RE,
+        WORD_RE,
+    )
+
+    bad = "|".join(BAD_WORDS)
+    return f"""
+WITH p AS (
+  SELECT lang,
+         regexp_replace(text, ' (the|a) ', '.|', 'g')
+         || CASE WHEN doc_id % 7 = 0
+              THEN '|contains javascript tracker.' ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+              THEN '|lorem ipsum dolor sit.' ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+              THEN '|code block {{ return 0; }}.' ELSE '' END
+         || CASE WHEN doc_id % 17 = 0
+              THEN '|this mentions badword here.' ELSE '' END
+         || '|short one.|tail fragment without punct' AS page
+  FROM documents
+), l AS (
+  SELECT lang, page, string_split(page, '|') AS lines FROM p
+), k AS (
+  SELECT lang, page, len(lines) AS n_lines,
+         list_filter(lines, x ->
+           regexp_matches(x, '{TERMINAL_RE}')
+           AND len(regexp_extract_all(lower(x), '{WORD_RE}'))
+               >= {MIN_WORDS_PER_LINE}
+           AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM l
+), d AS (
+  SELECT lang, n_lines, len(kept) AS n_kept,
+         (len(kept) >= {MIN_LINES_PER_PAGE}
+          AND NOT contains(lower(page), 'lorem ipsum')
+          AND NOT contains(page, '{{')
+          AND NOT regexp_matches(lower(page), '\\b({bad})\\b')) AS keep,
+         kept
+  FROM k
+), c AS (
+  SELECT lang, n_lines, n_kept, keep,
+         CASE WHEN keep
+           THEN coalesce(array_to_string(kept, ' '), '') ELSE '' END AS clean
+  FROM d
+)
+SELECT lang,
+       count(*) AS n_pages,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS pages_kept,
+       CAST(sum(n_lines) AS BIGINT) AS lines_total,
+       CAST(sum(n_kept) AS BIGINT) AS lines_kept,
+       CAST(sum(length(clean)) AS BIGINT) AS clean_chars,
+       CAST(sum(md5_number_lower(clean) % 65536) AS BIGINT) AS clean_crc
+FROM c GROUP BY lang ORDER BY lang
+"""
+
+
+_MIX_TEMP_TARGET = 200
+
+
+def q_mix_temperature(spark, sf_dir):
+    """Temperature-rebalanced (τ = 2) corpus mix over the skewed language
+    distribution: per-stratum quotas ∝ sqrt(n_s/N) snapped to integer
+    micro-units (sqrt is IEEE correctly-rounded in every engine, so the
+    one float step is bit-reproducible; everything after is BIGINT), then
+    content-keyed (md5(text), doc_id) rank selection within each
+    stratum.  Per-language summary certifies the quota MATH and the
+    exact selection SET (md5-mod-2^16 checksum of selected doc ids)."""
+    from .operators.dedup import _md5_lower64
+    from .operators.sampling import temperature_mix, temperature_quotas
+
+    docs = _t(spark, sf_dir, "documents")
+    sel = temperature_mix(docs, "lang", _MIX_TEMP_TARGET, "text", "doc_id")
+    agg = sel.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_selected"),
+        F.sum(
+            F.pmod(_md5_lower64(F.col("doc_id").cast("string")), F.lit(65536))
+        )
+        .cast("long")
+        .alias("sel_crc"),
+    )
+    quotas = temperature_quotas(docs, "lang", _MIX_TEMP_TARGET)
+    return (
+        quotas.select(
+            "lang",
+            F.col("_cnt").alias("n_docs"),
+            F.col("_quota").alias("quota"),
+        )
+        .join(agg, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "quota",
+            F.coalesce(F.col("n_selected"), F.lit(0)).alias("n_selected"),
+            F.coalesce(F.col("sel_crc"), F.lit(0)).alias("sel_crc"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_MIX_TEMPERATURE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS cnt FROM documents GROUP BY lang
+), t AS (
+  SELECT lang, cnt,
+         CAST(round(sqrt(CAST(cnt AS DOUBLE)
+                         / (SELECT sum(cnt) FROM c)) * 1000000) AS BIGINT)
+           AS ps
+  FROM c
+), q AS (
+  SELECT lang, cnt,
+         least(cnt, ({_MIX_TEMP_TARGET} * ps) // (SELECT sum(ps) FROM t))
+           AS quota
+  FROM t
+), r AS (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(coalesce(CAST(text AS VARCHAR), '')), doc_id) AS rn
+  FROM documents
+), s AS (
+  SELECT r.lang, r.doc_id FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+)
+SELECT q.lang,
+       q.cnt AS n_docs,
+       CAST(q.quota AS BIGINT) AS quota,
+       CAST(count(s.doc_id) AS BIGINT) AS n_selected,
+       CAST(coalesce(
+         sum(md5_number_lower(CAST(s.doc_id AS VARCHAR)) % 65536), 0)
+         AS BIGINT) AS sel_crc
+FROM q LEFT JOIN s ON q.lang = s.lang
+GROUP BY q.lang, q.cnt, q.quota ORDER BY q.lang
+"""
+
+
 _WINDOW = [
     # stored-index engine lifecycle (build -> WAND/exhaustive -> serp)
     # late-r4: engine_bm25_single moved to the tail — single-term scoring
@@ -3178,6 +3400,14 @@ _TAIL = [
     # its cosine expression is the in-window semantic_dedup/hybrid_rrf
     # convention.  CI-certified here every run (test_registry_tail_oracles)
     "semantic_decontam",
+    # r4-final training-pipeline additions, CI-certified here every run:
+    # the C4 heuristic cleaning battery (line/page rules over synthesized
+    # page structure, pii_scrub's injection convention) and the τ=2
+    # temperature-rebalanced mix (data-derived sqrt quotas in integer
+    # micro-units + content-keyed rank selection — the data-driven twin
+    # of in-window training_mix's fixed per-stratum quota stage)
+    "c4_filters",
+    "mix_temperature",
 ]
 
 
@@ -3270,6 +3500,8 @@ def build_registry() -> tuple[
         "gopher_repetition": q_gopher_repetition,
         "dup_spans": q_dup_spans,
         "dup_span_scrub": q_dup_span_scrub,
+        "c4_filters": q_c4_filters,
+        "mix_temperature": q_mix_temperature,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -3360,6 +3592,11 @@ def build_registry() -> tuple[
         "gopher_repetition": SQL_GOPHER_REPETITION,
         "dup_spans": SQL_DUP_SPANS,
         "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
+        # C4 battery: full rule replay over the same synthesized pages
+        "c4_filters": _sql_c4_filters(),
+        # τ=2 mix: quota math AND selection set replayed (integer
+        # micro-unit weights; the one float step is correctly-rounded sqrt)
+        "mix_temperature": SQL_MIX_TEMPERATURE,
     }
     oracles.update(eng_o)
     order = [k for k in _WINDOW + _TAIL if k in queries]

@@ -64,6 +64,83 @@ def stratified_sample(
     )
 
 
+def temperature_quotas(
+    df: DataFrame,
+    strata_col: str,
+    n_target: int,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Per-stratum quotas for a temperature-rebalanced mix (τ = 2).
+
+    Multilingual / multi-source pretraining mixes resample strata with
+    probability ∝ (n_s/N)^(1/τ) so head strata are down-weighted and
+    tail strata up-weighted (Conneau & Lample 2019; the mT5/XLM-R
+    recipe).  τ is pinned to 2 — exponent 1/2 — because ``sqrt`` is
+    IEEE-754 **correctly rounded** in every engine, which makes the
+    weight bit-reproducible where a general ``pow`` is only
+    ~1-ulp-reproducible.  The weight is then snapped to integer
+    micro-units and every downstream step is BIGINT arithmetic, so the
+    quota sheet is exact under any partitioning and replayable in ANSI
+    SQL:
+
+        ps_s    = round(sqrt(n_s / N) * micro)        -- the only float step
+        quota_s = min(n_s, (n_target * ps_s) div sum(ps))
+
+    Returns one row per stratum: (strata_col, _cnt, _quota).  The
+    per-stratum count agg is the only real work (map-side combined, one
+    shuffle of |strata| rows); the totals ride a window over the
+    |strata|-row relation, which AQE collapses to one tiny task.
+    """
+    counts = df.groupBy(strata_col).agg(F.count("*").alias("_cnt"))
+    w_all = Window.partitionBy()
+    ps = F.round(
+        F.sqrt(F.col("_cnt") / F.sum("_cnt").over(w_all)) * micro
+    ).cast("long")
+    return (
+        counts.withColumn("_ps", ps)
+        .withColumn(
+            "_quota",
+            F.least(
+                F.col("_cnt"),
+                F.expr(f"({n_target}L * _ps) div sum(_ps) over ()"),
+            ),
+        )
+        .drop("_ps")
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str,
+    n_target: int,
+    hash_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Temperature-rebalanced (τ = 2) deterministic corpus mix.
+
+    Quotas come from `temperature_quotas` (data-derived, all-integer);
+    selection within each stratum is the same content-keyed
+    ``(md5(hash_col), id_col)`` rank rule as `stratified_sample`, so the
+    mix is partitioning-invariant and value-replayable.  Plan shape: one
+    tiny quota relation (broadcast into the join), one window shuffle
+    keyed by the stratum with the rank-k limit pushdown — the docs table
+    is shuffled exactly once and never collected."""
+    quotas = temperature_quotas(df, strata_col, n_target)
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.coalesce(F.col(hash_col).cast("string"), F.lit(""))),
+        F.col(id_col),
+    )
+    rn = "_rn"
+    while rn in df.columns:
+        rn += "_"
+    return (
+        df.withColumn(rn, F.row_number().over(w))
+        .join(F.broadcast(quotas.select(strata_col, "_quota")), strata_col)
+        .filter(F.col(rn) <= F.col("_quota"))
+        .drop(rn, "_quota")
+    )
+
+
 def hash_fraction_sample(
     df: DataFrame, hash_col: str, fraction: float, salt: str = ""
 ) -> DataFrame:
