@@ -2147,6 +2147,86 @@ LIMIT 20
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """Iterative fixed-point PageRank (5 supersteps, d=0.85) over the
+    deterministic closed-form link graph — the full-strength global
+    link-quality prior whose one-hop approximation is link_rank's inlink
+    count (J7/Msg25; Gigablast tiers the same signal as siteNumInlinks).
+    Every rank is BIGINT micro-units (integer shares, integer damping,
+    integer dangling redistribution), so the 5-step fixpoint is
+    bit-identical under any partitioning and the oracle replays each
+    superstep as a CTE block (the quality_perceptron convention).
+    Returns the top-15 docs plus the conserved total mass."""
+    from .operators import links
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = links.derive_edges(docs, fan_out=3)
+    pr = links.pagerank(docs, edges, n_iter=5, damping_pct=85)
+    total = pr.agg(F.sum("r").cast("long").alias("total_units"))
+    return (
+        pr.crossJoin(F.broadcast(total))
+        .select("doc_id", F.col("r").alias("rank_units"), "total_units")
+        .orderBy(F.desc("rank_units"), "doc_id")
+        .limit(15)
+    )
+
+
+def _sql_pagerank(n_iter: int = 5, damping: int = 85) -> str:
+    from .operators.links import PR_SCALE
+
+    teleport = (100 - damping) * PR_SCALE // 100
+    parts = [
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)",
+        """edges AS (
+  SELECT DISTINCT d.doc_id AS src,
+         ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) AS dst
+  FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2)) AS j(j)
+  WHERE ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) <> d.doc_id
+)""",
+        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od"
+        " FROM edges GROUP BY src)",
+        f"r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS r"
+        " FROM documents)",
+    ]
+    for k in range(1, n_iter + 1):
+        p = f"r{k - 1}"
+        parts.append(
+            f"""inf{k} AS (
+  SELECT e.dst AS doc_id, CAST(sum(r.r // o.od) AS BIGINT) AS inflow
+  FROM edges e JOIN {p} r ON e.src = r.doc_id
+  JOIN outdeg o ON o.src = e.src
+  GROUP BY e.dst
+)"""
+        )
+        parts.append(
+            f"""dang{k} AS (
+  SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dm
+  FROM {p} r LEFT JOIN outdeg o ON r.doc_id = o.src
+  WHERE o.src IS NULL
+)"""
+        )
+        parts.append(
+            f"""r{k} AS (
+  SELECT d.doc_id,
+         CAST({teleport} + ({damping} * (coalesce(i.inflow, 0)
+              + (SELECT dm FROM dang{k}) // (SELECT n_total FROM nn)))
+              // 100 AS BIGINT) AS r
+  FROM {p} d LEFT JOIN inf{k} i USING (doc_id)
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT doc_id, r AS rank_units,
+       (SELECT CAST(sum(r) AS BIGINT) FROM r{n_iter}) AS total_units
+FROM r{n_iter}
+ORDER BY rank_units DESC, doc_id
+LIMIT 15
+"""
+    )
+
+
 def q_sample_stratified(spark, sf_dir):
     """Deterministic per-stratum quota sample (3 docs per language),
     keyed on md5(text) so the selection is partitioning-invariant and
@@ -3408,6 +3488,10 @@ _TAIL = [
     # of in-window training_mix's fixed per-stratum quota stage)
     "c4_filters",
     "mix_temperature",
+    # iterative fixed-point PageRank (5 integer supersteps, CTE-block
+    # oracle) — the full-strength global prior whose one-hop count is
+    # in-window link_rank; CI-certified here every run
+    "pagerank",
 ]
 
 
@@ -3502,6 +3586,7 @@ def build_registry() -> tuple[
         "dup_span_scrub": q_dup_span_scrub,
         "c4_filters": q_c4_filters,
         "mix_temperature": q_mix_temperature,
+        "pagerank": q_pagerank,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -3594,6 +3679,8 @@ def build_registry() -> tuple[
         "dup_span_scrub": SQL_DUP_SPAN_SCRUB,
         # C4 battery: full rule replay over the same synthesized pages
         "c4_filters": _sql_c4_filters(),
+        # 5 integer supersteps replayed as CTE blocks, all-BIGINT
+        "pagerank": _sql_pagerank(),
         # τ=2 mix: quota math AND selection set replayed (integer
         # micro-unit weights; the one float step is correctly-rounded sqrt)
         "mix_temperature": SQL_MIX_TEMPERATURE,

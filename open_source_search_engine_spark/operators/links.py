@@ -134,6 +134,86 @@ def inlink_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+# per-doc base mass for fixed-point PageRank, in integer micro-units
+PR_SCALE = 1_000_000_000
+
+
+def pagerank(
+    docs: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-point integer PageRank over a (src_doc_id, dst_doc_id) edge
+    table — the iterative global link-quality prior (the full-strength
+    version of `inlink_counts`' one-hop count; Gigablast approximates
+    the same signal with siteNumInlinks tiers, SURVEY.md §2.3 J7).
+
+    ALL arithmetic is BIGINT: ranks start at ``PR_SCALE`` units per doc,
+    a doc's outflow share is ``r div outdeg``, the damping factor is the
+    integer percentage ``damping_pct`` (``(d * x) div 100``), and the
+    dangling mass is redistributed as ``dm div N`` per doc.  Floor
+    division leaks a few units per doc per iteration (standard for
+    fixed-point PR) but buys the two properties float PR cannot give:
+    the result is **bit-identical under any partitioning** (integer
+    addition is associative — float contribution sums are not) and
+    **value-replayable in ANSI SQL** (the oracle chains one CTE block
+    per iteration, the quality_perceptron convention).
+
+    Plan shape per iteration: one join keyed by ``src_doc_id`` (ranks ×
+    edges × outdeg) and one aggregate keyed by ``dst_doc_id`` — the same
+    two shuffles any Pregel-style superstep costs.  The corpus size and
+    per-iteration dangling mass ride 1-row broadcast relations, so the
+    whole ``n_iter``-step computation is ONE lazy plan with zero driver
+    actions.  At 10^12 docs: persist ``edges``+``outdeg`` pre-partitioned
+    by ``src_doc_id`` so every superstep reuses the exchange, and
+    checkpoint ranks every ~10 iterations to cut lineage.
+    """
+    if not 0 <= damping_pct <= 100:
+        raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
+    nodes = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    nn = nodes.agg(F.count("*").cast("long").alias("_n"))
+    outdeg = edges.groupBy("src_doc_id").agg(
+        F.count("*").cast("long").alias("_od")
+    )
+    teleport = (100 - damping_pct) * PR_SCALE // 100
+    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    for _ in range(n_iter):
+        inflow = (
+            edges.join(ranks, edges["src_doc_id"] == ranks["doc_id"])
+            .join(outdeg, "src_doc_id")
+            .select(
+                F.col("dst_doc_id").alias("doc_id"),
+                F.expr("r div _od").alias("_share"),
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("_share").alias("_inflow"))
+        )
+        dang = (
+            ranks.join(
+                outdeg, ranks["doc_id"] == outdeg["src_doc_id"], "left_anti"
+            )
+            .agg(F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("_dm"))
+        )
+        ranks = (
+            nodes.join(inflow, "doc_id", "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "doc_id",
+                (
+                    F.lit(teleport).cast("long")
+                    + F.expr(
+                        f"({damping_pct}L * (coalesce(_inflow, 0L)"
+                        f" + _dm div _n)) div 100"
+                    )
+                ).alias("r"),
+            )
+        )
+    return ranks
+
+
 def anchor_postings(
     docs: DataFrame,
     edges: DataFrame,

@@ -50,14 +50,32 @@ class PinnedTable:
         self._table = table
         self._version = version
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
-        return self._table.read(spark, version=self._version)
+    def _resolve(self, version: int | None) -> int | None:
+        # an explicit version must not see past the pin (same rule as
+        # `at`); None means "this view's snapshot", i.e. the pin itself
+        if version is None:
+            return self._version
+        if self._version is not None and version > self._version:
+            raise ValueError(
+                f"snapshot v{version} is after this as-of view's pin "
+                f"(v{self._version})"
+            )
+        return version
 
-    def read_pruned(self, spark: SparkSession, term_ids) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        return self._table.read(spark, version=self._resolve(version))
+
+    def read_pruned(
+        self, spark: SparkSession, term_ids, version: int | None = None
+    ) -> DataFrame | None:
         # bloom pruning is version-safe: sidecars live inside immutable
         # segment dirs, so the pinned snapshot's segment list resolves to
         # the blooms that were written with those exact segments
-        return self._table.read_pruned(spark, term_ids, version=self._version)
+        return self._table.read_pruned(
+            spark, term_ids, version=self._resolve(version)
+        )
 
     def latest(self) -> Snapshot | None:
         if self._version is None:

@@ -103,3 +103,19 @@ def test_vacuum_bounds_history_and_keeps_head(spark, micro_docs, tmp_path_factor
     assert idx.postings.history() == [hist_before[-1]]
     with pytest.raises(FileNotFoundError):
         search_wand(spark, as_of(idx, v0), "binary", k=10, enrich=False).collect()
+
+
+def test_pinned_table_rejects_reads_past_the_pin(spark, tt_setup):
+    # regression: deleted_doc_ids passes an explicit version into
+    # PinnedTable.read; the pin must accept versions <= itself and
+    # refuse to see past itself (same rule as PinnedTable.at)
+    idx, v0, v1, before, victims = tt_setup
+    from open_source_search_engine_spark.operators.merge import deletes_table
+
+    pinned = as_of(idx, v1)
+    t = deletes_table(pinned)
+    snap = t.latest()
+    assert snap is not None and snap.version == v1["deletes"]
+    assert t.read(spark, version=snap.version) is not None
+    with pytest.raises(ValueError, match="after this as-of view's pin"):
+        t.read(spark, version=snap.version + 1)
