@@ -108,6 +108,9 @@ EXTRAS = [
     "regex_rules",
     "semantic_decontam",
     "engine_changelog",
+    "c4_filters",
+    "mix_temperature",
+    "pagerank",
 ]
 
 

@@ -2177,21 +2177,21 @@ def _sql_pagerank(n_iter: int = 5, damping: int = 85) -> str:
     teleport = (100 - damping) * PR_SCALE // 100
     parts = [
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)",
-        """edges AS (
+        """edges AS MATERIALIZED (
   SELECT DISTINCT d.doc_id AS src,
          ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) AS dst
   FROM documents d CROSS JOIN nn CROSS JOIN (VALUES (0), (1), (2)) AS j(j)
   WHERE ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) <> d.doc_id
 )""",
-        "outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS od"
+        "outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS od"
         " FROM edges GROUP BY src)",
-        f"r0 AS (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS r"
+        f"r0 AS MATERIALIZED (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS r"
         " FROM documents)",
     ]
     for k in range(1, n_iter + 1):
         p = f"r{k - 1}"
         parts.append(
-            f"""inf{k} AS (
+            f"""inf{k} AS MATERIALIZED (
   SELECT e.dst AS doc_id, CAST(sum(r.r // o.od) AS BIGINT) AS inflow
   FROM edges e JOIN {p} r ON e.src = r.doc_id
   JOIN outdeg o ON o.src = e.src
@@ -2199,14 +2199,14 @@ def _sql_pagerank(n_iter: int = 5, damping: int = 85) -> str:
 )"""
         )
         parts.append(
-            f"""dang{k} AS (
+            f"""dang{k} AS MATERIALIZED (
   SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dm
   FROM {p} r LEFT JOIN outdeg o ON r.doc_id = o.src
   WHERE o.src IS NULL
 )"""
         )
         parts.append(
-            f"""r{k} AS (
+            f"""r{k} AS MATERIALIZED (
   SELECT d.doc_id,
          CAST({teleport} + ({damping} * (coalesce(i.inflow, 0)
               + (SELECT dm FROM dang{k}) // (SELECT n_total FROM nn)))

@@ -144,6 +144,7 @@ def pagerank(
     n_iter: int = 5,
     damping_pct: int = 85,
     id_col: str = "doc_id",
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Fixed-point integer PageRank over a (src_doc_id, dst_doc_id) edge
     table — the iterative global link-quality prior (the full-strength
@@ -164,18 +165,52 @@ def pagerank(
     Plan shape per iteration: one join keyed by ``src_doc_id`` (ranks ×
     edges × outdeg) and one aggregate keyed by ``dst_doc_id`` — the same
     two shuffles any Pregel-style superstep costs.  The corpus size and
-    per-iteration dangling mass ride 1-row broadcast relations, so the
-    whole ``n_iter``-step computation is ONE lazy plan with zero driver
-    actions.  At 10^12 docs: persist ``edges``+``outdeg`` pre-partitioned
-    by ``src_doc_id`` so every superstep reuses the exchange, and
-    checkpoint ranks every ~10 iterations to cut lineage.
+    per-iteration dangling mass ride 1-row broadcast relations.
+
+    Each superstep is MATERIALIZED (``localCheckpoint``): the ranks
+    relation is consumed twice per step (contribution join + dangling
+    anti-join) and feeds the next step, so a fully lazy formulation
+    re-derives it per use and the logical plan roughly TRIPLES per
+    iteration — measured ~1000 exchange nodes in the 5-step lazy plan
+    versus a constant ~10 per materialized step.  One job per superstep
+    is the Pregel execution model, and it caps both planning time and
+    lineage at O(1) per iteration — the property that decides whether
+    iteration 50 is as cheap as iteration 5 at 10^12 docs.  ``edges``
+    and ``outdeg`` are materialized once up front for the same reason
+    (every superstep re-reads them).
+
+    HYBRID execution (the `connected_components` convention): at or
+    below ``driver_threshold`` edges the whole loop runs driver-side in
+    numpy — a graph that small is driver-scale by definition, and each
+    distributed superstep is mostly job dispatch.  Both paths run the
+    IDENTICAL BIGINT recurrence, so they produce the same integers
+    (parity-tested); pass ``driver_threshold=0`` to force the
+    distributed supersteps.
     """
     if not 0 <= damping_pct <= 100:
         raise ValueError(f"damping_pct must be in [0,100], got {damping_pct}")
-    nodes = docs.select(F.col(id_col).cast("long").alias("doc_id"))
+    nodes = docs.select(
+        F.col(id_col).cast("long").alias("doc_id")
+    ).localCheckpoint(eager=True)
+    edges = edges.select("src_doc_id", "dst_doc_id").localCheckpoint(
+        eager=True
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("r", F.lit(0).cast("long"))
+    if (
+        driver_threshold > 0
+        and n_nodes <= driver_threshold
+        and edges.count() <= driver_threshold
+    ):
+        return _pagerank_driver(
+            nodes, edges, n_iter, damping_pct, n_nodes
+        )
     nn = nodes.agg(F.count("*").cast("long").alias("_n"))
-    outdeg = edges.groupBy("src_doc_id").agg(
-        F.count("*").cast("long").alias("_od")
+    outdeg = (
+        edges.groupBy("src_doc_id")
+        .agg(F.count("*").cast("long").alias("_od"))
+        .localCheckpoint(eager=True)
     )
     teleport = (100 - damping_pct) * PR_SCALE // 100
     ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
@@ -210,8 +245,53 @@ def pagerank(
                     )
                 ).alias("r"),
             )
+            .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def _pagerank_driver(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int,
+    damping_pct: int,
+    n: int,
+) -> DataFrame:
+    """Driver-side replay of the identical BIGINT recurrence (numpy
+    scatter-adds).  Semantics match the distributed supersteps exactly,
+    including the edge cases: an edge whose src is not a node
+    contributes nothing; a known src's outdegree counts edges to
+    unknown dsts too (their shares leak, as the distributed join drops
+    them); dangling = known node with zero outgoing edges."""
+    import numpy as np
+
+    spark = nodes.sparkSession
+    ids = np.array([r["doc_id"] for r in nodes.collect()], dtype=np.int64)
+    ids.sort()
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    pairs = [
+        (idx_of[r["src_doc_id"]], idx_of.get(r["dst_doc_id"], -1))
+        for r in edges.collect()
+        if r["src_doc_id"] in idx_of
+    ]
+    src = np.array([s for s, _ in pairs], dtype=np.int64)
+    dst = np.array([d for _, d in pairs], dtype=np.int64)
+    known_dst = dst >= 0
+    od = np.zeros(n, dtype=np.int64)
+    np.add.at(od, src, 1)
+    dangling = od == 0
+    teleport = (100 - damping_pct) * PR_SCALE // 100
+    r = np.full(n, PR_SCALE, dtype=np.int64)
+    for _ in range(n_iter):
+        inflow = np.zeros(n, dtype=np.int64)
+        if len(src):
+            share = r[src] // od[src]
+            np.add.at(inflow, dst[known_dst], share[known_dst])
+        dm = int(r[dangling].sum())
+        r = teleport + (damping_pct * (inflow + dm // n)) // 100
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in zip(ids, r)], "doc_id bigint, r bigint"
+    )
 
 
 def anchor_postings(

@@ -81,11 +81,50 @@ def test_partitioning_invariant_bit_exact(spark):
         (i, (i * 11 + 5) % 20) for i in ids
     ]
     pairs = [(s, d) for s, d in pairs if s != d]
-    a = _ranks(spark, ids, pairs)
+    # force the DISTRIBUTED supersteps on both runs (driver_threshold=0)
+    a = _ranks(spark, ids, pairs, driver_threshold=0)
     docs = _docs(spark, ids).repartition(17)
     edges = _edges(spark, pairs).repartition(13)
-    b = {r["doc_id"]: r["r"] for r in pagerank(docs, edges).collect()}
+    b = {
+        r["doc_id"]: r["r"]
+        for r in pagerank(docs, edges, driver_threshold=0).collect()
+    }
     assert a == b
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    # the hybrid convention's contract: identical BIGINT recurrence on
+    # both paths, including a dangling node and an edge to a non-node
+    ids = [0, 1, 2, 3, 4]
+    pairs = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 99)]  # 4 dangling; 99 unknown
+    drv = _ranks(spark, ids, pairs)  # small graph -> driver path
+    dist = _ranks(spark, ids, pairs, driver_threshold=0)
+    assert drv == dist
+    assert drv == _py_pagerank_unknown_dst(ids, pairs)
+
+
+def _py_pagerank_unknown_dst(ids, pairs, n_iter=5, damping=85):
+    # replay with the leak semantics: known-src outdeg counts ALL its
+    # edges; shares to unknown dsts vanish
+    n = len(ids)
+    idset = set(ids)
+    od = {}
+    for s, d in pairs:
+        if s in idset:
+            od[s] = od.get(s, 0) + 1
+    r = {i: PR_SCALE for i in ids}
+    teleport = (100 - damping) * PR_SCALE // 100
+    for _ in range(n_iter):
+        inflow = {i: 0 for i in ids}
+        for s, d in pairs:
+            if s in idset and d in idset:
+                inflow[d] += r[s] // od[s]
+        dm = sum(r[i] for i in ids if i not in od)
+        r = {
+            i: teleport + (damping * (inflow[i] + dm // n)) // 100
+            for i in ids
+        }
+    return r
 
 
 def test_no_edges_graph_is_pure_teleport_plus_dangling(spark):
