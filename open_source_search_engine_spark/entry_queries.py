@@ -1977,6 +1977,53 @@ ORDER BY df DESC, cf DESC, term LIMIT 10
 """
 
 
+_NEXT_WORD_PREV = "table"
+
+
+def q_next_word_suggest(spark, sf_dir):
+    """Next-word query continuation from the STORED bigram pair
+    termlists (X3's other payoff beyond phrase pruning): given a
+    completed word w, every indexed pair term 'w _' IS the continuation
+    table, already df/cf-ranked — one pushed ``StartsWith('w ')``
+    termstats scan, O(continuation band), no corpus read (the LM-ish
+    suggest-as-you-type surface next to prefix_suggest's same-word
+    completion).  Oracle recomputes adjacent-pair df/cf from raw text."""
+    from .engine_entries import engine_index
+
+    idx = engine_index(spark, sf_dir)
+    pfx = _NEXT_WORD_PREV + " "
+    ts = idx.termstats.read(spark).filter(F.col("term").startswith(pfx))
+    return (
+        ts.select(
+            F.substring(F.col("term"), len(pfx) + 1, 10_000).alias(
+                "next_word"
+            ),
+            F.col("df").cast("long").alias("df"),
+            F.col("cf").cast("long").alias("cf"),
+        )
+        .orderBy(F.desc("df"), F.desc("cf"), "next_word")
+        .limit(10)
+    )
+
+
+SQL_NEXT_WORD_SUGGEST = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+), pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks WHERE len(t) >= 2
+), agg AS (
+  SELECT pair, count(DISTINCT doc_id) AS df, count(*) AS cf
+  FROM pairs WHERE pair LIKE '{_NEXT_WORD_PREV} %' GROUP BY pair
+)
+SELECT substr(pair, {len(_NEXT_WORD_PREV) + 2}) AS next_word, df, cf
+FROM agg ORDER BY df DESC, cf DESC, next_word LIMIT 10
+"""
+
+
 MMR_LAM = 0.7
 MMR_K = 10
 MMR_NCAND = 50
@@ -3492,6 +3539,9 @@ _TAIL = [
     # oracle) — the full-strength global prior whose one-hop count is
     # in-window link_rank; CI-certified here every run
     "pagerank",
+    # next-word continuation read straight off the stored bigram pair
+    # termlists (prefix_suggest's continuation twin); CI-certified here
+    "next_word_suggest",
 ]
 
 
@@ -3587,6 +3637,7 @@ def build_registry() -> tuple[
         "c4_filters": q_c4_filters,
         "mix_temperature": q_mix_temperature,
         "pagerank": q_pagerank,
+        "next_word_suggest": q_next_word_suggest,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -3681,6 +3732,8 @@ def build_registry() -> tuple[
         "c4_filters": _sql_c4_filters(),
         # 5 integer supersteps replayed as CTE blocks, all-BIGINT
         "pagerank": _sql_pagerank(),
+        # adjacent-pair df/cf recomputed from raw text
+        "next_word_suggest": SQL_NEXT_WORD_SUGGEST,
         # τ=2 mix: quota math AND selection set replayed (integer
         # micro-unit weights; the one float step is correctly-rounded sqrt)
         "mix_temperature": SQL_MIX_TEMPERATURE,
