@@ -111,6 +111,7 @@ EXTRAS = [
     "c4_filters",
     "mix_temperature",
     "pagerank",
+    "next_word_suggest",
 ]
 
 

@@ -2998,42 +2998,20 @@ def q_c4_filters(spark, sf_dir):
         ),
         F.lit("|short one.|tail fragment without punct"),
     )
-    # stage page -> lines -> kept as NAMED columns (the gopher_repetition
-    # lesson: an inline array expr referenced k times re-evaluates k
-    # times; CollapseProject keeps non-cheap exprs as real projections)
-    staged = docs.select("lang", page.alias("_page"))
-    lines = staged.select(
-        "lang", "_page", F.split(F.col("_page"), "[|]").alias("_lines")
+    # page -> lines staged as NAMED columns, then the battery via the
+    # operator's own staged transform (the gopher_repetition lesson —
+    # inline array exprs referenced k times re-evaluate k times)
+    lines = docs.select("lang", page.alias("_page")).withColumn(
+        "_lines", F.split(F.col("_page"), "[|]")
     )
-    kept = lines.select(
-        "lang",
-        "_page",
-        F.size(F.col("_lines")).alias("_nl"),
-        c4.kept_lines(F.col("_lines")).alias("_kept"),
-    )
-    flagged = kept.select(
-        "lang",
-        "_nl",
-        F.size(F.col("_kept")).alias("_nk"),
-        c4.page_kept(F.col("_page"), F.size(F.col("_kept"))).alias("_keepflag"),
-        F.col("_kept"),
-    )
-    cleaned = flagged.select(
-        "lang",
-        "_nl",
-        "_nk",
-        F.col("_keepflag").cast("int").alias("_keep"),
-        F.when(F.col("_keepflag"), F.array_join(F.col("_kept"), " "))
-        .otherwise(F.lit(""))
-        .alias("_clean"),
-    )
+    cleaned = c4.with_c4_columns(lines, "_lines", "_page")
     per_page = cleaned.select(
         "lang",
-        "_nl",
-        "_nk",
-        "_keep",
-        F.length(F.col("_clean")).alias("_len"),
-        F.pmod(_md5_lower64(F.col("_clean")), F.lit(65536)).alias("_crc"),
+        F.col("n_lines").alias("_nl"),
+        F.col("n_kept_lines").alias("_nk"),
+        F.col("page_kept").cast("int").alias("_keep"),
+        F.length(F.col("clean_text")).alias("_len"),
+        F.pmod(_md5_lower64(F.col("clean_text")), F.lit(65536)).alias("_crc"),
     )
     return (
         per_page.groupBy("lang")
@@ -3123,7 +3101,12 @@ def q_mix_temperature(spark, sf_dir):
     from .operators.sampling import temperature_mix, temperature_quotas
 
     docs = _t(spark, sf_dir, "documents")
-    sel = temperature_mix(docs, "lang", _MIX_TEMP_TARGET, "text", "doc_id")
+    # one quota relation shared by selection AND the summary (computing
+    # it twice would run the corpus count agg as two jobs)
+    quotas = temperature_quotas(docs, "lang", _MIX_TEMP_TARGET)
+    sel = temperature_mix(
+        docs, "lang", _MIX_TEMP_TARGET, "text", "doc_id", quotas=quotas
+    )
     agg = sel.groupBy("lang").agg(
         F.count("*").cast("long").alias("n_selected"),
         F.sum(
@@ -3132,7 +3115,6 @@ def q_mix_temperature(spark, sf_dir):
         .cast("long")
         .alias("sel_crc"),
     )
-    quotas = temperature_quotas(docs, "lang", _MIX_TEMP_TARGET)
     return (
         quotas.select(
             "lang",

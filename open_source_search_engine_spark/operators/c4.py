@@ -86,26 +86,43 @@ def page_kept(
     )
 
 
-def c4_clean(
-    lines: Column,
-    text: Column,
+def with_c4_columns(
+    df: "DataFrame",
+    lines_col: str,
+    text_col: str,
     min_words: int = MIN_WORDS_PER_LINE,
     min_lines: int = MIN_LINES_PER_PAGE,
-) -> dict[str, Column]:
-    """The full battery over one page.
+) -> "DataFrame":
+    """The full battery over a pages DataFrame, STAGED.
 
-    ``lines`` is the page pre-split into lines (``array<string>``) and
-    ``text`` the raw page (for the page-level substring rules).  Returns
-    the per-page signal columns a curation pipeline aggregates or gates
-    on; ``clean_text`` is the kept lines re-joined (empty string — not
-    NULL — for a fully filtered page, so checksums are total).
+    ``lines_col`` holds each page pre-split into lines
+    (``array<string>``) and ``text_col`` the raw page (for the
+    page-level substring rules).  Adds four columns — ``n_lines``,
+    ``n_kept_lines``, ``page_kept``, and ``clean_text`` (kept lines
+    re-joined; empty string, not NULL, for a filtered page so checksums
+    are total) — each intermediate staged as a NAMED projection: the
+    kept-lines filter lambda is O(lines) and is consumed by three
+    outputs, and an inline expression referenced k times re-evaluates k
+    times (CollapseProject keeps non-cheap exprs as real projections, so
+    each select below is a genuine evaluate-once barrier).
     """
-    kept = kept_lines(lines, min_words)
-    n_kept = F.size(kept)
-    keep = page_kept(text, n_kept, min_lines)
-    return {
-        "n_lines": F.size(lines),
-        "n_kept_lines": n_kept,
-        "page_kept": keep,
-        "clean_text": F.when(keep, F.array_join(kept, " ")).otherwise(F.lit("")),
-    }
+    kept = "_c4_kept"
+    while kept in df.columns:
+        kept += "_"
+    staged = df.withColumn(kept, kept_lines(F.col(lines_col), min_words))
+    staged = staged.withColumns(
+        {
+            "n_lines": F.size(F.col(lines_col)),
+            "n_kept_lines": F.size(F.col(kept)),
+        }
+    )
+    staged = staged.withColumn(
+        "page_kept",
+        page_kept(F.col(text_col), F.col("n_kept_lines"), min_lines),
+    )
+    return staged.withColumn(
+        "clean_text",
+        F.when(F.col("page_kept"), F.array_join(F.col(kept), " ")).otherwise(
+            F.lit("")
+        ),
+    ).drop(kept)

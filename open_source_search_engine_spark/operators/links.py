@@ -138,6 +138,19 @@ def inlink_counts(edges: DataFrame) -> DataFrame:
 PR_SCALE = 1_000_000_000
 
 
+def _pr_scale_for(n_nodes: int) -> int:
+    """Per-doc base mass that keeps EVERY intermediate in int64 at this
+    corpus size.  The binding bound is the damped term: a dominant hub's
+    inflow approaches total system mass n*scale, and the recurrence
+    multiplies it by damping_pct <= 100, so we need
+    ``100 * n * scale < 2^63``.  Capping at 2^62/(100*n) halves that
+    headroom again (sums of teleport + damped parts).  Up to ~4.6e7 docs
+    the full PR_SCALE applies; at 10^12 docs the base is ~46k units —
+    ~4.6 significant digits of rank, graceful precision degradation
+    instead of silent wraparound (non-ANSI Spark) or a thrown job (ANSI)."""
+    return max(1, min(PR_SCALE, (1 << 62) // (100 * max(n_nodes, 1))))
+
+
 def pagerank(
     docs: DataFrame,
     edges: DataFrame,
@@ -151,7 +164,10 @@ def pagerank(
     version of `inlink_counts`' one-hop count; Gigablast approximates
     the same signal with siteNumInlinks tiers, SURVEY.md §2.3 J7).
 
-    ALL arithmetic is BIGINT: ranks start at ``PR_SCALE`` units per doc,
+    ALL arithmetic is BIGINT: ranks start at ``_pr_scale_for(N)`` units
+    per doc (``PR_SCALE`` capped so ``100 * N * scale < 2^62`` — the
+    hub-inflow bound; precision degrades gracefully at extreme N instead
+    of wrapping int64),
     a doc's outflow share is ``r div outdeg``, the damping factor is the
     integer percentage ``damping_pct`` (``(d * x) div 100``), and the
     dangling mass is redistributed as ``dm div N`` per doc.  Floor
@@ -206,14 +222,15 @@ def pagerank(
         return _pagerank_driver(
             nodes, edges, n_iter, damping_pct, n_nodes
         )
+    scale = _pr_scale_for(n_nodes)
     nn = nodes.agg(F.count("*").cast("long").alias("_n"))
     outdeg = (
         edges.groupBy("src_doc_id")
         .agg(F.count("*").cast("long").alias("_od"))
         .localCheckpoint(eager=True)
     )
-    teleport = (100 - damping_pct) * PR_SCALE // 100
-    ranks = nodes.withColumn("r", F.lit(PR_SCALE).cast("long"))
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("r", F.lit(scale).cast("long"))
     for _ in range(n_iter):
         inflow = (
             edges.join(ranks, edges["src_doc_id"] == ranks["doc_id"])
@@ -280,8 +297,9 @@ def _pagerank_driver(
     od = np.zeros(n, dtype=np.int64)
     np.add.at(od, src, 1)
     dangling = od == 0
-    teleport = (100 - damping_pct) * PR_SCALE // 100
-    r = np.full(n, PR_SCALE, dtype=np.int64)
+    scale = _pr_scale_for(n)
+    teleport = (100 - damping_pct) * scale // 100
+    r = np.full(n, scale, dtype=np.int64)
     for _ in range(n_iter):
         inflow = np.zeros(n, dtype=np.int64)
         if len(src):

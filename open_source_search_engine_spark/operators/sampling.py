@@ -115,29 +115,44 @@ def temperature_mix(
     n_target: int,
     hash_col: str,
     id_col: str,
+    quotas: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-rebalanced (τ = 2) deterministic corpus mix.
 
     Quotas come from `temperature_quotas` (data-derived, all-integer);
-    selection within each stratum is the same content-keyed
-    ``(md5(hash_col), id_col)`` rank rule as `stratified_sample`, so the
-    mix is partitioning-invariant and value-replayable.  Plan shape: one
-    tiny quota relation (broadcast into the join), one window shuffle
-    keyed by the stratum with the rank-k limit pushdown — the docs table
-    is shuffled exactly once and never collected."""
-    quotas = temperature_quotas(df, strata_col, n_target)
+    pass a precomputed ``quotas`` relation to reuse one across calls (a
+    caller that also reports the quota sheet would otherwise run the
+    corpus-wide count aggregate twice).  Selection within each stratum
+    is the same content-keyed ``(md5(hash_col), id_col)`` rank rule as
+    `stratified_sample`, so the mix is partitioning-invariant and
+    value-replayable.  Plan shape: one tiny quota relation (broadcast
+    into the join), one window shuffle keyed by the stratum with the
+    rank-k limit pushdown — the docs table is shuffled exactly once and
+    never collected."""
+    if quotas is None:
+        quotas = temperature_quotas(df, strata_col, n_target)
     w = Window.partitionBy(strata_col).orderBy(
         F.md5(F.coalesce(F.col(hash_col).cast("string"), F.lit(""))),
         F.col(id_col),
     )
+    # temp rank/quota columns: suffix until free so caller columns named
+    # _rn / _quota can never collide (ambiguous reference) or be dropped
     rn = "_rn"
     while rn in df.columns:
         rn += "_"
+    qn = "_quota"
+    while qn in df.columns:
+        qn += "_"
     return (
         df.withColumn(rn, F.row_number().over(w))
-        .join(F.broadcast(quotas.select(strata_col, "_quota")), strata_col)
-        .filter(F.col(rn) <= F.col("_quota"))
-        .drop(rn, "_quota")
+        .join(
+            F.broadcast(
+                quotas.select(strata_col, F.col("_quota").alias(qn))
+            ),
+            strata_col,
+        )
+        .filter(F.col(rn) <= F.col(qn))
+        .drop(rn, qn)
     )
 
 

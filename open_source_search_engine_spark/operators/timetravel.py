@@ -116,10 +116,17 @@ class _EmptyTable:
     def __init__(self, table: SnapshotTable):
         self._table = table
 
-    def read(self, spark: SparkSession) -> DataFrame | None:
+    def read(
+        self, spark: SparkSession, version: int | None = None
+    ) -> DataFrame | None:
+        # accepts the same explicit-version signature as PinnedTable /
+        # SnapshotTable: there is nothing to see at ANY version of a
+        # table that did not exist at the pin
         return None
 
-    def read_pruned(self, spark: SparkSession, term_ids) -> DataFrame | None:
+    def read_pruned(
+        self, spark: SparkSession, term_ids, version: int | None = None
+    ) -> DataFrame | None:
         return None
 
     def latest(self) -> Snapshot | None:

@@ -81,12 +81,32 @@ class TestC4PageRules:
         df = spark.createDataFrame(
             [(["no punct line"],)], "lines array<string>"
         ).withColumn("t", F.lit("page with { brace"))
-        cols = c4.c4_clean(F.col("lines"), F.col("t"))
-        row = df.select(
-            cols["clean_text"].alias("c"), cols["page_kept"].alias("k")
-        ).first()
-        assert row["k"] is False
-        assert row["c"] == ""
+        row = c4.with_c4_columns(df, "lines", "t").first()
+        assert row["page_kept"] is False
+        assert row["clean_text"] == ""
+
+    def test_with_c4_columns_full_battery(self, spark):
+        df = spark.createDataFrame(
+            [
+                (
+                    [
+                        "keep this solid line.",
+                        "and another kept one.",
+                        "a third good line.",
+                        "no punct",
+                    ],
+                    "clean page",
+                )
+            ],
+            "lines array<string>, t string",
+        )
+        row = c4.with_c4_columns(df, "lines", "t").first()
+        assert row["n_lines"] == 4
+        assert row["n_kept_lines"] == 3
+        assert row["page_kept"] is True
+        assert row["clean_text"] == (
+            "keep this solid line. and another kept one. a third good line."
+        )
 
 
 @pytest.fixture(scope="module")
@@ -167,3 +187,25 @@ class TestTemperatureMix:
         # quota is clamped to the stratum size, never above
         for cnt, quota in q.values():
             assert quota <= cnt
+
+
+def test_temperature_mix_survives_caller_quota_column(spark, skewed_docs):
+    docs = skewed_docs.withColumn("_quota", F.lit(999))
+    sel = temperature_mix(docs, "lang", 30, "text", "doc_id")
+    # caller's column survives untouched and selection matches the
+    # plain-column run
+    assert "_quota" in sel.columns
+    assert sel.filter(F.col("_quota") != 999).count() == 0
+    plain = temperature_mix(skewed_docs, "lang", 30, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in sel.collect()) == sorted(
+        r["doc_id"] for r in plain.collect()
+    )
+
+
+def test_temperature_mix_accepts_precomputed_quotas(spark, skewed_docs):
+    q = temperature_quotas(skewed_docs, "lang", 30)
+    a = temperature_mix(skewed_docs, "lang", 30, "text", "doc_id", quotas=q)
+    b = temperature_mix(skewed_docs, "lang", 30, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )

@@ -139,3 +139,22 @@ def test_no_edges_graph_is_pure_teleport_plus_dangling(spark):
 def test_damping_bounds_validated(spark):
     with pytest.raises(ValueError, match="damping_pct"):
         pagerank(_docs(spark, [0]), _edges(spark, []), damping_pct=101)
+
+
+def test_pr_scale_capped_against_int64_overflow():
+    from open_source_search_engine_spark.operators.links import (
+        PR_SCALE,
+        _pr_scale_for,
+    )
+
+    # full precision up to ~4.6e7 docs
+    assert _pr_scale_for(1) == PR_SCALE
+    assert _pr_scale_for(10_000_000) == PR_SCALE
+    # the hub-inflow bound holds at every magnitude: 100 * N * scale
+    # (the damped term's worst case) stays inside int64
+    for n in (10**8, 10**10, 10**12, 10**15):
+        s = _pr_scale_for(n)
+        assert s >= 1
+        assert 100 * n * s < 2**63
+    # and rank precision is still meaningful at the docstring's 10^12
+    assert _pr_scale_for(10**12) > 10_000

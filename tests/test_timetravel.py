@@ -119,3 +119,18 @@ def test_pinned_table_rejects_reads_past_the_pin(spark, tt_setup):
     assert t.read(spark, version=snap.version) is not None
     with pytest.raises(ValueError, match="after this as-of view's pin"):
         t.read(spark, version=snap.version + 1)
+
+
+def test_empty_table_accepts_explicit_version(spark, tt_setup):
+    # review r4-s2: _EmptyTable must keep signature parity with
+    # PinnedTable — a pre-tombstone pin resolves deletes to _EmptyTable,
+    # and callers (deleted_doc_ids, changelog) pass version= explicitly
+    from open_source_search_engine_spark.operators.merge import deletes_table
+
+    idx, v0, v1, before, victims = tt_setup
+    assert "deletes" not in v0  # pin predates the first delete commit
+    t = deletes_table(as_of(idx, v0))
+    assert t.latest() is None
+    assert t.read(spark) is None
+    assert t.read(spark, version=0) is None
+    assert t.read_pruned(spark, [1, 2], version=0) is None
