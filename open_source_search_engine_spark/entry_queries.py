@@ -2024,6 +2024,94 @@ FROM agg ORDER BY df DESC, cf DESC, next_word LIMIT 10
 """
 
 
+_COLLOC_MIN_DF = 5
+
+
+def q_collocations(spark, sf_dir):
+    """PMI collocations from the STORED term statistics only — no corpus
+    read: pair termlists carry (df, cf) for every adjacent bigram, word
+    termlists carry unigram cf, and the collection token total is
+    sum(cf) over word terms, so pointwise mutual information
+    ``ln(cf_pair * T / (cf1 * cf2))`` is a vocabulary-sized self-join of
+    termstats (A7 gigabits' statistical cousin — association strength
+    instead of co-occurrence count).  Floats hit a 4 dp grid (the
+    lm_perplexity convention, ~12 orders above libm drift); the oracle
+    recomputes everything from raw text."""
+    from .engine_entries import engine_index
+
+    idx = engine_index(spark, sf_dir)
+    ts = idx.termstats.read(spark).select(
+        "term",
+        F.col("df").cast("long").alias("df"),
+        F.col("cf").cast("long").alias("cf"),
+    )
+    words = ts.filter(
+        ~F.col("term").contains(" ") & ~F.col("term").contains(":")
+    )
+    pairs = ts.filter(
+        F.col("term").contains(" ")
+        & ~F.col("term").contains(":")
+        & (F.col("df") >= _COLLOC_MIN_DF)
+    )
+    total = words.agg(F.sum("cf").cast("long").alias("_t_total"))
+    w1 = words.select(F.col("term").alias("_w1"), F.col("cf").alias("_cf1"))
+    w2 = words.select(F.col("term").alias("_w2"), F.col("cf").alias("_cf2"))
+    sp = pairs.select(
+        F.col("term").alias("pair"),
+        "df",
+        "cf",
+        F.substring_index(F.col("term"), " ", 1).alias("_w1"),
+        F.substring_index(F.col("term"), " ", -1).alias("_w2"),
+    )
+    joined = (
+        sp.join(w1, "_w1").join(w2, "_w2").crossJoin(F.broadcast(total))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("cf") * F.col("_t_total"))
+            / (F.col("_cf1") * F.col("_cf2"))
+        ),
+        4,
+    )
+    return (
+        joined.select("pair", "df", "cf", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "pair")
+        .limit(10)
+    )
+
+
+SQL_COLLOCATIONS = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_RE}') AS t
+  FROM documents
+), occ AS (
+  SELECT doc_id, unnest(t) AS w FROM toks
+), words AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS cf FROM occ GROUP BY w
+), total AS (
+  SELECT CAST(sum(cf) AS BIGINT) AS t_total FROM words
+), bp AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t) - 1),
+                               i -> t[i] || ' ' || t[i + 1])) AS pair
+  FROM toks WHERE len(t) >= 2
+), pairs AS (
+  SELECT pair,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         CAST(count(*) AS BIGINT) AS cf
+  FROM bp GROUP BY pair
+  HAVING count(DISTINCT doc_id) >= {_COLLOC_MIN_DF}
+)
+SELECT p.pair, p.df, p.cf,
+       round(ln((p.cf * t.t_total) / (w1.cf * w2.cf)), 4) AS pmi
+FROM pairs p
+CROSS JOIN total t
+JOIN words w1 ON w1.w = split_part(p.pair, ' ', 1)
+JOIN words w2 ON w2.w = split_part(p.pair, ' ', 2)
+ORDER BY pmi DESC, p.pair LIMIT 10
+"""
+
+
 MMR_LAM = 0.7
 MMR_K = 10
 MMR_NCAND = 50
@@ -3524,6 +3612,10 @@ _TAIL = [
     # next-word continuation read straight off the stored bigram pair
     # termlists (prefix_suggest's continuation twin); CI-certified here
     "next_word_suggest",
+    # PMI collocations from stored termstats only (gigabits' statistical
+    # cousin — association strength, vocab-sized self-join, no corpus
+    # read); CI-certified here
+    "collocations",
 ]
 
 
@@ -3620,6 +3712,7 @@ def build_registry() -> tuple[
         "mix_temperature": q_mix_temperature,
         "pagerank": q_pagerank,
         "next_word_suggest": q_next_word_suggest,
+        "collocations": q_collocations,
     }
     # stored-index engine entries (build_index + search/search_wand paths)
     queries.update(eng_q)
@@ -3716,6 +3809,8 @@ def build_registry() -> tuple[
         "pagerank": _sql_pagerank(),
         # adjacent-pair df/cf recomputed from raw text
         "next_word_suggest": SQL_NEXT_WORD_SUGGEST,
+        # unigram/bigram stats + PMI recomputed from raw text, 4dp grid
+        "collocations": SQL_COLLOCATIONS,
         # τ=2 mix: quota math AND selection set replayed (integer
         # micro-unit weights; the one float step is correctly-rounded sqrt)
         "mix_temperature": SQL_MIX_TEMPERATURE,
