@@ -107,6 +107,14 @@ def main(argv: list[str] | None = None) -> None:
     sg.add_argument("--prefix", required=True)
     sg.add_argument("-k", type=int, default=10)
 
+    nw = sub.add_parser(
+        "suggest-next",
+        help="next-word continuation from the stored bigram pair termlists",
+    )
+    nw.add_argument("--index", required=True)
+    nw.add_argument("--word", required=True, help="the completed previous word")
+    nw.add_argument("-k", type=int, default=10)
+
     an = sub.add_parser(
         "anchor", help="docs most-cited-with a token in inbound anchor text"
     )
@@ -286,6 +294,33 @@ def main(argv: list[str] | None = None) -> None:
         print(
             json.dumps(
                 [{"term": r["term"], "df": int(r["df"])} for r in rows]
+            )
+        )
+        return
+
+    if args.cmd == "suggest-next":
+        from pyspark.sql import functions as F
+
+        from .operators.build import Index
+
+        pfx = args.word.lower().strip() + " "
+        ts = Index(args.index).termstats.read(spark)
+        rows = (
+            ts.filter(F.col("term").startswith(pfx))
+            .orderBy(F.desc("df"), F.desc("cf"), "term")
+            .limit(args.k)
+            .collect()
+        )
+        print(
+            json.dumps(
+                [
+                    {
+                        "next": r["term"][len(pfx):],
+                        "df": int(r["df"]),
+                        "cf": int(r["cf"]),
+                    }
+                    for r in rows
+                ]
             )
         )
         return
