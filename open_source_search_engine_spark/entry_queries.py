@@ -3370,7 +3370,13 @@ _WINDOW = [
     # certifies it every CI run
     "frontier_dole",
     "metrics_rollup",
-    "json_flatten",
+    # r4 session 2: iterative fixed-point PageRank takes json_flatten's
+    # seat — X11's get_json_object projection is a single built-in whose
+    # twin stays CI-certified in the tail every run, while pagerank is a
+    # genuinely new operator CLASS (materialized Pregel supersteps,
+    # all-BIGINT recurrence) whose oracle replays every superstep as a
+    # MATERIALIZED CTE block
+    "pagerank",
     # r4: train/test decontamination (n-gram collision vs a broadcast eval
     # set) takes set_ops' seat — U2's EXCEPT/INTERSECT semantics stay
     # certified in-window by engine_bm25_neg (anti-join/EXCEPT) and
@@ -3605,10 +3611,9 @@ _TAIL = [
     # of in-window training_mix's fixed per-stratum quota stage)
     "c4_filters",
     "mix_temperature",
-    # iterative fixed-point PageRank (5 integer supersteps, CTE-block
-    # oracle) — the full-strength global prior whose one-hop count is
-    # in-window link_rank; CI-certified here every run
-    "pagerank",
+    # json_flatten moved here r4-s2 (seat taken by pagerank): X11 is one
+    # built-in projection, CI-certified here every run
+    "json_flatten",
     # next-word continuation read straight off the stored bigram pair
     # termlists (prefix_suggest's continuation twin); CI-certified here
     "next_word_suggest",
