@@ -146,9 +146,12 @@ def load_sidecar(segment_dir: str) -> dict | None:
         return None
     key = (path, st.st_ino, st.st_mtime_ns)
     if key not in _SIDECAR_CACHE:
-        # evict stale identities of the same path (deleted + rebuilt root)
-        for stale in [k for k in _SIDECAR_CACHE if k[0] == path]:
-            del _SIDECAR_CACHE[stale]
+        # evict stale identities of the same path (deleted + rebuilt
+        # root); list() snapshot + pop — concurrent federated driver
+        # threads may insert mid-walk (review r4-s2)
+        for stale in list(_SIDECAR_CACHE):
+            if stale[0] == path:
+                _SIDECAR_CACHE.pop(stale, None)
         try:
             with open(path) as f:
                 _SIDECAR_CACHE[key] = json.load(f)

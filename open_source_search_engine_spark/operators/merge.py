@@ -97,8 +97,11 @@ def deleted_doc_ids(
     if hit is not None:
         return hit
     # versions only move forward: evict this root's stale-version entries
-    for k in [k for k in _DEAD_CACHE if k[0] == idx.root and k != key]:
-        del _DEAD_CACHE[k]
+    # (list() snapshot + pop: concurrent federated driver threads may
+    # insert/evict during the walk — review r4-s2)
+    for k in list(_DEAD_CACHE):
+        if k[0] == idx.root and k != key:
+            _DEAD_CACHE.pop(k, None)
     df = t.read(spark, version=snap.version if snap else None) if snap else None
     if df is None:
         out = np.empty(0, dtype=np.int64)

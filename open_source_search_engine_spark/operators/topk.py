@@ -225,16 +225,19 @@ def _wand_kernel(
                 yield int(rows[b]), midx[sel], cu_m[sel]
 
     def probe(
-        t: int, cd: np.ndarray, cu: np.ndarray
+        t: int, cd: np.ndarray, cu: np.ndarray, mask: np.ndarray | None = None
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(tf, doclen, present) of candidates in term t's salt sub-lists
         (routing via ``_route``); decoded lazily.  doclen comes from the
-        probed termlist's own stored values (anchor:/num: lists carry 0)."""
+        probed termlist's own stored values (anchor:/num: lists carry 0).
+        ``mask`` restricts routing to still-alive candidates (review
+        r4-s2): probing only dead candidates would lazily decode blocks
+        whose work can never reach the heap."""
         nonlocal other_decodes
         tf_t = np.zeros(len(cd), dtype=np.float64)
         dl_t = np.zeros(len(cd), dtype=np.float64)
         present = np.zeros(len(cd), dtype=bool)
-        for row, gidx, cvals in _route(t, cd, cu):
+        for row, gidx, cvals in _route(t, cd, cu, mask):
             was_new = row not in decoded
             d_arr, t_arr, l_arr = decode_row(row)
             if was_new:
@@ -345,10 +348,13 @@ def _wand_kernel(
         # paths must agree on mixed queries.
         imp = _impact(ct.astype(np.float64), cl.astype(np.float64), avgdl)
         score = slots[rarest_slot][this_term] * imp
+        # every probe below is masked to still-alive candidates (review
+        # r4-s2): dead candidates can never reach the heap, and an
+        # unmasked probe would lazily decode blocks only they route into
         for t, w in slots[rarest_slot].items():
             if t == this_term:
                 continue
-            tf_t, dl_t, present = probe(t, cd, cu)
+            tf_t, dl_t, present = probe(t, cd, cu, alive)
             contrib = np.where(
                 present, w * _impact(tf_t, dl_t, avgdl), 0.0
             )
@@ -360,7 +366,7 @@ def _wand_kernel(
             slot_score = np.zeros(len(cd))
             slot_present = np.zeros(len(cd), dtype=bool)
             for t, w in s.items():
-                tf_t, dl_t, present = probe(t, cd, cu)
+                tf_t, dl_t, present = probe(t, cd, cu, alive)
                 slot_present |= present
                 slot_score = np.maximum(
                     slot_score,
@@ -374,12 +380,12 @@ def _wand_kernel(
             score += np.where(alive, slot_score, 0.0)
         for t in neg_ids:  # F3: drop docs present in any negative list
             if alive.any():
-                _tf, _dl, present = probe(t, cd, cu)
+                _tf, _dl, present = probe(t, cd, cu, alive)
                 alive &= ~present
         if phrases and alive.any():
             verify_phrases(cd, cu, alive)  # J4 positional adjacency
         if boost_tid is not None and alive.any():
-            _tf, _dl, present = probe(boost_tid, cd, cu)
+            _tf, _dl, present = probe(boost_tid, cd, cu, alive)
             score = np.where(present, score * boost_factor, score)
         # push survivors into the heap; entry (score, -doc) makes heap[0]
         # the WORST by the canonical (score desc, doc asc) order
@@ -454,8 +460,11 @@ def _docmeta_rows(
     key = (index.root, snap.version if snap else -1, ident)
     cache = _DOCMETA_ROW_CACHE.get(key)
     if cache is None:
-        for stale in [k for k in _DOCMETA_ROW_CACHE if k[0] == index.root]:
-            del _DOCMETA_ROW_CACHE[stale]
+        # list() snapshot + pop-tolerant eviction: federated queries hit
+        # this from concurrent driver threads (review r4-s2)
+        for stale in list(_DOCMETA_ROW_CACHE):
+            if stale[0] == index.root:
+                _DOCMETA_ROW_CACHE.pop(stale, None)
         cache = _DOCMETA_ROW_CACHE[key] = {}
     missing = [int(d) for d in doc_ids if d not in cache]
     if missing:
@@ -472,6 +481,24 @@ def _docmeta_rows(
         ):
             cache[r["doc_id"]] = (r["repo"], r["path"], r["lang"])
     return {d: cache[d] for d in doc_ids if d in cache}
+
+
+def _check_negated_phrases(plan) -> None:
+    """Refuse negated phrases longer than an indexed adjacent pair — the
+    same loud contract as plans.exec.search (review r4-s2: the WAND
+    paths previously looked the 3+-token phrase text up in the term
+    dictionary, missed, and silently DROPPED the negation, returning
+    docs the user excluded).  2-token negated phrases are sound here:
+    their pair termlist IS in the dictionary on a bigram index (and a
+    bigram-less index never reaches this path — has_phrase falls back to
+    the exhaustive plan, which applies its own identical guard)."""
+    for t in plan.negatives:
+        ph = getattr(t, "phrase", ()) or ()
+        if len(ph) > 2:
+            raise NotImplementedError(
+                "negated phrases are supported only as 2-token adjacent "
+                f"pairs on a bigram-terms index; got {' '.join(ph)!r}"
+            )
 
 
 def _positive_terms(plan) -> list[str]:
@@ -613,6 +640,7 @@ def search_wand(
     all_pos = _positive_terms(plan)
     if not all_pos:
         raise ValueError("query has no positive terms")
+    _check_negated_phrases(plan)
     neg_terms = [t.text for t in plan.negatives]
     boost_term = f"lang:{lang_boost[0].lower()}" if lang_boost else None
 
@@ -860,6 +888,8 @@ def search_wand_batch(
             spark, index, plans, qlabels, k, enrich, lang_boost
         )
 
+    for p in plans:
+        _check_negated_phrases(p)
     all_terms = sorted(
         {t for p in plans for t in _positive_terms(p)}
         | {t.text for p in plans for t in p.negatives}

@@ -352,9 +352,7 @@ def search(
     if neg_terms:
         neg_ids = [df_by_term[t][0] for t in neg_terms if t in df_by_term]
         if neg_ids:
-            from ..operators.merge import decode_to_postings as _dtp
-
-            neg_docs = _dtp(
+            neg_docs = decode_to_postings(
                 blocks.filter(F.col("term_id").isin(neg_ids)),
                 with_positions=False,
             ).select("doc_id").distinct()
@@ -381,8 +379,14 @@ def search(
             scored.join(langs, "doc_id", "left")
             .withColumn(
                 "score",
+                # case-fold BOTH sides (review r4-s2): the index stores
+                # the lowercased lang:<x> term and the WAND path matches
+                # it case-insensitively, but docstats carries the RAW
+                # lang value — a raw comparison would make the two query
+                # paths boost different docs on a mixed-case corpus
                 F.when(
-                    F.col("lang") == blang, F.col("score") * F.lit(float(factor))
+                    F.lower(F.col("lang")) == blang.lower(),
+                    F.col("score") * F.lit(float(factor)),
                 ).otherwise(F.col("score")),
             )
             .drop("lang")
@@ -542,9 +546,17 @@ _RESULT_CACHE_MAX = 512
 def _evict_versions(cache: dict, root: str, live_key: tuple) -> None:
     """Drop entries keyed (root, version, ...) whose version tuple differs
     from the live one — snapshot versions only move forward, so any other
-    version for the same root is unreachable."""
-    for k in [k for k in cache if k[0] == root and k[: len(live_key)] != live_key]:
-        del cache[k]
+    version for the same root is unreachable.
+
+    Thread-safety (review r4-s2): federate_search scatters queries across
+    driver threads, so another thread may insert or evict concurrently.
+    ``list(cache)`` snapshots the keys at C level (atomic under the GIL,
+    unlike a bytecode-level comprehension over the live dict, which
+    raises RuntimeError if the dict resizes mid-iteration), and
+    ``pop(k, None)`` tolerates the same stale key being evicted twice."""
+    for k in list(cache):
+        if k[0] == root and k[: len(live_key)] != live_key:
+            cache.pop(k, None)
 
 
 def _result_cache_key(index: Index, tag: str, extra: tuple) -> tuple:

@@ -45,18 +45,21 @@ def _read_cache_put(key: tuple, df) -> None:
     snapshots alongside HEAD, and evicting one on every head/pin
     alternation would re-pay the footer re-analysis this memo exists to
     avoid."""
-    for stale in [
-        k
-        for k in _READ_CACHE
-        if k[0] != key[0]
-        or (k[1] == key[1] and k[2] == key[2] and k[3] != key[3])
-    ]:
-        del _READ_CACHE[stale]
+    # list() snapshots + pop-tolerant deletes: federated queries reach
+    # this memo from concurrent driver threads (review r4-s2), and a
+    # bytecode-level comprehension over the live dict raises
+    # RuntimeError if another thread inserts mid-iteration
+    for stale in list(_READ_CACHE):
+        if stale[0] != key[0] or (
+            stale[1] == key[1] and stale[2] == key[2] and stale[3] != key[3]
+        ):
+            _READ_CACHE.pop(stale, None)
     _READ_CACHE[key] = df
-    versions = sorted({k[2] for k in _READ_CACHE if k[1] == key[1]})
+    versions = sorted({k[2] for k in list(_READ_CACHE) if k[1] == key[1]})
     for v in versions[: -_READ_KEEP_VERSIONS] if len(versions) > _READ_KEEP_VERSIONS else []:
-        for k in [k for k in _READ_CACHE if k[1] == key[1] and k[2] == v]:
-            del _READ_CACHE[k]
+        for k in list(_READ_CACHE):
+            if k[1] == key[1] and k[2] == v:
+                _READ_CACHE.pop(k, None)
 
 
 @dataclass
