@@ -68,18 +68,21 @@ def _hash_pair(term_ids) -> tuple[np.ndarray, np.ndarray]:
     return h1, h2
 
 
-def build_bloom(term_ids, fpp: float = 0.01) -> dict:
-    """Bloom over the distinct ``term_ids`` (n=0 → the always-empty bloom,
-    which prunes unconditionally).  Returns the JSON-serializable sidecar
-    dict: {n, m, k, bits(base64)}."""
-    ids = np.unique(np.asarray(list(term_ids), dtype=np.int64))
-    n = int(ids.size)
-    if n == 0:
-        return {"n": 0, "m": 0, "k": 0, "bits": ""}
+def _geometry(n: int, fpp: float) -> tuple[int, int]:
+    """Standard bloom sizing for n distinct keys at the given fpp;
+    m rounded up to a whole number of 64-bit words."""
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
     m = ((m + 63) // 64) * 64
     k = max(1, round(m / n * math.log(2)))
-    bits = np.zeros(m // 8, dtype=np.uint8)
+    return m, k
+
+
+def _scatter(bits: np.ndarray, ids: np.ndarray, m: int, k: int) -> None:
+    """OR the k probe bits of every id into ``bits`` in place.  Pure
+    function of (ids-as-set, m, k): duplicate ids are idempotent, so
+    partial bitmaps built from arbitrary overlapping slices OR-fold to
+    exactly the single-pass bitmap — the property the distributed build
+    relies on."""
     h1, h2 = _hash_pair(ids)
     with np.errstate(over="ignore"):
         for i in range(k):
@@ -91,6 +94,108 @@ def build_bloom(term_ids, fpp: float = 0.01) -> dict:
                     np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
                 ),
             )
+
+
+def build_bloom(term_ids, fpp: float = 0.01) -> dict:
+    """Bloom over the distinct ``term_ids`` (n=0 → the always-empty bloom,
+    which prunes unconditionally).  Returns the JSON-serializable sidecar
+    dict: {n, m, k, bits(base64)}."""
+    ids = np.unique(np.asarray(list(term_ids), dtype=np.int64))
+    n = int(ids.size)
+    if n == 0:
+        return {"n": 0, "m": 0, "k": 0, "bits": ""}
+    m, k = _geometry(n, fpp)
+    bits = np.zeros(m // 8, dtype=np.uint8)
+    _scatter(bits, ids, m, k)
+    return {
+        "n": n,
+        "m": m,
+        "k": k,
+        "bits": base64.b64encode(bits.tobytes()).decode("ascii"),
+    }
+
+
+# distinct-count at or under which the segment writer just pulls the id
+# list (bounded by the count it has already measured) instead of running
+# the partial-bitmap fold — fewer jobs for the common small-delta commit.
+DRIVER_IDS_CAP = 1 << 18
+
+
+def build_bloom_distributed(
+    df, col: str = "term_id", fpp: float = 0.01, chunk_bytes: int = 1 << 16
+) -> dict:
+    """Bloom sidecar built WITHOUT pulling the raw id list to the driver
+    (r4 verdict #2: a 100-TB shard's vocabulary is 10^8–10^9 distinct
+    term_ids — a multi-GB ``distinct().toPandas()`` per segment write —
+    while the *bitmap* is only ~1.2 bits/key).
+
+    Shape: (1) exact distinct count (one agg job, one row back) fixes the
+    geometry (m, k); (2) each input partition scatters its ids into a
+    local bitmap inside ``mapInArrow`` and emits only its non-zero
+    fixed-size chunks; (3) chunks OR-fold per chunk id on executors;
+    (4) the driver receives exactly one bitmap's worth of bytes.  Bloom
+    OR is idempotent, so cross-partition duplicate ids need no dedup and
+    the result is bit-identical to ``build_bloom`` over the same id set
+    (property-tested).  Small segments (distinct count <= DRIVER_IDS_CAP)
+    take the direct path — the pull is bounded by the count already
+    measured, never by the table size."""
+    import pandas as pd
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    ids_df = df.select(F.col(col).cast("long").alias("id"))
+    n = int(ids_df.agg(F.count_distinct("id").alias("n")).first()["n"] or 0)
+    if n == 0:
+        return {"n": 0, "m": 0, "k": 0, "bits": ""}
+    if n <= DRIVER_IDS_CAP:
+        ids = ids_df.distinct().toPandas()["id"].to_numpy()
+        out = build_bloom(ids, fpp=fpp)
+        out["n"] = n
+        return out
+    m, k = _geometry(n, fpp)
+    mbytes = m // 8
+    nchunks = (mbytes + chunk_bytes - 1) // chunk_bytes
+
+    def partial(batches):
+        bits = np.zeros(mbytes, dtype=np.uint8)
+        seen = False
+        for b in batches:
+            arr = b.column(0).to_numpy(zero_copy_only=False)
+            if arr.size:
+                _scatter(bits, np.asarray(arr, dtype=np.int64), m, k)
+                seen = True
+        if not seen:
+            return
+        chunk_ids, blobs = [], []
+        for c in range(nchunks):
+            chunk = bits[c * chunk_bytes : (c + 1) * chunk_bytes]
+            if chunk.any():
+                chunk_ids.append(c)
+                blobs.append(chunk.tobytes())
+        if chunk_ids:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(chunk_ids, pa.int32()), pa.array(blobs, pa.binary())],
+                names=["chunk", "bits"],
+            )
+
+    def orfold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for b in pdf["bits"].iloc[1:]:
+            np.bitwise_or(acc, np.frombuffer(b, dtype=np.uint8), out=acc)
+        return pd.DataFrame(
+            {"chunk": [int(pdf["chunk"].iloc[0])], "bits": [acc.tobytes()]}
+        )
+
+    folded = (
+        ids_df.mapInArrow(partial, "chunk int, bits binary")
+        .groupBy("chunk")
+        .applyInPandas(orfold, "chunk int, bits binary")
+    )
+    bits = np.zeros(mbytes, dtype=np.uint8)
+    for r in folded.collect():  # ≤ nchunks rows, total = one bitmap
+        c = int(r["chunk"])
+        a = np.frombuffer(r["bits"], dtype=np.uint8)
+        bits[c * chunk_bytes : c * chunk_bytes + a.size] = a
     return {
         "n": n,
         "m": m,

@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from ..sources.tables import SnapshotTable
 from .build import Index, _write_tiny_segment, encode_blocks, finalize_stats
 
+# tombstone count above which compaction stops collecting the dead set to
+# the driver for a broadcast anti-join and instead anti-joins against the
+# deletes table directly (distributed).  Mirrors topk.MAX_DEAD_INLINE.
+DEAD_BROADCAST_CAP = 100_000
+
 
 def deletes_table(idx: Index) -> SnapshotTable:
     # time-travel views (operators/timetravel.IndexAsOf) pin the deletes
@@ -73,12 +78,17 @@ def delete_docs_df(spark: SparkSession, idx: Index, doc_ids: DataFrame) -> int:
 # driver-side array (it must exclude dead docs BEFORE the bounded heap so
 # survivors are true local top-k), but collecting it per query was a Spark
 # job on the hot path — cache keyed by the deletes snapshot version.
-_DEAD_CACHE: dict[tuple[str, int], np.ndarray] = {}
+# Values are either the materialized array or an ("over", cap) marker
+# recording that the DISTINCT count is known to exceed ``cap``.
+_DEAD_CACHE: dict[tuple, object] = {}
 
 
 def deleted_doc_ids(
-    spark: SparkSession, idx: Index, version: int | None = None
-) -> np.ndarray:
+    spark: SparkSession,
+    idx: Index,
+    version: int | None = None,
+    cap: int | None = None,
+) -> np.ndarray | None:
     """Sorted DISTINCT live tombstones (small between compactions by
     design), cached per deletes-table snapshot.  The key carries the
     snapshot file identity: an index root deleted and rebuilt in place
@@ -88,14 +98,32 @@ def deleted_doc_ids(
     delete_docs appends without checking prior segments, and a repeated
     delete must not inflate the count toward MAX_DEAD_INLINE.
     ``version`` pins a specific snapshot (compaction uses this so the
-    set it annihilates is exactly the set whose segments it clears)."""
+    set it annihilates is exactly the set whose segments it clears).
+
+    ``cap``: when given, returns ``None`` if the DISTINCT tombstone
+    count exceeds it — and, critically, decides that WITHOUT ever
+    materializing more than ``cap + 1`` ids on the driver (distinct +
+    ``limit(cap+1)`` runs server-side).  The r4 verdict's last latent
+    driver-OOM was the old shape: collect the WHOLE deletes table, THEN
+    compare ``len()`` to the cap — at bulk-delete scale the driver died
+    inside the very collect the cap exists to prevent.  Callers that hit
+    ``None`` must take their distributed path (anti-join against the
+    deletes table)."""
     t = deletes_table(idx)
     snap = t.latest() if version is None else t.at(version)
     ident = t.snapshot_ident(snap.version) if snap else ()
     key = (idx.root, snap.version if snap else -1, ident)
     hit = _DEAD_CACHE.get(key)
     if hit is not None:
-        return hit
+        if isinstance(hit, np.ndarray):
+            if cap is not None and hit.size > cap:
+                return None
+            return hit
+        # ("over", t): distinct count known to exceed t.  A tighter or
+        # equal cap is answered from the marker; a looser cap (or a full
+        # materialization request) must re-probe.
+        if cap is not None and cap <= hit[1]:
+            return None
     # versions only move forward: evict this root's stale-version entries
     # (list() snapshot + pop: concurrent federated driver threads may
     # insert/evict during the walk — review r4-s2)
@@ -105,6 +133,14 @@ def deleted_doc_ids(
     df = t.read(spark, version=snap.version if snap else None) if snap else None
     if df is None:
         out = np.empty(0, dtype=np.int64)
+    elif cap is not None:
+        rows = df.select("doc_id").distinct().limit(cap + 1).collect()
+        if len(rows) > cap:
+            _DEAD_CACHE[key] = ("over", cap)
+            return None
+        vals = np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
+        u = vals.astype(np.uint64) + np.uint64(1 << 63)
+        out = vals[np.argsort(u)]
     else:
         vals = np.unique(
             np.array([r["doc_id"] for r in df.collect()], dtype=np.int64)
@@ -339,19 +375,34 @@ def compact_postings(
     if n_shards is None:
         n_shards = max(int(blocks_df.select("shard").distinct().count()), 1)
     dead = (
-        deleted_doc_ids(spark, idx, version=del_snap.version)
+        deleted_doc_ids(
+            spark, idx, version=del_snap.version, cap=DEAD_BROADCAST_CAP
+        )
         if del_snap is not None
         else np.empty(0, dtype=np.int64)
     )
-    dead_df = (
-        F.broadcast(
-            spark.createDataFrame(
-                pd.DataFrame({"doc_id": dead.astype(np.int64)})
-            )
+    if dead is None:
+        # bulk-delete scale: the tombstone set never touches the driver —
+        # the anti-joins below run against the deletes table itself
+        # (sort-merge/shuffled hash under AQE; a broadcast of this side
+        # would be exactly the OOM the cap guards against)
+        dead_df = (
+            dt.read(spark, version=del_snap.version)
+            .select(F.col("doc_id").cast("long"))
+            .distinct()
         )
-        if len(dead)
-        else None
-    )
+        n_dead = int(dead_df.count())
+    else:
+        dead_df = (
+            F.broadcast(
+                spark.createDataFrame(
+                    pd.DataFrame({"doc_id": dead.astype(np.int64)})
+                )
+            )
+            if len(dead)
+            else None
+        )
+        n_dead = int(len(dead))
     posts = decode_to_postings(blocks_df)
     if dead_df is not None:
         posts = posts.join(dead_df, "doc_id", "left_anti")
@@ -380,7 +431,7 @@ def compact_postings(
         add=[seg], remove=list(prev_snap.segments), operation="compact",
         meta={
             "run_id": run_id,
-            "tombstones_dropped": int(len(dead)),
+            "tombstones_dropped": n_dead,
             "n_shards": int(n_shards),
             # a later add_documents allocates shard ids ABOVE this: the
             # compacted segment occupies 0..n_shards-1, and a colliding

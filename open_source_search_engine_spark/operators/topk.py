@@ -655,15 +655,18 @@ def search_wand(
     neg_ids = [stats[t][0] for t in neg_terms if t in stats]
     from .merge import deleted_doc_ids
 
-    dead = deleted_doc_ids(spark, index)
-    if len(dead) > MAX_DEAD_INLINE:
+    # cap-aware probe: over MAX_DEAD_INLINE tombstones this returns None
+    # WITHOUT collecting the deletes table (distinct+limit server-side) —
+    # the r4 verdict's driver-OOM shape was collect-then-len-check
+    dead = deleted_doc_ids(spark, index, cap=MAX_DEAD_INLINE)
+    if dead is None:
         if with_prune_stats:
             # shipping millions of tombstone ids in every task closure
             # would blow up task serialization — refuse like the other
             # prune-stats-incompatible states instead of silently
             # violating the documented bound
             raise ValueError(
-                f"{len(dead)} tombstones exceed the WAND inline bound "
+                f"tombstones exceed the WAND inline bound "
                 f"({MAX_DEAD_INLINE}); compact the index or query without "
                 "with_prune_stats"
             )
@@ -877,9 +880,10 @@ def search_wand_batch(
     has_phrase = any(
         len(m.phrase) > 1 for p in plans for g in p.groups for m in g.members
     ) or any(len(t.phrase) > 1 for p in plans for t in p.negatives)
-    dead = deleted_doc_ids(spark, index)
+    # None = over MAX_DEAD_INLINE, decided without a full driver collect
+    dead = deleted_doc_ids(spark, index, cap=MAX_DEAD_INLINE)
     if (
-        len(dead) > MAX_DEAD_INLINE
+        dead is None
         or (lang_boost is not None and float(lang_boost[1]) < 1.0)
         or (has_phrase and not index.features().get("bigrams", False))
     ):

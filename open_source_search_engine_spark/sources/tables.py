@@ -87,20 +87,19 @@ class SnapshotTable:
         df.write.mode("errorifexists").parquet(path)
         if bloom_col is not None:
             # membership sidecar for read_pruned (functions/bloom.py —
-            # the RdbMap file-pruning analog).  Distinct ids are read
-            # back from the segment's OWN parquet (one cheap single-column
-            # scan) rather than from ``df``, so the upstream plan is never
+            # the RdbMap file-pruning analog).  Ids are read back from
+            # the segment's OWN parquet (one cheap single-column scan)
+            # rather than from ``df``, so the upstream plan is never
             # recomputed; written before commit, immutable with the dir.
+            # The build is distributed (r4 verdict #2): the driver never
+            # receives an unbounded id list — only the fixed-size bitmap
+            # (or a count-bounded pull for small segments).
             from ..functions import bloom as _bloom
 
-            ids = (
-                df.sparkSession.read.parquet(path)
-                .select(bloom_col)
-                .distinct()
-                .toPandas()[bloom_col]
-                .to_numpy()
+            sidecar = _bloom.build_bloom_distributed(
+                df.sparkSession.read.parquet(path), bloom_col
             )
-            _bloom.write_sidecar(path, _bloom.build_bloom(ids))
+            _bloom.write_sidecar(path, sidecar)
         return path
 
     def _rel(self, path: str) -> str:

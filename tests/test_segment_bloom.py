@@ -169,3 +169,51 @@ def test_compacted_segment_gets_bloom(spark, bloom_index):
     # post-compaction queries still correct
     w = search_wand(spark, bloom_index, "zebra", k=10, enrich=False)
     assert w.count() == 2
+
+
+# ------------------------------------------------- distributed build (r5 #2)
+
+
+def test_distributed_bloom_bit_identical(spark, monkeypatch):
+    # force the partial-bitmap fold even at toy size, across multiple
+    # partitions with overlapping ids; result must be BIT-identical to
+    # the single-pass driver build over the same distinct set
+    rng = np.random.default_rng(23)
+    ids = rng.integers(-(2**62), 2**62, size=4000, dtype=np.int64)
+    ids = np.concatenate([ids, ids[:1000]])  # cross-partition duplicates
+    df = spark.createDataFrame(
+        [(int(x),) for x in ids], "term_id long"
+    ).repartition(7)
+    monkeypatch.setattr(B, "DRIVER_IDS_CAP", 10)  # force distributed path
+    got = B.build_bloom_distributed(df, "term_id", chunk_bytes=64)
+    want = B.build_bloom(ids)
+    assert got == want
+
+
+def test_distributed_bloom_never_pulls_id_list(spark, monkeypatch):
+    # over-cap: the driver may receive the bitmap chunks and the count,
+    # never the id list — spy toPandas and bound collect row counts
+    ids = np.arange(3000, dtype=np.int64) * 7919 - 2**40
+    df = spark.createDataFrame([(int(x),) for x in ids], "term_id long")
+    monkeypatch.setattr(B, "DRIVER_IDS_CAP", 100)
+    cls = type(spark.range(1))
+    calls = {"toPandas": 0}
+    real_topandas = cls.toPandas
+
+    def spy_tp(self):
+        calls["toPandas"] += 1
+        return real_topandas(self)
+
+    monkeypatch.setattr(cls, "toPandas", spy_tp)
+    bl = B.build_bloom_distributed(df, "term_id")
+    assert calls["toPandas"] == 0
+    assert bl["n"] == 3000
+    assert bool(B.might_contain(bl, ids).all())
+
+
+def test_small_segment_direct_path_is_count_bounded(spark):
+    # under the cap the direct pull is used and matches the driver build
+    ids = np.arange(500, dtype=np.int64) - 250
+    df = spark.createDataFrame([(int(x),) for x in ids], "term_id long")
+    got = B.build_bloom_distributed(df, "term_id")
+    assert got == B.build_bloom(ids)
