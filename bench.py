@@ -112,6 +112,7 @@ EXTRAS = [
     "mix_temperature",
     "pagerank",
     "next_word_suggest",
+    "collocations",
 ]
 
 

@@ -299,12 +299,24 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     if args.cmd == "suggest-next":
+        import sys
+
         from pyspark.sql import functions as F
 
         from .operators.build import Index
 
+        idx = Index(args.index)
+        if not idx.features().get("bigrams", False):
+            # without pair termlists an empty suggestion list would be
+            # indistinguishable from "no continuations" (r4 ADVICE)
+            print(
+                "suggest-next needs an index built with bigram_terms=True "
+                "(this index has no pair termlists)",
+                file=sys.stderr,
+            )
+            raise SystemExit(2)
         pfx = args.word.lower().strip() + " "
-        ts = Index(args.index).termstats.read(spark)
+        ts = idx.termstats.read(spark)
         rows = (
             ts.filter(F.col("term").startswith(pfx))
             .orderBy(F.desc("df"), F.desc("cf"), "term")

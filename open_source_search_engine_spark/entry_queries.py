@@ -2066,10 +2066,14 @@ def q_collocations(spark, sf_dir):
     joined = (
         sp.join(w1, "_w1").join(w2, "_w2").crossJoin(F.broadcast(total))
     )
+    # cast to double BEFORE the multiplies: cf * t_total as long*long
+    # wraps silently at web scale in non-ANSI Spark while the DuckDB
+    # oracle raises on BIGINT overflow (r4 ADVICE) — the product feeds
+    # log, so integer exactness is irrelevant
     pmi = F.round(
         F.log(
-            (F.col("cf") * F.col("_t_total"))
-            / (F.col("_cf1") * F.col("_cf2"))
+            (F.col("cf").cast("double") * F.col("_t_total").cast("double"))
+            / (F.col("_cf1").cast("double") * F.col("_cf2").cast("double"))
         ),
         4,
     )
@@ -2103,7 +2107,8 @@ WITH toks AS (
   HAVING count(DISTINCT doc_id) >= {_COLLOC_MIN_DF}
 )
 SELECT p.pair, p.df, p.cf,
-       round(ln((p.cf * t.t_total) / (w1.cf * w2.cf)), 4) AS pmi
+       round(ln((CAST(p.cf AS DOUBLE) * CAST(t.t_total AS DOUBLE))
+                / (CAST(w1.cf AS DOUBLE) * CAST(w2.cf AS DOUBLE))), 4) AS pmi
 FROM pairs p
 CROSS JOIN total t
 JOIN words w1 ON w1.w = split_part(p.pair, ' ', 1)
@@ -2309,9 +2314,17 @@ def q_pagerank(spark, sf_dir):
 def _sql_pagerank(n_iter: int = 5, damping: int = 85) -> str:
     from .operators.links import PR_SCALE
 
-    teleport = (100 - damping) * PR_SCALE // 100
+    # the adaptive per-doc base mass is computed IN SQL (mirrors
+    # links._pr_scale_for: max(1, min(PR_SCALE, 2^62 // (100*n)))) — a
+    # hardcoded PR_SCALE diverged from the engine above ~4.6e7 docs,
+    # where pagerank() switches to a smaller base to stay in int64
+    # (r4 ADVICE).  The teleport term derives from the same scale.
+    teleport = f"(SELECT ((100 - {damping}) * s) // 100 FROM scale)"
     parts = [
         "nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM documents)",
+        f"scale AS (SELECT CAST(greatest(1, least({PR_SCALE}, "
+        "4611686018427387904 // (100 * greatest(n_total, 1)))) AS BIGINT)"
+        " AS s FROM nn)",
         """edges AS MATERIALIZED (
   SELECT DISTINCT d.doc_id AS src,
          ((d.doc_id * 131 + d.n_chars + j.j * 37) % nn.n_total) AS dst
@@ -2320,7 +2333,7 @@ def _sql_pagerank(n_iter: int = 5, damping: int = 85) -> str:
 )""",
         "outdeg AS MATERIALIZED (SELECT src, CAST(count(*) AS BIGINT) AS od"
         " FROM edges GROUP BY src)",
-        f"r0 AS MATERIALIZED (SELECT doc_id, CAST({PR_SCALE} AS BIGINT) AS r"
+        "r0 AS MATERIALIZED (SELECT doc_id, (SELECT s FROM scale) AS r"
         " FROM documents)",
     ]
     for k in range(1, n_iter + 1):
@@ -2343,7 +2356,7 @@ def _sql_pagerank(n_iter: int = 5, damping: int = 85) -> str:
         parts.append(
             f"""r{k} AS MATERIALIZED (
   SELECT d.doc_id,
-         CAST({teleport} + ({damping} * (coalesce(i.inflow, 0)
+         CAST(({teleport}) + ({damping} * (coalesce(i.inflow, 0)
               + (SELECT dm FROM dang{k}) // (SELECT n_total FROM nn)))
               // 100 AS BIGINT) AS r
   FROM {p} d LEFT JOIN inf{k} i USING (doc_id)
