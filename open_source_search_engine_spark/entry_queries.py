@@ -3278,7 +3278,10 @@ _WINDOW = [
     # "collections", Collectiondb/&c= — two independent namespace
     # indexes, per-collection stats, merged SERP), a genuinely new
     # capability whose oracle recomputes BM25 per corpus half
-    "engine_federated",
+    # r5: the COMPOSED batch×federation entry takes the seat (strictly
+    # stronger claim: N queries × M collections in one driver row;
+    # single-query federation is its N=1 case and stays tail-CI)
+    "engine_federated_batch",
     # late-r4: engine_bm25_and2 moved to the tail — the same slot-count
     # twin argument that moved and3 there (J1 N-way intersection stays
     # in-window via engine_bm25_batch's 3-term AND member, engine_bm25_neg
@@ -3322,14 +3325,24 @@ _WINDOW = [
     # filter (bigram LM fitted in Spark on a reference slice, scored over
     # the corpus, oracle replays training AND scoring in SQL)
     "lm_perplexity",
-    "termstats",
+    # r5: termstats moved to the tail — A2 df/cf are read VERBATIM by the
+    # in-window spell_suggest / engine_mlt / collocation-family oracles
+    # and feed every engine BM25 hash; its seat goes to pack_sequences,
+    # the GPT-style concatenate-and-chunk layout (window cumsum + exact
+    # integer chunk math, >2^53-safe), never driver-certified before
+    "pack_sequences",
     # r4: collstats moved to the tail — N/avgdl are transitively certified
     # by every in-window engine BM25 hash (they feed the scoring math);
     # its seat goes to engine_anchor, the LinkInfo anchor-text-in-target
     # feature (J7 parity: injected anchor: termlists answered from the
     # stored index)
     "engine_anchor",
-    "gigabits",
+    # r5: gigabits moved to the tail — A7 related-term selection is
+    # embedded in in-window engine_mlt (single-doc gigabits -> match-any
+    # retrieval) and stays tail-CI via engine_gigabits/collocations; its
+    # seat goes to dup_span_scrub, the substring-dedup REWRITE (8-gram
+    # span removal + cleaned-corpus checksum), never driver-certified
+    "dup_span_scrub",
     "spell_suggest",
     # late-r4: serp_dedup moved to the tail — W3 keep-first-per-site is
     # the rank<=1 case of the same serp window certified in-window by
@@ -3340,7 +3353,12 @@ _WINDOW = [
     # 100% prefilter recall)
     "engine_regex",
     "snippet",
-    "search_facets",
+    # r5: search_facets moved to the tail — A4 facet aggregation stays
+    # in-window via engine_facets (and facet_ranges/embed_facets in the
+    # CI tail); its seat goes to engine_search_after, keyset deep paging
+    # through the WAND kernel (T3 at scale: cursor admission predicate on
+    # the heap — page n costs page-1 money), never driver-certified
+    "engine_search_after",
     # r4: facet_ranges moved to the tail (facet aggregation stays
     # certified in-window twice: engine_facets + search_facets); its seat
     # goes to the URL-filters DSL — F9 converted from out-of-scope to a
@@ -3348,9 +3366,14 @@ _WINDOW = [
     "url_filters",
     "site_cluster",
     "bm25_lang",
-    # relational operator analogs (unique SURVEY rows)
-    "agg_pricing",
-    "join_enrich",
+    # r5: agg_pricing / join_enrich moved to the tail — A5 partial→final
+    # agg is in-window via metrics_rollup + every engine agg; J9
+    # broadcast meta enrich rides every enrich=True engine row.  Their
+    # seats go to two never-driver-certified curation ops: the C4
+    # heuristic cleaning battery and the Gopher duplicate-n-gram
+    # repetition filters (both with full SQL-replay oracles)
+    "c4_filters",
+    "gopher_repetition",
     # late-r4: semi_join moved to the tail — J2 left-semi semantics are
     # certified in-window by engine_regex (candidate semi-join into the
     # corpus) and decontam_ngram (broadcast gram semi-join), and the
@@ -3453,8 +3476,21 @@ _WINDOW = [
     # embed_facets' seat (facet aggregation is certified in-window three
     # ways: engine_facets, search_facets, facet_ranges); embed_facets
     # moves to the tail
-    "prefix_suggest",
-    "minhash_lsh",
+    # r5: prefix_suggest moved to the tail (dictionary-read + df-ranked
+    # shape is in-window spell_suggest's plan with a prefix instead of a
+    # length-band filter); its seat goes to mix_temperature, the τ=2
+    # temperature-rebalanced training mix (data-derived sqrt quotas in
+    # integer micro-units), never driver-certified before
+    "mix_temperature",
+    # r5: minhash_lsh moved to the tail — banded candidate generation +
+    # exact verify is driver-certified in-window twice over
+    # (dedup_clusters replays the banded simhash pair set through the
+    # closure; semantic_dedup the hyperplane-banded cosine pairs), and
+    # the exact-jaccard oracle stays CI-certified in the tail.  Its seat
+    # goes to semantic_decontam, the embedding-side decontamination
+    # (broadcast eval matrix, rounded-cosine membership), never
+    # driver-certified before
+    "semantic_decontam",
     # r4: MMR diversified top-k takes simhash's seat — the simhash
     # pipeline (signatures, banding recall, exact hamming) is certified
     # transitively by in-window dedup_clusters, whose oracle replays the
@@ -3475,14 +3511,22 @@ _TAIL = [
     # training_mix's oracle.  Both stay CI-certified here every run.
     "engine_bm25_single",
     "langid",
+    # r5 rotation: eight rows whose semantics are embedded by in-window
+    # entries ceded their seats to never-driver-certified ops (the twin
+    # convention, in reverse — see the in-window comments).  All eight
+    # stay oracle-certified here every CI run.
+    "engine_federated",
+    "termstats",
+    "gigabits",
+    "search_facets",
+    "agg_pricing",
+    "join_enrich",
+    "prefix_suggest",
+    "minhash_lsh",
     # moved here late-r4 (seat taken by engine_query_delete, the strictly
     # stronger tombstone claim): literal-id-list merge-on-read visibility
     # stays CI-certified here every run
     "engine_latest_wins",
-    # batch × federation composition — its two building blocks hold
-    # window seats (engine_federated, engine_bm25_batch); the composed
-    # entry is CI-certified here
-    "engine_federated_batch",
     # analog twins / grouping-set demo, each certified by an in-window entry
     # (ann_cosine / multimodal_meta moved here r4: ann_cosine's oracle is
     # the embedded ann CTE of in-window hybrid_rrf + identical to
@@ -3519,11 +3563,6 @@ _TAIL = [
     # slot scoring AND block-max bounds; oracle replays the idf
     # multiplier.  Certified here every CI run.
     "engine_term_weight",
-    # T3 at scale: keyset deep paging through the WAND kernel (cursor
-    # admission predicate on the heap — page n costs the same as page 1);
-    # oracle = the OFFSET page of the full replayed ranking.  Certified
-    # here every CI run (test_registry_tail_oracles)
-    "engine_search_after",
     # A8 waiting-tree counts: agg-family twin of in-window metrics_rollup
     # + window-sum; the R5 dequeue holds the frontier family's window seat
     "frontier_quota",
@@ -3583,18 +3622,12 @@ _TAIL = [
     # WAND base — retrieval twin of in-window engine_anchor + blend twin
     # of tail engine_link_rank; CI-certified via test_registry_tail_oracles
     "engine_anchor_boost",
-    # late-r4 training-pipeline ops: GPT-style concatenate-and-chunk pack
-    # layout (window cumsum + exact integer chunk math) and codegen-regex
-    # PII audit/redaction with a closed-form injected-identifier rule;
-    # CI-certified every run via test_registry_tail_oracles
-    "pack_sequences",
+    # codegen-regex PII audit/redaction with a closed-form
+    # injected-identifier rule; CI-certified every run
     "pii_scrub",
-    # Gopher duplicate-n-gram repetition filters, integer-exact pairs
-    "gopher_repetition",
-    # cross-doc duplicated spans (substring-dedup accounting, 8-grams)
+    # cross-doc duplicated spans (substring-dedup accounting, 8-grams);
+    # the REWRITE entry (dup_span_scrub) holds a window seat since r5
     "dup_spans",
-    # substring-dedup REWRITE: remove dup spans, checksum the cleaned corpus
-    "dup_span_scrub",
     # moved out of the window late-r4 (seats taken by lm_perplexity /
     # quality_perceptron): tf feeds every in-window engine BM25 hash;
     # quality_full's gate expressions are embedded in training_mix's
@@ -3611,19 +3644,6 @@ _TAIL = [
     # argument that moved and3 — J1 stays in-window via the batch AND
     # member and every multi-slot entry
     "engine_bm25_and2",
-    # SEMANTIC decontamination (r4-final): the embedding twin of in-window
-    # decontam_ngram — broadcast eval matrix, rounded-cosine membership;
-    # its cosine expression is the in-window semantic_dedup/hybrid_rrf
-    # convention.  CI-certified here every run (test_registry_tail_oracles)
-    "semantic_decontam",
-    # r4-final training-pipeline additions, CI-certified here every run:
-    # the C4 heuristic cleaning battery (line/page rules over synthesized
-    # page structure, pii_scrub's injection convention) and the τ=2
-    # temperature-rebalanced mix (data-derived sqrt quotas in integer
-    # micro-units + content-keyed rank selection — the data-driven twin
-    # of in-window training_mix's fixed per-stratum quota stage)
-    "c4_filters",
-    "mix_temperature",
     # json_flatten moved here r4-s2 (seat taken by pagerank): X11 is one
     # built-in projection, CI-certified here every run
     "json_flatten",
