@@ -1028,28 +1028,57 @@ FROM d ORDER BY doc_id
 """
 
 
+# deterministic multi-language fixture (the pii_scrub injection
+# convention): each doc gets its stored-lang function-word marker
+# prepended, repeated proportionally to length so the signal scales with
+# the document; zh (no ASCII profile) gets nothing and falls through to
+# whatever the English keyword-soup base text scores.  Both engine and
+# oracle build the identical text, so the entry certifies the CLASSIFIER
+# (operators/textstats.langid_multi — X7 full-strength, 7 languages).
+_LANG_MARKERS = {
+    lg: " ".join(textstats.LANG_PROFILES[lg]) for lg in ("de", "en", "es", "fr")
+}
+
+
 def q_langid(spark, sf_dir):
-    """language-ID heuristic vs the stored lang column: confusion counts."""
+    """Multi-language ID (X7: Language.cpp/Lang.cpp analog) — per-language
+    function-word gram profiles scored with the length/replace count, a
+    pure codegen expression; confusion counts vs the stored lang column
+    over the injected ≥4-language fixture."""
     docs = _t(spark, sf_dir, "documents")
-    toks = _toks()
+    mk = F.lit("")
+    for lg, marker in _LANG_MARKERS.items():
+        mk = F.when(F.col("lang") == lg, F.lit(marker)).otherwise(mk)
+    k = F.greatest(
+        F.lit(1), F.expr("length(coalesce(text, '')) div 200")
+    ).cast("int")
+    fixture = F.concat(
+        F.repeat(F.concat(mk, F.lit(" ")), k), F.coalesce(F.col("text"), F.lit(""))
+    )
     return (
-        docs.select("lang", textstats.langid_en(toks).alias("predicted"))
+        docs.select("lang", textstats.langid_multi(fixture).alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count("*").alias("n"))
         .orderBy("lang", "predicted")
     )
 
 
+_LANG_MARKER_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN '{m}'" for lg, m in _LANG_MARKERS.items())
+    + " ELSE '' END"
+)
+
 SQL_LANGID = f"""
-WITH d AS (
-  SELECT lang, regexp_extract_all(lower(text), '{TOKEN_RE}') AS toks FROM documents
+WITH fx AS (
+  SELECT lang,
+         repeat(({_LANG_MARKER_CASE}) || ' ',
+                greatest(1, length(coalesce(text, '')) // 200))
+           || coalesce(text, '') AS t
+  FROM documents
 ),
 p AS (
-  SELECT lang,
-         CASE WHEN len(toks) > 0 AND
-           CAST(len(list_filter(toks, t -> t IN ({_SW_LIST}))) AS DOUBLE) / len(toks) > 0.08
-           THEN 'en' ELSE 'other' END AS predicted
-  FROM d
+  SELECT lang, {textstats.langid_multi_sql('t')} AS predicted FROM fx
 )
 SELECT lang, predicted, count(*) AS n FROM p GROUP BY lang, predicted
 ORDER BY lang, predicted
@@ -1092,7 +1121,7 @@ q AS (
                + 0.4 * (1.0 - rep)
                + 0.2 * (CASE WHEN swr > 0.05 THEN 1.0 ELSE 0.0 END), 4)
            AS quality,
-         CASE WHEN swr > 0.08 THEN 'en' ELSE 'other' END AS lang_pred
+         {textstats.langid_multi_sql('text')} AS lang_pred
   FROM m
 ),
 f AS (SELECT * FROM q WHERE quality >= 0.7 AND lang_pred = 'en'),

@@ -70,7 +70,10 @@ def training_mix(
         F.col(strata_col),
         F.col(text_col),
         textstats.quality_score(toks).alias("quality"),
-        textstats.langid_en(toks).alias("lang_pred"),
+        # r5: full multi-language gate (langid_multi, 7 profiles) — the
+        # binary stopword-ratio langid_en only separated en from not-en,
+        # which a multilingual pretraining mix cannot work with
+        textstats.langid_multi(F.col(text_col)).alias("lang_pred"),
         textstats.token_count(toks).cast("long").alias("n_tokens"),
     )
     gated = annotated.filter(F.col("quality") >= quality_min)

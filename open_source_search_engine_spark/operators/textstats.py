@@ -66,9 +66,97 @@ def quality_score(tokens: Column) -> Column:
 
 def langid_en(tokens: Column, threshold: float = 0.08) -> Column:
     """n-gram-free language-ID heuristic (X7): English iff stopword hit
-    ratio exceeds threshold."""
+    ratio exceeds threshold.  Superseded by `langid_multi` (r5) — kept
+    for the binary en/other twin and its tail oracle."""
     return F.when(stopword_ratio(tokens) > threshold, F.lit("en")).otherwise(
         F.lit("other")
+    )
+
+
+# --------------------------------------------------------------- multi-lang
+# X7 full-strength: the reference ships per-language n-gram/charset
+# profiles (Language.cpp/Lang.cpp); the Spark rebuild scores space-padded
+# function-word grams per language with the length/replace occurrence
+# count — a pure codegen expression (no UDF, no explode) that both Spark
+# and an ANSI-SQL oracle evaluate identically.  Profiles are ASCII-only
+# (the normalizer folds everything else to spaces), ten distinctive
+# function words per language.  Scoring is integer gram counts; argmax
+# with a deterministic alphabetical first-match tie-break.
+LANG_PROFILES: dict[str, list[str]] = {
+    "de": ["der", "die", "und", "nicht", "das", "ist", "ein", "mit", "zu", "auf"],
+    "en": ["the", "and", "of", "to", "is", "that", "it", "for", "with", "on"],
+    "es": ["el", "los", "que", "es", "una", "con", "por", "para", "del", "las"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"],
+    "it": ["il", "che", "di", "per", "non", "gli", "sono", "della", "anche", "come"],
+    "nl": ["de", "het", "een", "niet", "van", "dat", "met", "voor", "zijn", "ook"],
+    "pt": ["um", "uma", "os", "mais", "mas", "dos", "das", "sem", "como", "nao"],
+}
+
+
+def lang_norm(col: Column) -> Column:
+    """Space-padded lowercase letter runs: every non-letter run folds to
+    one space, so ``' word '`` membership tests are exact word hits."""
+    return F.concat(
+        F.lit(" "), F.regexp_replace(F.lower(col), "[^a-z]+", " "), F.lit(" ")
+    )
+
+
+def _gram_count(norm: Column, gram: str) -> Column:
+    """Non-overlapping occurrences of ``gram`` in ``norm`` — the
+    length/replace trick, identical semantics in Spark and DuckDB."""
+    diff = F.length(norm) - F.length(F.replace(norm, F.lit(gram), F.lit("")))
+    return (diff / F.lit(len(gram))).cast("long")
+
+
+def lang_score(norm: Column, lang: str) -> Column:
+    """Integer profile score: total padded-word hits for ``lang``."""
+    counts = [_gram_count(norm, f" {w} ") for w in LANG_PROFILES[lang]]
+    total = counts[0]
+    for c in counts[1:]:
+        total = total + c
+    return total
+
+
+def langid_multi(col: Column, min_hits: int = 1) -> Column:
+    """Multi-language ID over raw text (X7): argmax of per-language
+    profile scores, ``'other'`` when the best score is under
+    ``min_hits`` (or the text is NULL).  Ties break to the
+    alphabetically first language — array_position returns the FIRST
+    max index, replayed verbatim by the SQL oracle's list_position.
+    Shape note: the scores array is built ONCE (70 gram counts); the
+    earlier per-language CASE chain inlined every score into every
+    branch (~630 regexp subtrees, an 8.9 MiB task binary)."""
+    norm = lang_norm(col)
+    langs = sorted(LANG_PROFILES)
+    scores = F.array(*[lang_score(norm, lg) for lg in langs])
+    names = F.array(*[F.lit(lg) for lg in langs])
+    mx = F.array_max(scores)
+    return F.when(col.isNull() | (mx < min_hits), F.lit("other")).otherwise(
+        F.element_at(names, F.array_position(scores, mx).cast("int"))
+    )
+
+
+def langid_multi_sql(text_expr: str, min_hits: int = 1) -> str:
+    """The DuckDB replay of `langid_multi` over the SQL expression
+    ``text_expr`` — generated from the SAME profile table so the oracle
+    can never drift from the engine."""
+    norm = f"(' ' || regexp_replace(lower({text_expr}), '[^a-z]+', ' ', 'g') || ' ')"
+    langs = sorted(LANG_PROFILES)
+
+    def score(lg: str) -> str:
+        parts = [
+            f"((length({norm}) - length(replace({norm}, ' {w} ', ''))) // {len(w) + 2})"
+            for w in LANG_PROFILES[lg]
+        ]
+        return "(" + " + ".join(parts) + ")"
+
+    lst = "[" + ", ".join(score(lg) for lg in langs) + "]"
+    names = "[" + ", ".join(f"'{lg}'" for lg in langs) + "]"
+    mx = "greatest(" + ", ".join(score(lg) for lg in langs) + ")"
+    return (
+        f"CASE WHEN {text_expr} IS NULL THEN 'other' "
+        f"WHEN {mx} < {min_hits} THEN 'other' "
+        f"ELSE ({names})[list_position({lst}, {mx})] END"
     )
 
 
