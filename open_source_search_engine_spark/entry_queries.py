@@ -1472,28 +1472,76 @@ WHERE rn <= 2 ORDER BY source, rn
 """
 
 
+_SNIPPET_TERMS = ("spark", "merge")
+
+
 def q_snippet(spark, sf_dir):
-    """X15: snippet — a window of text around the first hit of 'spark'."""
+    """X15 best-window summary (Summary.cpp's best-sentence rule, r5):
+    each query term anchors a candidate 60-char window at its first
+    occurrence; candidates score by how many DISTINCT query terms they
+    contain; argmax wins, ties to the earliest window start.  Output is
+    (doc_id, snippet, n_terms) for docs matching either term."""
+    t1, t2 = _SNIPPET_TERMS
     docs = _t(spark, sf_dir, "documents")
-    pos = F.locate("spark", F.lower(F.col("text")))
+    low = F.lower(F.col("text"))
+    cands = []
+    for t in (t1, t2):
+        pos = F.locate(t, low)
+        start = F.greatest(pos - 20, F.lit(1))
+        win = F.substring(low, start, 60)
+        score = sum((F.instr(win, u) > 0).cast("int") for u in (t1, t2))
+        cands.append(
+            F.when(
+                pos > 0,
+                F.struct(
+                    score.alias("s"), (-start).alias("negpos"), win.alias("w")
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(-1).alias("s"),
+                    F.lit(0).alias("negpos"),
+                    F.lit("").alias("w"),
+                )
+            )
+        )
+    best = F.array_max(F.array(*cands))
     return (
-        docs.filter(pos > 0)
+        docs.filter((F.locate(t1, low) > 0) | (F.locate(t2, low) > 0))
         .select(
             "doc_id",
-            F.substring(
-                F.lower(F.col("text")), F.greatest(pos - 20, F.lit(1)), 60
-            ).alias("snippet"),
+            best["w"].alias("snippet"),
+            best["s"].cast("long").alias("n_terms"),
         )
         .orderBy("doc_id")
     )
 
 
-SQL_SNIPPET = """
+SQL_SNIPPET = f"""
+WITH c AS (
+  SELECT doc_id, lower(text) AS low,
+         strpos(lower(text), '{_SNIPPET_TERMS[0]}') AS p1,
+         strpos(lower(text), '{_SNIPPET_TERMS[1]}') AS p2
+  FROM documents
+), w AS (
+  SELECT doc_id, p1, p2,
+         greatest(p1 - 20, 1) AS st1, greatest(p2 - 20, 1) AS st2,
+         substr(low, greatest(p1 - 20, 1), 60) AS w1,
+         substr(low, greatest(p2 - 20, 1), 60) AS w2
+  FROM c WHERE p1 > 0 OR p2 > 0
+), s AS (
+  SELECT doc_id, p1, p2, st1, st2, w1, w2,
+         (CASE WHEN strpos(w1, '{_SNIPPET_TERMS[0]}') > 0 THEN 1 ELSE 0 END
+          + CASE WHEN strpos(w1, '{_SNIPPET_TERMS[1]}') > 0 THEN 1 ELSE 0 END) AS s1,
+         (CASE WHEN strpos(w2, '{_SNIPPET_TERMS[0]}') > 0 THEN 1 ELSE 0 END
+          + CASE WHEN strpos(w2, '{_SNIPPET_TERMS[1]}') > 0 THEN 1 ELSE 0 END) AS s2
+  FROM w
+)
 SELECT doc_id,
-       substr(lower(text), greatest(strpos(lower(text), 'spark') - 20, 1), 60)
-         AS snippet
-FROM documents WHERE strpos(lower(text), 'spark') > 0
-ORDER BY doc_id
+       CASE WHEN p1 > 0 AND (p2 <= 0 OR s1 > s2 OR (s1 = s2 AND st1 <= st2))
+            THEN w1 ELSE w2 END AS snippet,
+       CAST(CASE WHEN p1 > 0 AND (p2 <= 0 OR s1 > s2 OR (s1 = s2 AND st1 <= st2))
+            THEN s1 ELSE s2 END AS BIGINT) AS n_terms
+FROM s ORDER BY doc_id
 """
 
 

@@ -18,6 +18,10 @@ from ..operators.build import Index
 from .exec import _termstats_cached
 from .query import parse_query
 
+# snippet best-window candidates are bounded: one per distinct positive
+# query term, capped so the candidate cross-score stays O(cap^2) columns
+_MAX_SNIPPET_TERMS = 4
+
 
 def cluster_per_repo(results: DataFrame, max_per_repo: int = 2) -> DataFrame:
     """W1: keep the best ``max_per_repo`` results per repo, flagging
@@ -183,10 +187,24 @@ def snippets(
 ) -> DataFrame:
     """X15: snippet + title for the top-k only — broadcast the tiny result
     set against the source table (the Msg20 per-result TitleRec fetch),
-    then pure column ops pick the first query-term window and bold it."""
+    then pure column ops pick the BEST query-term window and bold every
+    query term in it.
+
+    Best-window rule (Summary.cpp's best-sentence behavior, r4 verdict
+    task 7): each distinct positive query term anchors one candidate
+    window at its first occurrence; candidates score by how many
+    DISTINCT query terms the window contains; argmax wins, ties to the
+    earliest window start.  The whole selection is one array_max over
+    (score, -start, window) structs — pure codegen, no UDF, bounded by
+    the first ``_MAX_SNIPPET_TERMS`` terms."""
     plan = parse_query(query) if isinstance(query, str) else query
-    m0 = plan.groups[0].members[0]
-    first_term = (m0.phrase[0] if m0.phrase else m0.text).split(":")[-1]
+    terms: list[str] = []
+    for g in plan.groups:
+        for m in g.members:
+            t = (m.phrase[0] if m.phrase else m.text).split(":")[-1]
+            if t and t not in terms:
+                terms.append(t)
+    terms = terms[:_MAX_SNIPPET_TERMS]
     # reuse the corpus's own doc_id when it has one — derive_ids preserves
     # pre-existing ids (external corpora), so recomputing the hash here
     # would join against ids the index never used
@@ -202,14 +220,39 @@ def snippets(
             "content",
         )
     joined = F.broadcast(results).join(src, "doc_id")
-    pos = F.locate(first_term, F.lower(F.col("content")))
-    snippet = F.when(
-        pos > 0,
-        F.substring(F.col("content"), F.greatest(pos - width // 2, F.lit(1)), width),
-    ).otherwise(F.substring(F.col("content"), 1, width))
-    # \Q...\E-quote the term: raw interpolation would let regex
+    lower = F.lower(F.col("content"))
+    cands = []
+    for t in terms:
+        pos = F.locate(t, lower)
+        start = F.greatest(pos - width // 2, F.lit(1))
+        win = F.substring(F.col("content"), start, width)
+        win_l = F.substring(lower, start, width)
+        score = sum(
+            (F.instr(win_l, u) > 0).cast("int") for u in terms
+        )
+        # invalid candidate (term absent) sorts below every valid one
+        cands.append(
+            F.when(
+                pos > 0,
+                F.struct(
+                    score.alias("s"),
+                    (-start).alias("negpos"),
+                    win.alias("w"),
+                ),
+            ).otherwise(
+                F.struct(
+                    F.lit(-1).alias("s"),
+                    F.lit(0).alias("negpos"),
+                    F.substring(F.col("content"), 1, width).alias("w"),
+                )
+            )
+        )
+    snippet = F.array_max(F.array(*cands))["w"]
+    # \Q...\E-quote each term: raw interpolation would let regex
     # metacharacters ('c++', 'get(') break or mis-highlight the pattern
-    quoted = first_term.replace("\\E", "\\E\\\\E\\Q")
+    quoted = "|".join(
+        "\\Q" + t.replace("\\E", "\\E\\\\E\\Q") + "\\E" for t in terms
+    )
     return joined.select(
         "doc_id",
         "score",
@@ -218,6 +261,6 @@ def snippets(
         # title = the path's basename (code corpus: Title.cpp analog)
         F.element_at(F.split(F.col("path"), "/"), -1).alias("title"),
         F.regexp_replace(
-            snippet, f"(?i)(\\Q{quoted}\\E)", "**$1**"
+            snippet, f"(?i)({quoted})", "**$1**"
         ).alias("snippet"),
     ).orderBy(F.desc("score"), F.asc("doc_id"))

@@ -83,3 +83,29 @@ def test_dedup_results_exact_and_simhash(spark, micro_index, micro_docs):
     # threshold 0 keeps all distinct-signature docs
     kept0 = dedup_results(res, docs, mode="simhash", simhash_bits=0)
     assert {r["doc_id"] for r in kept0.collect()} == base
+
+
+def test_snippet_picks_best_window_not_first_hit(spark, tmp_path):
+    # Summary.cpp behavior (r5): 'alpha' first appears alone at the
+    # start; 'beta' first appears right next to another 'alpha' much
+    # later.  The beta-anchored window covers BOTH terms (score 2) and
+    # must win over alpha's first-hit window (score 1).
+    from open_source_search_engine_spark.operators.build import build_index
+    from open_source_search_engine_spark.plans.exec import search
+    from open_source_search_engine_spark.plans.serp import snippets
+
+    filler = " ".join(["zzz"] * 40)
+    content = f"alpha starts here {filler} now alpha meets beta in the end"
+    docs = spark.createDataFrame(
+        [("r", "f.py", "c1", "python", content)],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    idx = build_index(
+        spark, docs, str(tmp_path / "bw_idx"), n_shards=1, code_aware=False
+    )
+    res = search(spark, idx, "alpha beta", k=5, enrich=True)
+    out = snippets(spark, idx, res, docs, "alpha beta").collect()
+    assert len(out) == 1
+    snip = out[0]["snippet"]
+    assert "**beta**" in snip and "**alpha**" in snip
+    assert "starts here" not in snip  # the first-hit window lost
