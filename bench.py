@@ -129,12 +129,30 @@ def _semantic_dedup_banded(spark, sf_dir: str):
     return dedup.dedup_clusters(pairs).orderBy("cluster_id", "doc_id")
 
 
+def _semantic_decontam_matmul(spark, sf_dir: str):
+    # the SCALE configuration of semantic decontamination: the BLAS
+    # matmul twin (operators/decontam.decontaminate_semantic_matmul,
+    # parity-tested against the codegen expression path the registry
+    # entry certifies) — one numpy matmul per Arrow batch instead of a
+    # codegen nested-loop, 2-3x at sf0.1 (r4 verdict task 8)
+    from pyspark.sql import functions as F
+
+    from open_source_search_engine_spark.operators import decontam
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    is_eval = F.col("vec_id") % 10 == 0
+    return decontam.decontaminate_semantic_matmul(
+        emb.where(~is_eval), emb.where(is_eval), "vec_id", "embedding", 0.3
+    ).orderBy("vec_id")
+
+
 def run_extras(spark, sf_dir: str) -> dict[str, float]:
     from open_source_search_engine_spark.entry_queries import build_registry
 
     qs, _ = build_registry()
     fns = {name: qs[name] for name in EXTRAS}
     fns["semantic_dedup_banded"] = _semantic_dedup_banded
+    fns["semantic_decontam"] = _semantic_decontam_matmul
     for fn in fns.values():  # warm pass (codegen + caches)
         fn(spark, sf_dir).collect()
     times: dict[str, float] = {}
