@@ -42,6 +42,35 @@ from ..functions import codec
 from ..functions.bm25 import K1, B, py_idf
 from .build import Index, docmeta_cached
 
+# total scanned-postings bound (Σ df over queried termlists) under which
+# a single kernel task beats per-shard fan-out: the pruned scan is a few
+# MB, and eliding the shard exchange saves a whole stage of scheduler
+# round-trip on the dispatch-floor-bound single-query path
+SINGLE_TASK_POSTINGS = 2_000_000
+
+
+def _multi_shard_kernel(qmeta: dict, k: int):
+    """mapInArrow wrapper: one task's batches → per-shard kernel runs.
+    Used only on the coalesced single-task plan; semantics are identical
+    to groupBy(shard).applyInArrow because the task holds EVERY scanned
+    block (coalesce(1)), so each shard's sub-table is complete."""
+
+    def run(batches):
+        import pyarrow.compute as pc
+
+        got = [b for b in batches if b.num_rows]
+        if not got:
+            return
+        tbl = pa.Table.from_batches(got)
+        for s in sorted(pc.unique(tbl.column("shard")).to_pylist()):
+            out = _wand_kernel(
+                tbl.filter(pc.equal(tbl.column("shard"), s)), qmeta, k
+            )
+            yield from out.to_batches()
+
+    return run
+
+
 # tombstone count above which search_wand stops shipping the dead set
 # inside qmeta and falls back to the exhaustive plan's anti-join
 MAX_DEAD_INLINE = 100_000
@@ -703,9 +732,24 @@ def search_wand(
         "doc_id long, score double, blocks_scored int, blocks_skipped int, "
         "other_blocks_decoded int"
     )
-    per_shard = blocks.groupBy("shard").applyInArrow(
-        lambda _key, tbl: kernel(tbl), out_schema
-    )
+    # dispatch-floor fast path (r5): when the stored stats bound the
+    # scanned volume (Σ df over every queried termlist, boost included),
+    # run the kernel in ONE task over the pruned scan — coalesce(1)
+    # removes the shard exchange, so the whole query is a single stage
+    # instead of scan→shuffle→kernel.  The kernel itself is unchanged
+    # (the wrapper splits the task's table per shard, preserving every
+    # per-shard invariant: local top-k, negation, positional verify).
+    # Large termlists keep the per-shard parallel plan — at 100-TB scale
+    # the shard fan-out IS the latency win and the exchange is noise.
+    est_postings = sum(v[1] for v in stats.values())
+    if est_postings <= SINGLE_TASK_POSTINGS:
+        per_shard = blocks.coalesce(1).mapInArrow(
+            _multi_shard_kernel(qmeta, k), out_schema
+        )
+    else:
+        per_shard = blocks.groupBy("shard").applyInArrow(
+            lambda _key, tbl: kernel(tbl), out_schema
+        )
     # negation already applied inside the kernel (same shard's neg lists),
     # so each shard's k survivors are true local top-k — Msg3a merge:
     topk = per_shard.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

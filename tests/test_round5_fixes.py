@@ -144,3 +144,37 @@ def test_compaction_over_cap_uses_distributed_antijoin(
     # deletes table cleared after annihilation
     dsnap = M.deletes_table(idx).latest()
     assert dsnap is None or not dsnap.segments
+
+
+# ---------------------------------------------------- single-task WAND (r5)
+
+
+def test_single_task_plan_matches_sharded_plan(spark, micro_index, monkeypatch):
+    # the coalesce(1) dispatch-floor plan and the per-shard applyInArrow
+    # plan must be result-identical on every query shape
+    queries = [
+        "binary search",
+        "search -linear",
+        '"binary search"',
+        "binary OR hash",
+    ]
+    for q in queries:
+        monkeypatch.setattr(T, "SINGLE_TASK_POSTINGS", 2_000_000)
+        fast = search_wand(spark, micro_index, q, k=10)
+        fast_rows = {(r["doc_id"], round(r["score"], 9)) for r in fast.collect()}
+        monkeypatch.setattr(T, "SINGLE_TASK_POSTINGS", 0)
+        old = search_wand(spark, micro_index, q, k=10)
+        old_rows = {(r["doc_id"], round(r["score"], 9)) for r in old.collect()}
+        assert fast_rows == old_rows, q
+        assert fast_rows  # non-trivial
+
+
+def test_single_task_plan_has_no_exchange(spark, micro_index, monkeypatch):
+    monkeypatch.setattr(T, "SINGLE_TASK_POSTINGS", 2_000_000)
+    df = search_wand(spark, micro_index, "binary search", k=10, enrich=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    monkeypatch.setattr(T, "SINGLE_TASK_POSTINGS", 0)
+    df2 = search_wand(spark, micro_index, "binary search", k=10, enrich=False)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" in plan2  # the sharded plan shuffles by shard
