@@ -120,25 +120,44 @@ def build_bloom(term_ids, fpp: float = 0.01) -> dict:
 # the partial-bitmap fold — fewer jobs for the common small-delta commit.
 DRIVER_IDS_CAP = 1 << 18
 
+# vocabulary cap above which NO sidecar is written (build_bloom_distributed
+# returns None; a segment without a sidecar is always scanned — correct,
+# just unpruned).  Membership blooms pay off for the many SMALL delta
+# segments a query would otherwise touch; a compacted base segment whose
+# vocabulary exceeds ~16M terms contains nearly every queried term anyway,
+# so its bloom would almost never prune while costing a ~20 MB bitmap
+# per partial, per write.
+BLOOM_MAX_KEYS = 1 << 24
+
+# partial-bitmap fold width: the ids scan is coalesced to at most this
+# many tasks before scattering, bounding the fold shuffle to
+# PARTIAL_PARTITIONS x bitmap bytes and per-task memory to ONE bitmap.
+# Under uniform hashing every >~100k-id partition touches essentially
+# every chunk (partials are DENSE), so bounding the partial COUNT — not
+# hoping for chunk sparsity — is what caps the cost at large vocab.
+PARTIAL_PARTITIONS = 32
+
 
 def build_bloom_distributed(
     df, col: str = "term_id", fpp: float = 0.01, chunk_bytes: int = 1 << 16
-) -> dict:
+) -> dict | None:
     """Bloom sidecar built WITHOUT pulling the raw id list to the driver
-    (r4 verdict #2: a 100-TB shard's vocabulary is 10^8–10^9 distinct
-    term_ids — a multi-GB ``distinct().toPandas()`` per segment write —
-    while the *bitmap* is only ~1.2 bits/key).
+    (r4 verdict #2: a large shard's vocabulary is 10^7+ distinct
+    term_ids — a multi-hundred-MB ``distinct().toPandas()`` per segment
+    write — while the *bitmap* is ~1.2 BYTES/key at 1% fpp).
 
-    Shape: (1) exact distinct count (one agg job, one row back) fixes the
-    geometry (m, k); (2) each input partition scatters its ids into a
-    local bitmap inside ``mapInArrow`` and emits only its non-zero
-    fixed-size chunks; (3) chunks OR-fold per chunk id on executors;
-    (4) the driver receives exactly one bitmap's worth of bytes.  Bloom
-    OR is idempotent, so cross-partition duplicate ids need no dedup and
-    the result is bit-identical to ``build_bloom`` over the same id set
-    (property-tested).  Small segments (distinct count <= DRIVER_IDS_CAP)
-    take the direct path — the pull is bounded by the count already
-    measured, never by the table size."""
+    Shape: (1) exact distinct count (one agg job, one row back) fixes
+    the geometry (m, k) and gates the build (None above BLOOM_MAX_KEYS —
+    see its comment); (2) the scan, coalesced to ≤ PARTIAL_PARTITIONS
+    tasks, scatters each task's ids into a local bitmap inside
+    ``mapInArrow`` and emits its non-zero fixed-size chunks; (3) chunks
+    OR-fold per chunk id on executors; (4) the driver receives exactly
+    one bitmap's worth of bytes.  Bloom OR is idempotent, so
+    cross-partition duplicate ids need no dedup and the result is
+    bit-identical to ``build_bloom`` over the same id set
+    (property-tested).  Small segments (distinct count <=
+    DRIVER_IDS_CAP) take the direct path — the pull is bounded by the
+    count already measured, never by the table size."""
     import pandas as pd
     import pyarrow as pa
     from pyspark.sql import functions as F
@@ -147,6 +166,8 @@ def build_bloom_distributed(
     n = int(ids_df.agg(F.count_distinct("id").alias("n")).first()["n"] or 0)
     if n == 0:
         return {"n": 0, "m": 0, "k": 0, "bits": ""}
+    if n > BLOOM_MAX_KEYS:
+        return None
     if n <= DRIVER_IDS_CAP:
         ids = ids_df.distinct().toPandas()["id"].to_numpy()
         out = build_bloom(ids, fpp=fpp)
@@ -186,6 +207,9 @@ def build_bloom_distributed(
             {"chunk": [int(pdf["chunk"].iloc[0])], "bits": [acc.tobytes()]}
         )
 
+    # coalesce never raises the partition count, so this is a no-op for
+    # small scans and a hard bound on partial-bitmap count for big ones
+    ids_df = ids_df.coalesce(PARTIAL_PARTITIONS)
     folded = (
         ids_df.mapInArrow(partial, "chunk int, bits binary")
         .groupBy("chunk")

@@ -124,41 +124,6 @@ class Index:
 # code holds on a cluster where docstats exceeds executor memory.
 _DOCMETA_CACHE: dict[tuple[str, int], DataFrame] = {}
 
-# Arrow batch size for the ENCODE stage's python boundary (r5 encode
-# profile): posting rows are ~50 B, so 64k-row batches are ~3 MB —
-# fewer straddle-carry concats and python-runner round trips than the
-# session default 10k (measured ~8% on the 8-core encode stage).  NOT
-# applied to block-reading kernels (decode/compaction): block rows are
-# KB-sized and 64k-row batches there would be hundreds of MB.
-ENCODE_ARROW_BATCH = 65536
-
-
-class _arrow_batch_scope:
-    """Temporarily raise spark.sql.execution.arrow.maxRecordsPerBatch
-    around an encode materialization.  Concurrent shard threads set the
-    same value, so a racing restore can only flip a sibling back to the
-    session default early — a perf nuance, never a correctness one."""
-
-    KEY = "spark.sql.execution.arrow.maxRecordsPerBatch"
-
-    def __init__(self, spark: SparkSession, n: int = ENCODE_ARROW_BATCH):
-        self.spark, self.n = spark, n
-
-    def __enter__(self):
-        try:
-            self.old = self.spark.conf.get(self.KEY)
-        except Exception:
-            self.old = None
-        self.spark.conf.set(self.KEY, str(self.n))
-        return self
-
-    def __exit__(self, *exc):
-        if self.old is None:
-            self.spark.conf.unset(self.KEY)
-        else:
-            self.spark.conf.set(self.KEY, self.old)
-        return False
-
 
 def docmeta_cached(spark: SparkSession, index: Index) -> DataFrame:
     """Cached ``(doc_id, repo, path, lang)`` projection of the latest
@@ -736,13 +701,19 @@ def build_index(
             .repartitionByRange("term_id")
             .sortWithinPartitions("term_id", "salt", "block_id")
         )
-        # the write below is what materializes the encode (blocks persist
-        # fills here): give the encode kernel's python boundary its big
-        # Arrow batches for the duration
-        with _arrow_batch_scope(spark):
-            po_seg = idx.postings.write_segment(
-                blocks_sorted, label=f"shard{shard}", bloom_col="term_id"
-            )
+        # NOTE (r5 encode profile, tools/profile_encode.py): raising
+        # spark.sql.execution.arrow.maxRecordsPerBatch to 64k for this
+        # materialization measured ~8% on the 8-core encode stage (the
+        # stage is shuffle+Arrow-transfer bound; kernel compute is fully
+        # overlapped).  It is NOT applied: the conf is session-global,
+        # and a concurrent block-READING kernel in another driver thread
+        # (compaction decode, federated maintenance) would receive 64k
+        # batches of KB-sized block rows — hundreds of MB per Arrow
+        # transfer.  A per-plan batch-size knob would make this safe;
+        # Spark has none today.
+        po_seg = idx.postings.write_segment(
+            blocks_sorted, label=f"shard{shard}", bloom_col="term_id"
+        )
         ts_partial = blocks.groupBy("term_id").agg(
             F.sum("n_docs").alias("df"),
             F.sum("sum_tf").alias("cf"),

@@ -138,17 +138,19 @@ def deleted_doc_ids(
         if len(rows) > cap:
             _DEAD_CACHE[key] = ("over", cap)
             return None
-        vals = np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
-        u = vals.astype(np.uint64) + np.uint64(1 << 63)
-        out = vals[np.argsort(u)]
+        out = _sorted_dead(rows)
     else:
-        vals = np.unique(
-            np.array([r["doc_id"] for r in df.collect()], dtype=np.int64)
-        )
-        u = vals.astype(np.uint64) + np.uint64(1 << 63)
-        out = vals[np.argsort(u)]
+        out = _sorted_dead(df.collect())
     _DEAD_CACHE[key] = out
     return out
+
+
+def _sorted_dead(rows) -> np.ndarray:
+    """Collected rows -> sorted DISTINCT int64 dead-doc array.
+    np.unique's ascending SIGNED order is exactly what the WAND
+    kernel's unsigned-shifted searchsorted needs: x -> x + 2^63 in
+    uint64 space is monotone in signed x, so no re-sort is required."""
+    return np.unique(np.array([r["doc_id"] for r in rows], dtype=np.int64))
 
 
 def decode_to_postings(blocks: DataFrame, with_positions: bool = True) -> DataFrame:

@@ -71,8 +71,8 @@ def training_mix(
         F.col(text_col),
         textstats.quality_score(toks).alias("quality"),
         # r5: full multi-language gate (langid_multi, 7 profiles) — the
-        # binary stopword-ratio langid_en only separated en from not-en,
-        # which a multilingual pretraining mix cannot work with
+        # old binary stopword-ratio heuristic only separated en from
+        # not-en, which a multilingual pretraining mix cannot work with
         textstats.langid_multi(F.col(text_col)).alias("lang_pred"),
         textstats.token_count(toks).cast("long").alias("n_tokens"),
     )

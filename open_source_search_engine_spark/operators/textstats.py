@@ -64,15 +64,6 @@ def quality_score(tokens: Column) -> Column:
     return F.round(F.lit(0.4) * len_ok + F.lit(0.4) * diversity + F.lit(0.2) * has_sw, 4)
 
 
-def langid_en(tokens: Column, threshold: float = 0.08) -> Column:
-    """n-gram-free language-ID heuristic (X7): English iff stopword hit
-    ratio exceeds threshold.  Superseded by `langid_multi` (r5) — kept
-    for the binary en/other twin and its tail oracle."""
-    return F.when(stopword_ratio(tokens) > threshold, F.lit("en")).otherwise(
-        F.lit("other")
-    )
-
-
 # --------------------------------------------------------------- multi-lang
 # X7 full-strength: the reference ships per-language n-gram/charset
 # profiles (Language.cpp/Lang.cpp); the Spark rebuild scores space-padded
@@ -152,11 +143,15 @@ def langid_multi_sql(text_expr: str, min_hits: int = 1) -> str:
 
     lst = "[" + ", ".join(score(lg) for lg in langs) + "]"
     names = "[" + ", ".join(f"'{lg}'" for lg in langs) + "]"
-    mx = "greatest(" + ", ".join(score(lg) for lg in langs) + ")"
+    # the scores list is built ONCE inside a correlated scalar subquery
+    # (the same build-scores-once shape as the engine's array_max form —
+    # inlining the 70-gram score expression into greatest() AND the list
+    # would double the oracle's per-row regexp work)
     return (
-        f"CASE WHEN {text_expr} IS NULL THEN 'other' "
-        f"WHEN {mx} < {min_hits} THEN 'other' "
-        f"ELSE ({names})[list_position({lst}, {mx})] END"
+        f"(SELECT CASE WHEN {text_expr} IS NULL THEN 'other' "
+        f"WHEN list_aggregate(__s, 'max') < {min_hits} THEN 'other' "
+        f"ELSE ({names})[list_position(__s, list_aggregate(__s, 'max'))] "
+        f"END FROM (SELECT {lst} AS __s) __langid)"
     )
 
 

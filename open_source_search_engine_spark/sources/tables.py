@@ -99,7 +99,11 @@ class SnapshotTable:
             sidecar = _bloom.build_bloom_distributed(
                 df.sparkSession.read.parquet(path), bloom_col
             )
-            _bloom.write_sidecar(path, sidecar)
+            # None = vocabulary over BLOOM_MAX_KEYS: no sidecar, the
+            # segment is always scanned (read_pruned treats a missing
+            # sidecar as unprunable — correct, just unpruned)
+            if sidecar is not None:
+                _bloom.write_sidecar(path, sidecar)
         return path
 
     def _rel(self, path: str) -> str:

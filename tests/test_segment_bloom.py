@@ -217,3 +217,24 @@ def test_small_segment_direct_path_is_count_bounded(spark):
     df = spark.createDataFrame([(int(x),) for x in ids], "term_id long")
     got = B.build_bloom_distributed(df, "term_id")
     assert got == B.build_bloom(ids)
+
+
+def test_oversize_vocabulary_skips_sidecar(spark, tmp_path, monkeypatch):
+    # above BLOOM_MAX_KEYS no sidecar is written (a bloom over a huge
+    # compacted base would almost never prune); the segment is simply
+    # always scanned — correctness unchanged
+    from open_source_search_engine_spark.sources.tables import SnapshotTable
+
+    monkeypatch.setattr(B, "BLOOM_MAX_KEYS", 100)
+    t = SnapshotTable(str(tmp_path / "tbl"), "postings")
+    df = spark.createDataFrame(
+        [(int(i) * 7919,) for i in range(3000)], "term_id long"
+    )
+    seg = t.write_segment(df, label="big", bloom_col="term_id")
+    assert B.load_sidecar(seg) is None
+    # under the cap the sidecar appears again
+    monkeypatch.setattr(B, "BLOOM_MAX_KEYS", 1 << 24)
+    df2 = spark.createDataFrame([(int(i),) for i in range(50)], "term_id long")
+    seg2 = t.write_segment(df2, label="small", bloom_col="term_id")
+    bl = B.load_sidecar(seg2)
+    assert bl is not None and bl["n"] == 50
