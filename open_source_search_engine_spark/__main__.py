@@ -299,8 +299,6 @@ def main(argv: list[str] | None = None) -> None:
         return
 
     if args.cmd == "suggest-next":
-        import sys
-
         from pyspark.sql import functions as F
 
         from .operators.build import Index
