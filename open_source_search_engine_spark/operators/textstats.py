@@ -84,74 +84,69 @@ LANG_PROFILES: dict[str, list[str]] = {
 }
 
 
-def lang_norm(col: Column) -> Column:
-    """Space-padded lowercase letter runs: every non-letter run folds to
-    one space, so ``' word '`` membership tests are exact word hits."""
-    return F.concat(
-        F.lit(" "), F.regexp_replace(F.lower(col), "[^a-z]+", " "), F.lit(" ")
+def lang_tokens(col: Column) -> Column:
+    """Lowercase LETTER-run tokens for language scoring ([a-z]+ — digits
+    break words, matching the profiles' pure-alpha function words)."""
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z]+"), F.lit(0))
+
+
+def lang_score_tokens(toks: Column, lang: str) -> Column:
+    """Integer profile score: how many tokens are profile words."""
+    words = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(words, t))).cast(
+        "long"
     )
 
 
-def _gram_count(norm: Column, gram: str) -> Column:
-    """Non-overlapping occurrences of ``gram`` in ``norm`` — the
-    length/replace trick, identical semantics in Spark and DuckDB."""
-    diff = F.length(norm) - F.length(F.replace(norm, F.lit(gram), F.lit("")))
-    return (diff / F.lit(len(gram))).cast("long")
-
-
-def lang_score(norm: Column, lang: str) -> Column:
-    """Integer profile score: total padded-word hits for ``lang``."""
-    counts = [_gram_count(norm, f" {w} ") for w in LANG_PROFILES[lang]]
-    total = counts[0]
-    for c in counts[1:]:
-        total = total + c
-    return total
+def langid_multi_tokens(toks: Column, min_hits: int = 1) -> Column:
+    """Multi-language ID over a pre-extracted `lang_tokens` array —
+    argmax of per-language profile scores, ``'other'`` when the best
+    score is under ``min_hits`` (or the array is NULL, i.e. NULL text).
+    Ties break to the alphabetically first language — array_position
+    returns the FIRST max index, replayed verbatim by the SQL oracle's
+    list_position.  Token membership (ONE extraction + 7 array filters)
+    replaced the first-cut per-gram length/replace counting, which
+    rescanned the full text 70x; a per-language CASE chain before that
+    inlined every score into every branch (~630 regexp subtrees, an
+    8.9 MiB task binary).  Callers that already tokenize (training_mix)
+    share the scan's extraction."""
+    langs = sorted(LANG_PROFILES)
+    scores = F.array(*[lang_score_tokens(toks, lg) for lg in langs])
+    names = F.array(*[F.lit(lg) for lg in langs])
+    mx = F.array_max(scores)
+    return F.when(toks.isNull() | (mx < min_hits), F.lit("other")).otherwise(
+        F.element_at(names, F.array_position(scores, mx).cast("int"))
+    )
 
 
 def langid_multi(col: Column, min_hits: int = 1) -> Column:
-    """Multi-language ID over raw text (X7): argmax of per-language
-    profile scores, ``'other'`` when the best score is under
-    ``min_hits`` (or the text is NULL).  Ties break to the
-    alphabetically first language — array_position returns the FIRST
-    max index, replayed verbatim by the SQL oracle's list_position.
-    Shape note: the scores array is built ONCE (70 gram counts); the
-    earlier per-language CASE chain inlined every score into every
-    branch (~630 regexp subtrees, an 8.9 MiB task binary)."""
-    norm = lang_norm(col)
-    langs = sorted(LANG_PROFILES)
-    scores = F.array(*[lang_score(norm, lg) for lg in langs])
-    names = F.array(*[F.lit(lg) for lg in langs])
-    mx = F.array_max(scores)
-    return F.when(col.isNull() | (mx < min_hits), F.lit("other")).otherwise(
-        F.element_at(names, F.array_position(scores, mx).cast("int"))
-    )
+    """Multi-language ID over raw text (X7) — see `langid_multi_tokens`."""
+    return langid_multi_tokens(lang_tokens(col), min_hits)
 
 
 def langid_multi_sql(text_expr: str, min_hits: int = 1) -> str:
     """The DuckDB replay of `langid_multi` over the SQL expression
     ``text_expr`` — generated from the SAME profile table so the oracle
     can never drift from the engine."""
-    norm = f"(' ' || regexp_replace(lower({text_expr}), '[^a-z]+', ' ', 'g') || ' ')"
     langs = sorted(LANG_PROFILES)
 
     def score(lg: str) -> str:
-        parts = [
-            f"((length({norm}) - length(replace({norm}, ' {w} ', ''))) // {len(w) + 2})"
-            for w in LANG_PROFILES[lg]
-        ]
-        return "(" + " + ".join(parts) + ")"
+        words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lg])
+        return (
+            f"CAST(len(list_filter(__t, t -> t IN ({words}))) AS BIGINT)"
+        )
 
     lst = "[" + ", ".join(score(lg) for lg in langs) + "]"
     names = "[" + ", ".join(f"'{lg}'" for lg in langs) + "]"
-    # the scores list is built ONCE inside a correlated scalar subquery
-    # (the same build-scores-once shape as the engine's array_max form —
-    # inlining the 70-gram score expression into greatest() AND the list
-    # would double the oracle's per-row regexp work)
+    # tokens extracted ONCE, scores list built ONCE (correlated scalar
+    # subquery) — the same build-once shape as the engine's array form
     return (
-        f"(SELECT CASE WHEN {text_expr} IS NULL THEN 'other' "
+        f"(SELECT CASE WHEN __t IS NULL THEN 'other' "
         f"WHEN list_aggregate(__s, 'max') < {min_hits} THEN 'other' "
         f"ELSE ({names})[list_position(__s, list_aggregate(__s, 'max'))] "
-        f"END FROM (SELECT {lst} AS __s) __langid)"
+        f"END FROM (SELECT __t, {lst} AS __s FROM (SELECT "
+        f"regexp_extract_all(lower({text_expr}), '[a-z]+') AS __t) __lt) "
+        f"__langid)"
     )
 
 
