@@ -1008,10 +1008,30 @@ def search_wand_batch(
             )
         return pa.concat_tables(outs)
 
-    per_shard = blocks.groupBy("shard").applyInArrow(
-        lambda _key, tbl: kernel(tbl),
-        "doc_id long, score double, query_idx int",
-    )
+    batch_schema = "doc_id long, score double, query_idx int"
+    # same dispatch-floor fast path as search_wand (r5): when the stats
+    # bound the whole batch's scanned volume, run every query's kernel in
+    # ONE coalesced task — no shard exchange; the per-query window below
+    # then shuffles only <= n_shards * k * n_queries tiny rows
+    est_postings = sum(stats[t][1] for t in all_terms if t in stats)
+    if est_postings <= SINGLE_TASK_POSTINGS:
+
+        def run(batches):
+            import pyarrow.compute as pc
+
+            got = [b for b in batches if b.num_rows]
+            if not got:
+                return
+            tbl = pa.Table.from_batches(got)
+            for s in sorted(pc.unique(tbl.column("shard")).to_pylist()):
+                out = kernel(tbl.filter(pc.equal(tbl.column("shard"), s)))
+                yield from out.to_batches()
+
+        per_shard = blocks.coalesce(1).mapInArrow(run, batch_schema)
+    else:
+        per_shard = blocks.groupBy("shard").applyInArrow(
+            lambda _key, tbl: kernel(tbl), batch_schema
+        )
     # per-shard rows are true local top-k per query (negation + deletes
     # already applied in-kernel); the global per-query merge is a window
     # over <= n_shards * k rows per query

@@ -178,3 +178,21 @@ def test_single_task_plan_has_no_exchange(spark, micro_index, monkeypatch):
     df2 = search_wand(spark, micro_index, "binary search", k=10, enrich=False)
     plan2 = df2._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" in plan2  # the sharded plan shuffles by shard
+
+
+def test_batch_single_task_plan_matches_sharded(spark, micro_index, monkeypatch):
+    from open_source_search_engine_spark.operators.topk import search_wand_batch
+
+    qs = ["binary search", "hash", '"binary search"', "search -linear"]
+
+    def rows(df):
+        return {
+            (r["query"], r["doc_id"], round(r["score"], 9))
+            for r in df.collect()
+        }
+
+    monkeypatch.setattr(T, "SINGLE_TASK_POSTINGS", 2_000_000)
+    fast = rows(search_wand_batch(spark, micro_index, qs, k=10))
+    monkeypatch.setattr(T, "SINGLE_TASK_POSTINGS", 0)
+    old = rows(search_wand_batch(spark, micro_index, qs, k=10))
+    assert fast == old and fast

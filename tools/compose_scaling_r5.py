@@ -19,10 +19,29 @@ def load(name):
 
 
 def main() -> None:
+    import statistics
+
     s832 = load("scaling_interleaved_8_32_r5.json")
     s416 = load("scaling_interleaved_4_16_r5.json")
+    runs416 = list(s416["runs"])
+    try:
+        runs416 += load("scaling_interleaved_4_16_r5b.json")["runs"]
+    except OSError:
+        pass
+    med = {
+        c: statistics.median(
+            r["docs_per_sec"] for r in runs416 if r["cores"] == c
+        )
+        for c in (4, 16)
+    }
+    s416 = dict(
+        s416,
+        median_docs_per_sec_4=round(med[4], 1),
+        median_docs_per_sec_16=round(med[16], 1),
+        build_efficiency=round((med[16] / med[4]) / 4, 3),
+    )
     burns = {}
-    for run in ("run1", "run2", "run3"):
+    for run in ("run1", "run2", "run3", "run4", "run5"):
         try:
             c = load(f"cpu_capacity_r5_{run}.json")
             pts = {p["workers"]: p["speedup_vs_1"] for p in c["points"]}
@@ -41,6 +60,7 @@ def main() -> None:
         "round": 5,
         "n_docs": 50000,
         "levels": [4, 16],
+        "pooled_trials_4_16": len(runs416) // 2,
         "median_docs_per_sec_4": s416["median_docs_per_sec_4"],
         "median_docs_per_sec_16": s416["median_docs_per_sec_16"],
         "build_efficiency": s416["build_efficiency"],
