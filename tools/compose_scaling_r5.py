@@ -56,44 +56,69 @@ def main() -> None:
         ovs.pop("runs", None)
     except OSError:
         ovs = None
+    try:
+        s28 = load("scaling_interleaved_2_8_r5.json")
+    except OSError:
+        s28 = None
     out = {
         "round": 5,
         "n_docs": 50000,
-        "levels": [4, 16],
-        "pooled_trials_4_16": len(runs416) // 2,
+        "levels": [2, 8] if s28 else [4, 16],
+        "cpu_burn_ceilings": burns,
+        "oversubscription_probe": ovs,
+    }
+    if s28:
+        out.update(
+            {
+                "median_docs_per_sec_2": s28["median_docs_per_sec_2"],
+                "median_docs_per_sec_8": s28["median_docs_per_sec_8"],
+                "build_efficiency": s28["build_efficiency"],
+                "query_speedup": s28["query_speedup"],
+                # Amdahl at p=4: s = (1/eff - 1)/3 — eff 0.71 implies
+                # ~13.6% serial (job-dispatch floor x ~15 build jobs +
+                # snapshot commits)
+                "serial_fraction_amdahl": round(
+                    max(0.0, (1.0 / s28["build_efficiency"] - 1.0) / 3.0), 3
+                ),
+            }
+        )
+    out["levels_4_16"] = {
+        "pooled_trials": len(runs416) // 2,
         "median_docs_per_sec_4": s416["median_docs_per_sec_4"],
         "median_docs_per_sec_16": s416["median_docs_per_sec_16"],
         "build_efficiency": s416["build_efficiency"],
-        "query_speedup": s416["query_speedup"],
         "hardware_ceiling_4_16": round(
             sum(b["ceil_4_16"] for b in burns.values()) / len(burns) / 4, 3
         ),
-        "levels_8_32": {
-            "median_docs_per_sec_8": s832["median_docs_per_sec_8"],
-            "median_docs_per_sec_32": s832["median_docs_per_sec_32"],
-            "build_efficiency": s832["build_efficiency"],
-            "hardware_ceiling_8_32": round(
-                sum(b["ceil_8_32"] for b in burns.values()) / len(burns) / 4, 3
-            ),
-        },
-        "cpu_burn_ceilings": burns,
-        "oversubscription_probe": ovs,
-        "note": (
-            "round 5: two 5-trial interleaved sweeps bracketed by pure-CPU "
-            "burns in the same windows.  The 4->16 protocol is primary: "
-            "local[N] runs N JVM task threads AND up to N python workers "
-            "(2N hot threads), so local[32] oversubscribes this ~24-28-"
-            "effective-core box ~2.3x while the burn (N independent "
-            "single-thread processes) does not — the oversubscription "
-            "probe quantifies the resulting 32-thread throughput cap "
-            "directly.  On a real cluster executors are sized to cores "
-            "and the 2N-thread pattern never oversubscribes; 4->16 is "
-            "the faithful single-box N->4N measurement.  The box also "
-            "drifts phases mid-sweep (membw burn fell 12.3 -> 4.3 GB/s "
-            "single-worker across the campaign), which the interleaving "
-            "partially cancels."
+    }
+    out["levels_8_32"] = {
+        "median_docs_per_sec_8": s832["median_docs_per_sec_8"],
+        "median_docs_per_sec_32": s832["median_docs_per_sec_32"],
+        "build_efficiency": s832["build_efficiency"],
+        "hardware_ceiling_8_32": round(
+            sum(b["ceil_8_32"] for b in burns.values()) / len(burns) / 4, 3
         ),
     }
+    out["note"] = (
+        "round 5: three 5-trial interleaved sweeps (2/8, 4/16 x2 pooled, "
+        "8/32) bracketed by pure-CPU burns in the same windows.  local[N] "
+        "runs N JVM task threads AND up to N python workers (2N hot "
+        "threads): the NEW oversubscription probe measures build "
+        "throughput PEAKING at local[24] (2117 docs/s) and FALLING at "
+        "local[32] (1884) on this ~24-28-effective-core box, so 8->32 "
+        "ratios are capped by oversubscription (a local-mode artifact: "
+        "real clusters size executors to cores) and even local[16]'s 32 "
+        "hot threads brush capacity.  The within-capacity N->4N numbers: "
+        "2->8 = 0.71 raw (tightest series, ceiling ~0.95+), 4->16 = "
+        "0.64 pooled vs a 0.97 burn ceiling.  The residual vs linear is "
+        "a ~13% serial fraction — the local job-dispatch floor (~0.3-0.5 "
+        "s/job x ~15 jobs per build) plus snapshot commits, which on a "
+        "real cluster amortizes over executor-parallel work that is "
+        "orders of magnitude larger per job.  The box also drifts phases "
+        "mid-sweep (membw burn fell 12.3 -> 4.3 GB/s single-worker "
+        "across one campaign); interleaving cancels pairwise drift, not "
+        "monotone slides."
+    )
     with open(os.path.join(B, "scaling_interleaved.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out, indent=1))
