@@ -41,7 +41,7 @@ def main() -> None:
         build_efficiency=round((med[16] / med[4]) / 4, 3),
     )
     burns = {}
-    for run in ("run1", "run2", "run3", "run4", "run5"):
+    for run in ("run1", "run2", "run3", "run4", "run5", "run6", "run7", "run8"):
         try:
             c = load(f"cpu_capacity_r5_{run}.json")
             pts = {p["workers"]: p["speedup_vs_1"] for p in c["points"]}
@@ -58,6 +58,24 @@ def main() -> None:
         ovs = None
     try:
         s28 = load("scaling_interleaved_2_8_r5.json")
+        runs28 = list(s28["runs"])
+        try:
+            runs28 += load("scaling_interleaved_2_8_r5b.json")["runs"]
+        except OSError:
+            pass
+        med28 = {
+            c: statistics.median(
+                r["docs_per_sec"] for r in runs28 if r["cores"] == c
+            )
+            for c in (2, 8)
+        }
+        s28 = dict(
+            s28,
+            median_docs_per_sec_2=round(med28[2], 1),
+            median_docs_per_sec_8=round(med28[8], 1),
+            build_efficiency=round((med28[8] / med28[2]) / 4, 3),
+            pooled_trials=len(runs28) // 2,
+        )
     except OSError:
         s28 = None
     out = {
@@ -70,6 +88,7 @@ def main() -> None:
     if s28:
         out.update(
             {
+                "pooled_trials_2_8": s28.get("pooled_trials", 5),
                 "median_docs_per_sec_2": s28["median_docs_per_sec_2"],
                 "median_docs_per_sec_8": s28["median_docs_per_sec_8"],
                 "build_efficiency": s28["build_efficiency"],
